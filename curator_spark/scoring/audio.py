@@ -1,0 +1,62 @@
+"""Audio decode + feature extraction — the shared pure-numpy core.
+
+Used identically by the Spark ``mapInPandas`` decode stage and the
+pure-Python oracle, so the decoded-PCM invariant (SNR >= 30 dB, here exact)
+holds by construction. Analog of the reference's media loading
+(``types/prompt.py:21-103``: bytes → provider payload, decoded lazily,
+size-checked) — here bytes → PCM → features, PCM dropped inside the batch.
+
+Real-world codecs (mp3/opus/flac) would plug in here behind the same
+``decode(blob, codec)`` dispatch using soundfile/ffmpeg; those libs are not
+in this image, so unsupported codecs raise (clearly-marked stub).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..synth import audiogen
+
+
+def decode(blob: bytes, codec: str, sr_hz: int) -> np.ndarray:
+    """bytes → float64 PCM in [-1, 1]. Pure function of the row."""
+    if codec == "pcm_s16le":
+        pcm, wav_sr = audiogen.wav_to_pcm(blob)
+        if wav_sr != sr_hz:
+            raise ValueError(f"sr mismatch: wav={wav_sr} meta={sr_hz}")
+        return pcm
+    if codec == "ulaw":
+        return audiogen.mulaw_decode(blob)
+    # STUB: real deployments dispatch to soundfile/ffmpeg here.
+    raise NotImplementedError(f"codec {codec!r} needs an external decoder")
+
+
+def features(pcm: np.ndarray, sr_hz: int, dur_ms: int) -> dict[str, float]:
+    """Per-clip audio features feeding the quality rules.
+
+    All float64; identical math in oracle and UDF.
+    """
+    n = pcm.shape[0]
+    if n == 0:
+        return {"rms_db": -120.0, "silence_ratio": 1.0, "clip_ratio": 0.0, "dur_err_ms": float(dur_ms)}
+    rms = float(np.sqrt(np.mean(pcm * pcm)))
+    rms_db = 20.0 * np.log10(max(rms, 1e-6))
+    silence_ratio = float(np.mean(np.abs(pcm) < 0.01))
+    clip_ratio = float(np.mean(np.abs(pcm) > 0.985))
+    dur_err_ms = abs(n / sr_hz * 1000.0 - dur_ms)
+    return {
+        "rms_db": float(rms_db),
+        "silence_ratio": silence_ratio,
+        "clip_ratio": clip_ratio,
+        "dur_err_ms": float(dur_err_ms),
+    }
+
+
+def decode_features(blob: bytes, codec: str, sr_hz: int, dur_ms: int) -> dict[str, float]:
+    """decode → features → drop PCM. One call per row inside an Arrow batch;
+    PCM (up to ~100x the encoded bytes) never persists past the call."""
+    try:
+        pcm = decode(blob, codec, sr_hz)
+    except (ValueError, NotImplementedError):
+        return {"rms_db": float("nan"), "silence_ratio": 1.0, "clip_ratio": 1.0, "dur_err_ms": 1e9}
+    return features(pcm, sr_hz, dur_ms)

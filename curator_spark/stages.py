@@ -1,0 +1,199 @@
+"""Pipeline stages as DataFrame→DataFrame transforms.
+
+Stage layering (Spark-first, SURVEY.md §2 mapping):
+
+- ``decode``  — the ONLY stage that touches ``bytes``. ``mapInPandas``
+  decodes audio once per Arrow batch, emits float features, and *drops the
+  binary column* so no downstream shuffle ever carries audio payloads
+  (at 100 TB the bytes column IS the table; projecting it away after decode
+  is the single biggest scale lever). [ref: media load, types/prompt.py:21-103]
+- ``score``   — langid + perplexity in ONE ``mapInPandas`` pass (ppl needs
+  the predicted lang, and one Python round-trip beats two chained
+  ArrowEvalPython nodes). Models are process-level singletons.
+  [ref: generate map, base_online_request_processor.py:304-449]
+- ``scrub``   — pure Catalyst ``regexp_replace`` chain + match counting via
+  ``split`` (whole-stage codegen, zero Python).
+  [ref: per-row executor map, code_executor/code_executor.py:99-181]
+- ``rules`` / ``decide`` — pure Catalyst expressions; ``keep`` boolean +
+  ordered ``reasons`` array. [ref: filter idiom, SURVEY.md §2.3 F4]
+
+Every rule expression mirrors :mod:`curator_spark.scoring.rules`
+token-for-token (split on single space, identical regex classes) so the
+Spark labels and the oracle labels agree bit-exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .config import RULE_IDS, RuleThresholds
+from .scoring.scrub import SCRUB_PATTERNS
+from .synth import textgen
+
+# ---------------------------------------------------------------- decode
+
+_DECODE_ADDED = "rms_db double, silence_ratio double, clip_ratio double, decode_ok boolean"
+
+
+def decode_stage(df: DataFrame) -> DataFrame:
+    """bytes → audio features; drops ``bytes`` from the schema."""
+    out_cols = [c for c in df.columns if c != "bytes"]
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema if f.name != "bytes")
+    schema = f"{schema}, {_DECODE_ADDED}"
+
+    def _decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .scoring import audio as audio_scoring
+
+        for pdf in it:
+            feats = [
+                audio_scoring.decode_features(b, c, int(sr), int(d))
+                for b, c, sr, d in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["dur_ms"])
+            ]
+            out = pdf[out_cols].copy()
+            out["rms_db"] = np.array([f["rms_db"] for f in feats], dtype=np.float64)
+            out["silence_ratio"] = np.array([f["silence_ratio"] for f in feats], dtype=np.float64)
+            out["clip_ratio"] = np.array([f["clip_ratio"] for f in feats], dtype=np.float64)
+            out["decode_ok"] = [not np.isnan(f["rms_db"]) for f in feats]
+            yield out
+
+    return df.mapInPandas(_decode, schema=schema)
+
+
+# ----------------------------------------------------------------- score
+
+
+def score_stage(df: DataFrame) -> DataFrame:
+    """+ (lang, lang_conf, ppl) via one vectorized Python pass."""
+    schema = (
+        ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+        + ", lang string, lang_conf double, ppl double"
+    )
+
+    def _score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .scoring import langid, lm
+
+        for pdf in it:
+            texts = pdf["transcript"].tolist()
+            langs, confs = langid.score_batch(texts)
+            ppls = lm.ppl_batch(texts, langs)
+            out = pdf.copy()
+            out["lang"] = langs
+            out["lang_conf"] = confs
+            out["ppl"] = ppls
+            yield out
+
+    return df.mapInPandas(_score, schema=schema)
+
+
+# ----------------------------------------------------------------- scrub
+
+
+def _count_and_replace(col: Column, pattern: str, rep: str) -> tuple[Column, Column]:
+    """(hits, replaced). Java split(limit=-1) keeps trailing empties, so
+    size(split)-1 == match count — same as Python ``subn``."""
+    hits = F.size(F.split(col, pattern, -1)) - F.lit(1)
+    return hits, F.regexp_replace(col, pattern, rep)
+
+
+def scrub_stage(df: DataFrame) -> DataFrame:
+    """+ scrubbed_transcript, scrub_hits, tox_hits — pure Catalyst chain,
+    applied in the fixed oracle order (EMAIL → SSN → PHONE → TOX)."""
+    cur = F.col("transcript")
+    hit_cols: dict[str, Column] = {}
+    for rid, pat, rep in SCRUB_PATTERNS:
+        hits, cur = _count_and_replace(cur, pat, rep)
+        hit_cols[rid] = hits
+    total = None
+    for c in hit_cols.values():
+        total = c if total is None else total + c
+    return (
+        df.withColumn("scrubbed_transcript", cur)
+        .withColumn("scrub_hits", total.cast("int"))
+        .withColumn("tox_hits", hit_cols["tox"].cast("int"))
+    )
+
+
+# ----------------------------------------------------------------- rules
+
+def _words() -> Column:
+    return F.filter(F.split(F.col("transcript"), " ", -1), lambda w: w != F.lit(""))
+
+
+def _stop_hits() -> Column:
+    """Occurrences of the predicted language's stopwords — static array
+    literals dispatched on ``lang``; stays in codegen."""
+    def _in(stops: Column):
+        return lambda w: F.array_contains(stops, w)
+
+    expr = None
+    for lang in textgen.LANGS:
+        stops = F.array(*[F.lit(w) for w in sorted(textgen.stopwords(lang))])
+        cnt = F.size(F.filter(_words(), _in(stops)))
+        cond = F.col("lang") == F.lit(lang)
+        expr = F.when(cond, cnt) if expr is None else expr.when(cond, cnt)
+    return expr.otherwise(F.lit(0))
+
+
+def rules_stage(df: DataFrame) -> DataFrame:
+    """+ rule feature columns (all built-in SQL functions)."""
+    n_words = F.size(_words())
+    nonspace = F.length(F.regexp_replace(F.col("transcript"), r"\s", ""))
+    symbols = F.length(F.regexp_replace(F.col("transcript"), r"[A-Za-z0-9\s]", ""))
+    return (
+        df.withColumn("n_chars", F.length("transcript"))
+        .withColumn("n_words", n_words)
+        .withColumn(
+            "distinct_ratio",
+            F.when(n_words > 0, F.size(F.array_distinct(_words())) / n_words).otherwise(F.lit(0.0)),
+        )
+        .withColumn("symbol_ratio", symbols / F.greatest(nonspace, F.lit(1)))
+        .withColumn(
+            "stopword_density",
+            F.when(n_words > 0, _stop_hits() / n_words).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def _rule_checks(t: RuleThresholds) -> list[tuple[str, Column]]:
+    """(rule_id, pass-condition) in the fixed RULE_IDS order."""
+    c = F.col
+    checks = [
+        ("len_min", c("n_chars") >= t.len_min),
+        ("len_max", c("n_chars") <= t.len_max),
+        ("words_min", c("n_words") >= t.words_min),
+        ("rep_ratio", c("distinct_ratio") >= t.distinct_ratio_min),
+        ("symbol_ratio", c("symbol_ratio") <= t.symbol_ratio_max),
+        ("stopword_density", c("stopword_density") >= t.stopword_density_min),
+        ("lang_conf", c("lang_conf") >= t.lang_conf_min),
+        ("ppl_max", c("ppl") <= t.ppl_max),
+        ("tox_max", c("tox_hits") <= t.tox_hits_max),
+        ("dur_min", c("dur_ms") >= t.dur_ms_min),
+        ("dur_max", c("dur_ms") <= t.dur_ms_max),
+        ("audio_rms", c("decode_ok") & (c("rms_db") >= t.rms_db_min)),
+        ("audio_silence", c("silence_ratio") <= t.silence_ratio_max),
+        ("audio_clip", c("clip_ratio") <= t.clip_ratio_max),
+    ]
+    assert [rid for rid, _ in checks] == list(RULE_IDS)
+    return checks
+
+
+def decide_stage(df: DataFrame, t: RuleThresholds) -> DataFrame:
+    """+ keep boolean, reasons array<string> (ordered failed rule ids)."""
+    checks = _rule_checks(t)
+    keep = None
+    for _, ok in checks:
+        keep = ok if keep is None else keep & ok
+    reasons = F.array_compact(
+        F.array(*[F.when(~ok, F.lit(rid)).otherwise(F.lit(None)) for rid, ok in checks])
+    )
+    return df.withColumn("keep", keep).withColumn("reasons", reasons)
+
+
+def apply_all(df: DataFrame, t: RuleThresholds) -> DataFrame:
+    """decode → score → scrub → rules → decide."""
+    return decide_stage(rules_stage(scrub_stage(score_stage(decode_stage(df)))), t)
