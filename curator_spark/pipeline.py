@@ -1,0 +1,213 @@
+"""Pipeline orchestration: fingerprint → resume anti-join → staged commit.
+
+The Spark re-expression of ``BaseRequestProcessor.run`` (SURVEY.md §3.1):
+
+- **Fingerprint** (≙ xxh64 run identity, ``llm/llm.py:139-164``):
+  ``blake2b(input snapshot id + canonical config JSON)``. Same input + same
+  config ⇒ same fingerprint ⇒ completed work is never redone.
+- **Resume** (≙ completed-row scan, ``base_request_processor.py:496-539``):
+  the checkpoint table holds one row per committed (fingerprint,
+  partition_key); uncommitted keys are selected with a partition-key
+  anti-filter (the broadcast-anti-join degenerate: key list is tiny).
+- **Partition-grouped commits** (≙ batch chunking + ``batch_objects.jsonl``
+  state machine, ``base_batch_request_processor.py:334-343,504-545``):
+  the ``n_partitions`` logical keys are processed in ``commit_batches``
+  groups; each group commits output (idempotent dynamic partition
+  overwrite) *then* its checkpoint rows — a crash between the two commits
+  re-runs the group and overwrites the same partitions, so the protocol is
+  idempotent in the order written.
+- **Audit/lineage** (≙ status trackers, ``online_status_tracker.py:59-93``):
+  per (partition_key, stage) rows_in/rows_out/rows_error + metrics map.
+
+Scale notes (100 TB / 1000 executors):
+- ``part_key = pmod(xxhash64(clip_id), n_partitions)`` — hash partitioning
+  on a unique key is the salting strategy: the skewed transcript-length and
+  codec distributions decorrelate from partition assignment, so byte-sized
+  partitions stay balanced in expectation; AQE skew handling covers the
+  tail. ``n_partitions`` scales with the table (10^12 clips → ~100k keys),
+  giving failure blast radius = table/``n_partitions`` per retried task and
+  resume granularity = one key.
+- the pipeline is shuffle-free end-to-end: scan → narrow maps → partitioned
+  write. The only wide exchange is the ``repartition`` aligning file layout
+  with ``part_key`` before the write (one shuffle of the *decoded, bytes-
+  free* rows, never the audio).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import stages
+from .catalog import ParquetCatalog, dir_snapshot_id
+from .config import PipelineConfig
+
+OUTPUT_TABLE = "clips_labeled"
+CHECKPOINT_TABLE = "checkpoints"
+AUDIT_TABLE = "audit"
+
+AUDIT_STAGES = ("decode", "score", "scrub", "decide")
+
+
+@dataclass
+class RunResult:
+    fingerprint: str
+    groups_run: list[int] = field(default_factory=list)
+    groups_skipped: list[int] = field(default_factory=list)
+    partitions_run: int = 0
+    partitions_skipped: int = 0
+    cached: bool = False
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, catalog: ParquetCatalog, cfg: PipelineConfig):
+        self.spark = spark
+        self.catalog = catalog
+        self.cfg = cfg
+
+    # -- resume state ------------------------------------------------------
+
+    def committed_keys(self, fingerprint: str) -> set[int]:
+        if not self.catalog.exists(CHECKPOINT_TABLE):
+            return set()
+        rows = (
+            self.catalog.read(CHECKPOINT_TABLE)
+            .filter(F.col("run_fingerprint") == fingerprint)
+            .select("partition_key")
+            .distinct()
+            .collect()
+        )
+        return {r[0] for r in rows}
+
+    # -- main entry --------------------------------------------------------
+
+    def run(self, input_path: str, failpoint_after_groups: int | None = None) -> RunResult:
+        """Label every clip in ``input_path``; resumable + idempotent.
+
+        ``failpoint_after_groups`` aborts after N group commits — the test
+        harness's analog of the reference's SIGALRM kill
+        (``tests/integrations/test_all.py:36-49``).
+        """
+        cfg = self.cfg
+        fingerprint = cfg.fingerprint(dir_snapshot_id(input_path))
+        done = self.committed_keys(fingerprint)
+        res = RunResult(fingerprint=fingerprint)
+
+        all_keys = set(range(cfg.n_partitions))
+        if done >= all_keys:  # job-level cache hit (≙ F5 short-circuit)
+            res.cached = True
+            res.partitions_skipped = len(all_keys)
+            return res
+
+        base = self.spark.read.parquet(input_path).withColumn(
+            "part_key", F.pmod(F.xxhash64("clip_id"), F.lit(cfg.n_partitions)).cast("int")
+        )
+
+        groups_done = 0
+        for g in range(cfg.commit_batches):
+            group_keys = {k for k in all_keys if k % cfg.commit_batches == g}
+            missing = sorted(group_keys - done)
+            if not missing:
+                res.groups_skipped.append(g)
+                res.partitions_skipped += len(group_keys)
+                continue
+
+            t0 = time.monotonic()
+            df_g = base.filter(F.col("part_key").isin(missing))
+            labeled = stages.apply_all(df_g, cfg.rules)
+            # align file layout with part_key (bytes already dropped by
+            # decode, so this shuffle is text+floats only)
+            labeled = labeled.repartition(
+                max(1, min(len(missing), self.spark.sparkContext.defaultParallelism)),
+                "part_key",
+            )
+            self.catalog.overwrite_partitions(labeled, OUTPUT_TABLE, "part_key")
+            wall_ms = int((time.monotonic() - t0) * 1000)
+
+            rows_in = {
+                r["part_key"]: r["n"]
+                for r in df_g.groupBy("part_key").agg(F.count("*").alias("n")).collect()
+            }
+            self._commit_audit(fingerprint, missing, rows_in, wall_ms)
+            self._commit_checkpoints(fingerprint, missing)
+
+            res.groups_run.append(g)
+            res.partitions_run += len(missing)
+            res.partitions_skipped += len(group_keys) - len(missing)
+            groups_done += 1
+            if failpoint_after_groups is not None and groups_done >= failpoint_after_groups:
+                raise RuntimeError(f"failpoint: aborted after {groups_done} group commits")
+        return res
+
+    # -- commits -----------------------------------------------------------
+
+    def _commit_checkpoints(self, fingerprint: str, keys: list[int]) -> None:
+        rows = [(fingerprint, int(k), "pipeline") for k in keys]
+        df = self.spark.createDataFrame(
+            rows, "run_fingerprint string, partition_key int, stage string"
+        ).withColumn("committed_at", F.current_timestamp())
+        self.catalog.append(df, CHECKPOINT_TABLE)
+
+    def _commit_audit(
+        self, fingerprint: str, keys: list[int], rows_in: dict[int, int], wall_ms: int
+    ) -> None:
+        """Per-(partition, stage) lineage rows, derived from the committed
+        output (so audit reflects what was actually written)."""
+        out = self.catalog.read(OUTPUT_TABLE).filter(F.col("part_key").isin(list(keys)))
+        agg = (
+            out.groupBy("part_key")
+            .agg(
+                F.count("*").alias("rows_out"),
+                F.sum(F.when(~F.col("decode_ok"), 1).otherwise(0)).alias("decode_err"),
+                F.avg("rms_db").alias("mean_rms_db"),
+                F.avg("ppl").alias("mean_ppl"),
+                F.avg("lang_conf").alias("mean_lang_conf"),
+                F.sum("scrub_hits").alias("sum_scrub_hits"),
+                F.sum("tox_hits").alias("sum_tox_hits"),
+                F.avg(F.col("keep").cast("double")).alias("keep_rate"),
+            )
+            .collect()
+        )
+        stage_metrics = {
+            "decode": lambda r: {"mean_rms_db": r["mean_rms_db"]},
+            "score": lambda r: {"mean_ppl": r["mean_ppl"], "mean_lang_conf": r["mean_lang_conf"]},
+            "scrub": lambda r: {
+                "sum_scrub_hits": float(r["sum_scrub_hits"] or 0),
+                "sum_tox_hits": float(r["sum_tox_hits"] or 0),
+            },
+            "decide": lambda r: {"keep_rate": r["keep_rate"]},
+        }
+        rows = []
+        for r in agg:
+            k = r["part_key"]
+            for stage in AUDIT_STAGES:
+                rows.append(
+                    (
+                        fingerprint,
+                        int(k),
+                        stage,
+                        int(rows_in.get(k, 0)),
+                        int(r["rows_out"]),
+                        int(r["decode_err"]) if stage == "decode" else 0,
+                        wall_ms,
+                        {m: float(v) for m, v in stage_metrics[stage](r).items() if v is not None},
+                    )
+                )
+        df = self.spark.createDataFrame(
+            rows,
+            "run_fingerprint string, partition_key int, stage string, rows_in long, "
+            "rows_out long, rows_error long, wall_ms long, metrics map<string,double>",
+        )
+        self.catalog.append(df, AUDIT_TABLE)
+
+    # -- views -------------------------------------------------------------
+
+    def output(self) -> DataFrame:
+        return self.catalog.read(OUTPUT_TABLE)
+
+    def kept(self) -> DataFrame:
+        """The curated view — predicate pushed to the parquet/Iceberg scan."""
+        return self.output().filter(F.col("keep"))

@@ -1,0 +1,114 @@
+"""Checkpoint / resume / cache / audit semantics.
+
+Analog of the reference's kill-and-resume integration tests
+(``tests/integrations/test_all.py:36-49,193-210``: SIGALRM Timeout
+mid-flight, re-run, assert cached count) and the request/response count
+reconciliation (``base_request_processor.py:452-465``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark import oracle
+from curator_spark.catalog import ParquetCatalog
+from curator_spark.config import PipelineConfig
+from curator_spark.pipeline import AUDIT_STAGES, Pipeline
+from curator_spark.synth import clips
+
+N = 400
+
+
+@pytest.fixture()
+def env(spark, workdir):
+    inp = os.path.join(workdir, "clips_in")
+    clips.write_clips(spark, N, inp)
+    cfg = PipelineConfig(n_partitions=16, commit_batches=4)
+    cat = ParquetCatalog(spark, os.path.join(workdir, "wh"))
+    return spark, inp, cfg, cat
+
+
+def test_kill_resume_identical_to_uninterrupted(env, workdir):
+    spark, inp, cfg, cat = env
+
+    # uninterrupted run in a separate warehouse → the golden output
+    cat2 = ParquetCatalog(spark, os.path.join(workdir, "wh2"))
+    Pipeline(spark, cat2, cfg).run(inp)
+    golden = {r["clip_id"]: (r["keep"], r["scrubbed_transcript"])
+              for r in cat2.read("clips_labeled").collect()}
+
+    pipe = Pipeline(spark, cat, cfg)
+    with pytest.raises(RuntimeError, match="failpoint"):
+        pipe.run(inp, failpoint_after_groups=2)
+
+    from curator_spark.catalog import dir_snapshot_id
+
+    committed = pipe.committed_keys(cfg.fingerprint(dir_snapshot_id(inp)))
+    assert 0 < len(committed) < cfg.n_partitions
+
+    # audit snapshot of committed groups — must not change on resume
+    audit_before = cat.read("audit").toPandas().sort_values(
+        ["partition_key", "stage"]).reset_index(drop=True)
+
+    res = pipe.run(inp)
+    assert res.partitions_skipped >= len(committed)
+    assert res.partitions_run == cfg.n_partitions - len(committed)
+
+    audit_after = cat.read("audit").toPandas()
+    merged = audit_after.merge(
+        audit_before, on=["run_fingerprint", "partition_key", "stage"], suffixes=("", "_b"),
+        how="right")
+    # previously committed partitions were not recomputed: their audit rows
+    # are unchanged (same wall_ms, same counts) and not duplicated
+    assert (merged["wall_ms"] == merged["wall_ms_b"]).all()
+    assert len(audit_after) == cfg.n_partitions * len(AUDIT_STAGES)
+
+    got = {r["clip_id"]: (r["keep"], r["scrubbed_transcript"])
+           for r in cat.read("clips_labeled").collect()}
+    assert got == golden
+
+
+def test_full_cache_hit(env):
+    spark, inp, cfg, cat = env
+    pipe = Pipeline(spark, cat, cfg)
+    r1 = pipe.run(inp)
+    assert r1.partitions_run == cfg.n_partitions and not r1.cached
+    r2 = pipe.run(inp)
+    assert r2.cached and r2.partitions_run == 0
+
+
+def test_config_change_invalidates_cache(env):
+    spark, inp, cfg, cat = env
+    Pipeline(spark, cat, cfg).run(inp)
+    cfg2 = PipelineConfig(
+        n_partitions=cfg.n_partitions, commit_batches=cfg.commit_batches,
+    )
+    assert Pipeline(spark, cat, cfg2).run(inp).cached  # identical config ⇒ hit
+    from curator_spark.config import RuleThresholds
+    cfg3 = PipelineConfig(
+        rules=RuleThresholds(ppl_max=999.0),
+        n_partitions=cfg.n_partitions, commit_batches=cfg.commit_batches,
+    )
+    r = Pipeline(spark, cat, cfg3).run(inp)
+    assert not r.cached and r.partitions_run == cfg.n_partitions
+
+
+def test_audit_reconciliation_and_output(env):
+    spark, inp, cfg, cat = env
+    pipe = Pipeline(spark, cat, cfg)
+    pipe.run(inp)
+    aud = cat.read("audit")
+    assert aud.filter(F.col("rows_in") != F.col("rows_out")).count() == 0
+    out = pipe.output()
+    assert out.count() == N
+    assert out.select("clip_id").distinct().count() == N
+    # labels match oracle through the full checkpointed path
+    got = out.toPandas().sort_values("clip_id").reset_index(drop=True)
+    gold = oracle.golden_labels(N).sort_values("clip_id").reset_index(drop=True)
+    assert (got["keep"] == gold["keep"]).all()
+    assert (got["scrubbed_transcript"] == gold["scrubbed_transcript"]).all()
+    # kept view row count
+    assert pipe.kept().count() == int(gold["keep"].sum())

@@ -1,0 +1,112 @@
+"""Unit tests for the pure scoring core (no Spark).
+
+Mirrors the reference's unit layer (SURVEY.md §5): pure-function tests for
+formatting/coercion/fingerprint stability — here: codec roundtrips, model
+determinism, rule edges, scrub goldens.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from curator_spark.config import PipelineConfig, RuleThresholds
+from curator_spark.scoring import audio, langid, lm, rules, scrub
+from curator_spark.synth import audiogen, clips, textgen
+
+
+def snr_db(ref: np.ndarray, test: np.ndarray) -> float:
+    err = float(np.sum((ref - test) ** 2))
+    if err == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(float(np.sum(ref**2)) / err)
+
+
+def test_wav_roundtrip_exact():
+    pcm = audiogen.gen_waveform(7, 16000, 500)
+    blob = audiogen.pcm16_to_wav(pcm, 16000)
+    dec, sr = audiogen.wav_to_pcm(blob)
+    assert sr == 16000
+    assert dec.shape == pcm.shape
+    # PCM16 quantization: ~96 dB SNR, far above the 30 dB gate
+    assert snr_db(pcm, dec) >= 30.0
+
+
+def test_ulaw_roundtrip_snr():
+    pcm = audiogen.gen_waveform(11, 8000, 400)
+    dec = audiogen.mulaw_decode(audiogen.mulaw_encode(pcm))
+    assert dec.shape == pcm.shape
+    assert snr_db(pcm, dec) >= 30.0  # mu-law: ~38 dB on speech-like signals
+
+
+def test_decode_dispatch_and_stub():
+    blob, sr, dur, codec = audiogen.encode_clip(3)
+    pcm = audio.decode(blob, codec, sr)
+    assert pcm.dtype == np.float64 and pcm.shape[0] > 0
+    with pytest.raises(NotImplementedError):
+        audio.decode(b"xxxx", "opus", 16000)  # external-codec stub
+
+
+def test_clip_row_deterministic():
+    a, b = clips.clip_row(42), clips.clip_row(42)
+    assert a == b
+    assert a["clip_id"] == "clip_000000000042"
+    assert clips.clip_row(43)["bytes"] != a["bytes"]
+
+
+def test_langid_accuracy_and_determinism():
+    n = 400
+    preds, trues = [], []
+    for i in range(n):
+        t, lang, _ = textgen.gen_transcript(i)
+        p, c = langid.score_text(t)
+        p2, c2 = langid.score_text(t)
+        assert (p, c) == (p2, c2)
+        preds.append(p)
+        trues.append(lang)
+    acc = np.mean([p == t for p, t in zip(preds, trues)])
+    assert acc >= 0.98
+
+
+def test_ppl_separates_noise():
+    clean = " ".join(textgen.gen_sentence("avelian", textgen.clip_rng(1, "t"), 20))
+    noise = "zzqx9 !!@# 8741-kk zzqx9 wqpmf"
+    assert lm.ppl(clean, "avelian") < lm.ppl(noise, "avelian")
+
+
+def test_scrub_goldens():
+    s, hits = scrub.scrub("ka mi ada.lovelace7@example.com to 555-123-4567 frak 123-45-6789")
+    assert s == "ka mi <EMAIL> to <PHONE> <TOX> <SSN>"
+    assert hits == {"email": 1, "ssn": 1, "phone": 1, "tox": 1}
+
+
+def test_scrub_order_ssn_before_phone():
+    # 3-2-4 must scrub as SSN, 3-3-4 as PHONE — no cross-matching
+    s, hits = scrub.scrub("a 111-22-3333 b 111-222-3333 c")
+    assert s == "a <SSN> b <PHONE> c"
+
+
+def test_rule_edges():
+    t = RuleThresholds()
+    aud_ok = {"rms_db": -10.0, "silence_ratio": 0.1, "clip_ratio": 0.0}
+    feats = rules.text_features("ka " * 20, "avelian")
+    keep, reasons = rules.evaluate(feats, 0.99, 100.0, 0, 1000, aud_ok, t)
+    assert reasons == ["rep_ratio", "stopword_density"]  # 1 distinct word / 20
+    # len_max + dur_max fire on synthetic extremes
+    long_text = " ".join(f"w{i}" for i in range(3000))
+    feats2 = rules.text_features(long_text, "avelian")
+    keep2, reasons2 = rules.evaluate(feats2, 0.99, 100.0, 0, 99999, aud_ok, t)
+    assert "len_max" in reasons2 and "dur_max" in reasons2
+    # tox budget
+    feats3 = rules.text_features("ka mi to ra ne su el an ori ume ta ki mo re nu", "avelian")
+    _, reasons3 = rules.evaluate(feats3, 0.99, 100.0, 3, 1000, aud_ok, t)
+    assert "tox_max" in reasons3
+
+
+def test_fingerprint_stability():
+    cfg = PipelineConfig()
+    f1 = cfg.fingerprint("snap-a")
+    assert f1 == PipelineConfig().fingerprint("snap-a")  # config-identical ⇒ same
+    assert f1 != cfg.fingerprint("snap-b")  # input changed ⇒ different
+    cfg2 = PipelineConfig(rules=RuleThresholds(len_min=21))
+    assert f1 != cfg2.fingerprint("snap-a")  # config changed ⇒ different

@@ -1,0 +1,81 @@
+"""Spark pipeline vs single-node oracle — the correctness gates.
+
+Gates per BASELINE.md: keep/drop F1 >= 0.99 (we assert exact), exact
+scrubbed-transcript match, decoded-PCM SNR >= 30 dB, exact transcript
+pass-through. Analog of the reference's golden-hash integration layer
+(``tests/integrations/test_all.py:22-23,54-58``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from curator_spark import oracle, stages
+from curator_spark.config import PipelineConfig
+from curator_spark.scoring import audio as audio_scoring
+from curator_spark.synth import clips
+
+N = 300
+
+
+def _f1(pred: np.ndarray, true: np.ndarray) -> float:
+    tp = int(np.sum(pred & true))
+    fp = int(np.sum(pred & ~true))
+    fn = int(np.sum(~pred & true))
+    if tp == 0:
+        return 0.0
+    p = tp / (tp + fp)
+    r = tp / (tp + fn)
+    return 2 * p * r / (p + r)
+
+
+def test_labels_match_oracle(spark):
+    cfg = PipelineConfig()
+    df = clips.generate_clips(spark, N, 8)
+    out = stages.apply_all(df, cfg.rules).toPandas().sort_values("clip_id").reset_index(drop=True)
+    gold = oracle.golden_labels(N).sort_values("clip_id").reset_index(drop=True)
+
+    assert _f1(out["keep"].to_numpy(), gold["keep"].to_numpy()) >= 0.99
+    assert (out["keep"] == gold["keep"]).all()
+    assert (out["lang"] == gold["lang"]).all()
+    assert (out["scrubbed_transcript"] == gold["scrubbed_transcript"]).all()
+    assert all(list(a) == list(b) for a, b in zip(out["reasons"], gold["reasons"]))
+    for col in ["lang_conf", "ppl", "silence_ratio", "clip_ratio"]:
+        assert (out[col].to_numpy() == gold[col].to_numpy()).all(), col
+    a, b = out["rms_db"].to_numpy(), gold["rms_db"].to_numpy()
+    assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+
+
+def test_transcript_passthrough_and_pcm_snr(spark):
+    """Per-row invariant (BASELINE.json input_hint): decoded PCM of the
+    table bytes vs the oracle's regenerated decode, SNR >= 30 dB; transcript
+    byte-equality through the pipeline."""
+    df = clips.generate_clips(spark, 50, 4)
+    rows = {r["clip_id"]: r for r in df.collect()}
+    for i in range(50):
+        cid = f"clip_{i:012d}"
+        ref_row = clips.clip_row(i)
+        got = rows[cid]
+        assert got["transcript"] == ref_row["transcript"]
+        ref_pcm = audio_scoring.decode(ref_row["bytes"], ref_row["codec"], ref_row["sr_hz"])
+        got_pcm = audio_scoring.decode(bytes(got["bytes"]), got["codec"], got["sr_hz"])
+        err = float(np.sum((ref_pcm - got_pcm) ** 2))
+        snr = float("inf") if err == 0 else 10 * np.log10(float(np.sum(ref_pcm**2)) / err)
+        assert snr >= 30.0
+
+
+def test_scoring_invariant_to_partitioning(spark):
+    """Determinism across cluster sizes: the same rows scored under 2 vs 8
+    partitions (different Arrow batch boundaries) produce identical labels —
+    the property that makes the two-cluster-size F1 gate hold."""
+    cfg = PipelineConfig()
+    a = (
+        stages.apply_all(clips.generate_clips(spark, 120, 2), cfg.rules)
+        .toPandas().sort_values("clip_id").reset_index(drop=True)
+    )
+    b = (
+        stages.apply_all(clips.generate_clips(spark, 120, 8), cfg.rules)
+        .toPandas().sort_values("clip_id").reset_index(drop=True)
+    )
+    for col in ["keep", "lang", "lang_conf", "ppl", "scrubbed_transcript"]:
+        assert (a[col] == b[col]).all(), col
