@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship quality-filter summary on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+training-data-pipeline ops); each callable takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL, alias-matched column for
+column. Ops with no SQL form (SimHash, LSH near-dup, IVF) have no oracle
+entry → driver records rows-only checks.
 """
 
 from __future__ import annotations
@@ -15,24 +16,259 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: heuristic quality-filter rollup over documents at sf0.001 —
+    the documents-table face of the clip curation DAG (keep-rate per lang)."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.ops import text as text_ops
+
+    sf_dir = "/root/testdata/sf0.001"
+    q = text_ops.quality_scores(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    keep = (
+        (F.col("n_words") >= 5)
+        & (F.col("distinct_ratio") >= 0.2)
+        & (F.col("n_chars") <= 10000)
+    )
+    return (
+        q.join(docs, "doc_id")
+        .withColumn("keep", keep)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.round(F.avg(F.col("distinct_ratio")), 4).alias("mean_distinct_ratio"),
+        )
+        .orderBy("lang")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from curator_spark.ops import dedup, relational, similarity, text
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / engine-core operators (SURVEY.md §2)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_revenue": relational.q3_top_revenue,
+        "resume_anti_join": relational.resume_anti_join,
+        "status_counters": relational.status_counters,
+        "finish_filter": relational.finish_filter,
+        "union_slices": relational.union_slices,
+        "topk_events": relational.topk_events,
+        "running_window": relational.running_window,
+        "error_sample": relational.error_sample,
+        "count_reconcile": relational.count_reconcile,
+        "chunk_balance": relational.chunk_balance,
+        "events_hourly": relational.events_hourly,
+        "json_extract_props": relational.json_extract_props,
+        # dedup family
+        "dedup_exact": dedup.dedup_exact,
+        "minhash_signatures": dedup.minhash_signatures,
+        "minhash_dup_pairs": dedup.minhash_dup_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "simhash_fingerprints": dedup.simhash_fingerprints,   # rows-only
+        "simhash_near_pairs": dedup.simhash_near_pairs,       # rows-only
+        "embedding_near_dups": dedup.embedding_near_dups,     # rows-only
+        # similarity search
+        "ann_cosine_topk": similarity.ann_cosine_topk,
+        "ivf_topk": similarity.ivf_topk,                      # rows-only
+        # text analysis
+        "token_count": text.token_count,
+        "quality_scores": text.quality_scores,
+        "doc_fingerprint": text.doc_fingerprint,
+        "lang_distribution": text.lang_distribution,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    n_hashes, band = 8, 2
+    mh_cols = ",\n    ".join(
+        "list_min(list_transform(range(1, greatest(length(text)-2,1)+1), "
+        f"i -> md5('{j}|' || substring(text, i, 3)))) AS mh{j}"
+        for j in range(n_hashes)
+    )
+    band_cols = ",\n    ".join(
+        "md5(" + " || '|' || ".join(f"mh{j}" for j in range(b * band, (b + 1) * band)) + f") AS band{b}"
+        for b in range(n_hashes // band)
+    )
+    sig_concat = " || ".join(f"mh{j}" for j in range(n_hashes))
+    minhash_base = f"""
+WITH sig AS (
+  SELECT doc_id,
+    {mh_cols}
+  FROM documents
+), sigb AS (
+  SELECT doc_id, {sig_concat} AS signature,
+    {band_cols}
+  FROM sig
+)"""
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, '{b}:' || band{b} AS bucket FROM sigb" for b in range(n_hashes // band)
+    )
+    pairs_cte = f"""{minhash_base}, stacked AS (
+  {band_union}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM stacked a JOIN stacked b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+
+    return {
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "q3_top_revenue": """
+SELECT o_orderkey, o_orderdate,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+        "resume_anti_join": """
+SELECT o_orderkey, o_orderstatus FROM orders
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0)
+ORDER BY o_orderkey
+""",
+        "status_counters": """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "finish_filter": """
+SELECT event_id, event_type, value FROM events
+WHERE event_type NOT IN ('error', 'signup') AND value IS NOT NULL
+ORDER BY event_id
+""",
+        "union_slices": """
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000
+UNION
+SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+ORDER BY o_orderkey
+""",
+        "topk_events": """
+SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 20
+""",
+        "running_window": """
+SELECT user_id, event_id,
+  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events ORDER BY user_id, event_id
+""",
+        "error_sample": """
+SELECT event_id, user_id, props FROM events
+WHERE event_type = 'error' ORDER BY event_id LIMIT 10
+""",
+        "count_reconcile": """
+SELECT o_orderkey, COALESCE(n_items, 0) AS n_items
+FROM orders LEFT JOIN (
+  SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY l_orderkey
+) li ON o_orderkey = li.l_orderkey
+ORDER BY o_orderkey
+""",
+        "chunk_balance": """
+SELECT substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) AS bucket, COUNT(*) AS n
+FROM orders GROUP BY bucket ORDER BY bucket
+""",
+        "events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY hour, event_type ORDER BY hour, event_type
+""",
+        "json_extract_props": """
+SELECT event_type, COUNT(*) AS n, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+        "dedup_exact": """
+SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+FROM documents GROUP BY digest ORDER BY canonical_id
+""",
+        "minhash_signatures": minhash_base
+        + """
+SELECT * FROM sigb ORDER BY doc_id
+""",
+        "minhash_dup_pairs": pairs_cte
+        + """
+SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
+""",
+        "ngram_jaccard_pairs": pairs_cte
+        + """, shingle_sets AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(length(text)-2,1)+1),
+                  i -> substring(text, i, 3))) AS sh
+  FROM documents
+)
+SELECT doc_a, doc_b,
+  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / len(list_distinct(list_cat(sa.sh, sb.sh))), 6) AS jaccard
+FROM pairs
+JOIN shingle_sets sa ON doc_a = sa.doc_id
+JOIN shingle_sets sb ON doc_b = sb.doc_id
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / len(list_distinct(list_cat(sa.sh, sb.sh))) >= 0.5
+ORDER BY doc_a, doc_b
+""",
+        "ann_cosine_topk": """
+WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+  round(
+    list_sum(list_transform(range(1, len(e.embedding)+1),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.q[i] AS DOUBLE)))
+    / ( sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+      * sqrt(list_sum(list_transform(qv.q,        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) ),
+  6) AS cos_sim
+FROM embeddings e, qv
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+        "token_count": """
+SELECT doc_id,
+  len(list_filter(string_split(text, ' '), w -> w != '')) AS n_tokens,
+  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est
+FROM documents ORDER BY doc_id
+""",
+        "quality_scores": """
+WITH w AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+    list_filter(string_split(text, ' '), x -> x != '') AS words
+  FROM documents
+)
+SELECT doc_id, n_chars, len(words) AS n_words,
+  round((n_chars - len(words) + 1) / greatest(len(words), 1), 6) AS mean_word_len,
+  round(CAST(len(list_distinct(words)) AS DOUBLE) / greatest(len(words), 1), 6) AS distinct_ratio,
+  round(CAST(len(list_filter(words, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+        / greatest(len(words), 1), 6) AS stopword_frac
+FROM w ORDER BY doc_id
+""",
+        "doc_fingerprint": """
+WITH w AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, ' '), x -> x != '') AS words
+  FROM documents
+)
+SELECT doc_id, md5(text) AS digest,
+  CASE WHEN len(words) >= 4 THEN
+    list_min(list_transform(range(1, len(words)-3+1),
+      i -> md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3])))
+  ELSE md5(text) END AS rolling_min_digest
+FROM w ORDER BY doc_id
+""",
+        "lang_distribution": """
+SELECT lang, COUNT(*) AS n_docs, SUM(CAST(n_chars AS BIGINT)) AS sum_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    }

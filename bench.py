@@ -1,0 +1,113 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline numbers:
+- ``clip_pipeline``: the north-rule metric — end-to-end langid + perplexity
+  + rules + scrub over the clips table at this SF (clips/sec reported in
+  ``extra``). Clips are generated once per SF into a cache dir (generation
+  is excluded from the timed run; the pipeline runs against a fresh
+  warehouse every time so nothing is served from checkpoints).
+- representative testdata queries (scan-agg, join, dedup, ANN, text).
+
+Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
+``SPARK_GRAFT_CPUS`` (default all cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CLIPS_PER_SF = 1_000_000  # sf0.1 → 100k clips (FIXTURES.md tiers)
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return float(base.replace("sf", "")) if base.startswith("sf") else 0.1
+
+
+def ensure_clips(spark, sf: float, cache_root: str = "/tmp/curator_bench") -> str:
+    from curator_spark.synth import clips
+
+    n = max(100, int(CLIPS_PER_SF * sf))
+    path = os.path.join(cache_root, f"clips_sf{sf}")
+    marker = os.path.join(path, "_GENERATED")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        clips.write_clips(spark, n, path)
+        open(marker, "w").write(str(n))
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    sf = sf_of(sf_dir)
+
+    from curator_spark.catalog import ParquetCatalog
+    from curator_spark.config import PipelineConfig
+    from curator_spark.ops import dedup, relational, similarity, text
+    from curator_spark.pipeline import Pipeline
+    from curator_spark.session import build_session
+    from curator_spark.synth import clips as clips_mod
+
+    spark = build_session(master=f"local[{cpus}]", app_name="curator_spark_bench")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # --- clip pipeline (the headline) ---
+    clips_path = ensure_clips(spark, sf)
+    n_clips = int(open(os.path.join(clips_path, "_GENERATED")).read())
+    wh = f"/tmp/curator_bench/wh_{os.getpid()}"
+    shutil.rmtree(wh, ignore_errors=True)
+    cfg = PipelineConfig(n_partitions=int(cpus) * 2, commit_batches=1)
+    pipe = Pipeline(spark, ParquetCatalog(spark, wh), cfg)
+    t0 = time.monotonic()
+    pipe.run(clips_path)
+    dt = time.monotonic() - t0
+    timings["clip_pipeline"] = round(dt, 3)
+    extra["clips_per_sec"] = round(n_clips / dt, 1)
+    extra["n_clips"] = n_clips
+    shutil.rmtree(wh, ignore_errors=True)
+
+    # --- representative operator queries on the testdata tables ---
+    bench_queries = {
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_revenue": relational.q3_top_revenue,
+        "running_window": relational.running_window,
+        "dedup_exact": dedup.dedup_exact,
+        "minhash_dup_pairs": dedup.minhash_dup_pairs,
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        "ann_cosine_topk": similarity.ann_cosine_topk,
+        "token_count": text.token_count,
+    }
+    for name, fn in bench_queries.items():
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        extra[f"{name}_rows"] = n
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "end_to_end_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

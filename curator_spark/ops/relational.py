@@ -1,0 +1,196 @@
+"""Relational operators from SURVEY.md §2 over the testdata tables.
+
+Numeric determinism notes (the driver hash-compares values vs DuckDB):
+- double sums are order-dependent across engines/parallelism; every SUM/AVG
+  here goes through DECIMAL (exact, associative) and is cast back to double
+  at the end, so Spark (any partitioning) and DuckDB agree bit-exactly.
+- every computed column is aliased identically in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load
+
+DEC = "decimal(28,6)"
+
+
+def _dsum(col):
+    return F.sum(F.col(col).cast(DEC))
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style rollup — the token/cost aggregate analog (SURVEY §2.5 A1:
+    online_status_tracker.py:175-198 sums tokens/cost across rows)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).cast(DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").cast("double").alias("sum_qty"),
+            _dsum("l_extendedprice").cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build+probe rejoin-by-id analog (SURVEY §2.4 J1:
+    base_batch_request_processor.py:461-477) — dims broadcast."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completed-work anti-join (SURVEY §2.3 F1: skip rows whose id is in the
+    completed set, base_request_processor.py:496-539). The 'checkpoint' set
+    here is the deterministic o_orderkey%7==0 slice; broadcast anti-join."""
+    orders = load(spark, sf_dir, "orders")
+    done = orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    return (
+        orders.join(F.broadcast(done), "o_orderkey", "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+def status_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Success/failure counters (SURVEY §2.5 A2: tracker counts by status)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def finish_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invalid-finish-reason filter (SURVEY §2.3 F3: drop rows whose
+    finish_reason isin invalid set, base_online_request_processor.py:484-490)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(~F.col("event_type").isin("error", "signup") & F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+def union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union + dedup (SURVEY §2.6 O3 concatenate_datasets + O5 dropDuplicates)."""
+    orders = load(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_totalprice") > 100000).select("o_orderkey", "o_orderstatus")
+    b = orders.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_orderstatus")
+    return a.unionByName(b).dropDuplicates(["o_orderkey"]).orderBy("o_orderkey")
+
+
+def topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Limit/take (SURVEY §2.6 O2)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select("event_id", "value").orderBy(F.desc("value"), "event_id").limit(20)
+
+
+def running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-restoring / running aggregate (SURVEY §2.6 O1 + §2.5 A3 moving
+    average): per-user running sum, tie-broken on event_id for determinism."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn(
+            "running_value",
+            F.sum(F.col("value").cast(DEC)).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("double"),
+        )
+        .select("user_id", "event_id", "running_value")
+        .orderBy("user_id", "event_id")
+    )
+
+
+def error_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-N error sample (SURVEY §2.5 A5: first 10 error strings)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "props")
+        .orderBy("event_id")
+        .limit(10)
+    )
+
+
+def count_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Request/response count reconciliation (SURVEY §2.5 A6:
+    responses==requests per file): lineitem count per order vs order rows."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(F.count("*").alias("n_items"))
+    return (
+        orders.join(per_order, orders.o_orderkey == per_order.l_orderkey, "left")
+        .select(
+            "o_orderkey", F.coalesce(F.col("n_items"), F.lit(0)).alias("n_items")
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def chunk_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced chunking audit (SURVEY §2.6 O4: split into bounded
+    batches): hash-bucket rows md5-style and report per-bucket row counts —
+    the balance check behind salted repartitioning. Portable bucket id =
+    first 2 hex chars of md5(key)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("bucket", F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (streaming T4's batch shape; watermarked
+    streaming variant in curator_spark/streaming.py)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions (SURVEY §2.7: from_json/get_json_object ≙ the
+    reference's json.loads response parsing)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

