@@ -67,6 +67,11 @@ def main() -> None:
     shutil.rmtree(wh, ignore_errors=True)
     cfg = PipelineConfig(n_partitions=int(cpus) * 2, commit_batches=1)
     pipe = Pipeline(spark, ParquetCatalog(spark, wh), cfg)
+    # measure steady-state throughput: pay CPU-ramp + codegen + Python-worker
+    # cold-start outside the window (see curator_spark/warmup.py)
+    from curator_spark.warmup import warmup
+
+    warmup(spark, clips_path, cfg.rules)
     t0 = time.monotonic()
     pipe.run(clips_path)
     dt = time.monotonic() - t0

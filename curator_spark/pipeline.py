@@ -60,6 +60,7 @@ class RunResult:
     partitions_run: int = 0
     partitions_skipped: int = 0
     cached: bool = False
+    timings: dict[str, float] = field(default_factory=dict)  # step → seconds
 
 
 class Pipeline:
@@ -92,9 +93,11 @@ class Pipeline:
         (``tests/integrations/test_all.py:36-49``).
         """
         cfg = self.cfg
+        t0 = time.monotonic()
         fingerprint = cfg.fingerprint(dir_snapshot_id(input_path))
         done = self.committed_keys(fingerprint)
         res = RunResult(fingerprint=fingerprint)
+        res.timings["resume_scan"] = time.monotonic() - t0
 
         all_keys = set(range(cfg.n_partitions))
         if done >= all_keys:  # job-level cache hit (≙ F5 short-circuit)
@@ -126,13 +129,20 @@ class Pipeline:
             )
             self.catalog.overwrite_partitions(labeled, OUTPUT_TABLE, "part_key")
             wall_ms = int((time.monotonic() - t0) * 1000)
+            res.timings[f"write_g{g}"] = wall_ms / 1000
 
+            t1 = time.monotonic()
             rows_in = {
                 r["part_key"]: r["n"]
                 for r in df_g.groupBy("part_key").agg(F.count("*").alias("n")).collect()
             }
+            res.timings[f"rows_in_g{g}"] = time.monotonic() - t1
+            t1 = time.monotonic()
             self._commit_audit(fingerprint, missing, rows_in, wall_ms)
+            res.timings[f"audit_g{g}"] = time.monotonic() - t1
+            t1 = time.monotonic()
             self._commit_checkpoints(fingerprint, missing)
+            res.timings[f"checkpoint_g{g}"] = time.monotonic() - t1
 
             res.groups_run.append(g)
             res.partitions_run += len(missing)
@@ -145,10 +155,22 @@ class Pipeline:
     # -- commits -----------------------------------------------------------
 
     def _commit_checkpoints(self, fingerprint: str, keys: list[int]) -> None:
-        rows = [(fingerprint, int(k), "pipeline") for k in keys]
-        df = self.spark.createDataFrame(
-            rows, "run_fingerprint string, partition_key int, stage string"
-        ).withColumn("committed_at", F.current_timestamp())
+        import pandas as pd
+
+        # pandas input → Arrow-local plan: tiny commit jobs stay JVM-side
+        # (a list input would route through a per-job Python RDD worker)
+        pdf = pd.DataFrame(
+            {
+                "run_fingerprint": [fingerprint] * len(keys),
+                "partition_key": pd.array([int(k) for k in keys], dtype="int32"),
+                "stage": ["pipeline"] * len(keys),
+            }
+        )
+        df = (
+            self.spark.createDataFrame(pdf)
+            .withColumn("committed_at", F.current_timestamp())
+            .coalesce(1)  # driver-sized log append: one file, one task
+        )
         self.catalog.append(df, CHECKPOINT_TABLE)
 
     def _commit_audit(
@@ -180,6 +202,8 @@ class Pipeline:
             },
             "decide": lambda r: {"keep_rate": r["keep_rate"]},
         }
+        import pandas as pd
+
         rows = []
         for r in agg:
             k = r["part_key"]
@@ -196,11 +220,16 @@ class Pipeline:
                         {m: float(v) for m, v in stage_metrics[stage](r).items() if v is not None},
                     )
                 )
+        cols = [
+            "run_fingerprint", "partition_key", "stage", "rows_in",
+            "rows_out", "rows_error", "wall_ms", "metrics",
+        ]
+        # pandas input → Arrow-local plan (see _commit_checkpoints)
         df = self.spark.createDataFrame(
-            rows,
+            pd.DataFrame(rows, columns=cols),
             "run_fingerprint string, partition_key int, stage string, rows_in long, "
             "rows_out long, rows_error long, wall_ms long, metrics map<string,double>",
-        )
+        ).coalesce(1)  # driver-sized log append: one file, one task
         self.catalog.append(df, AUDIT_TABLE)
 
     # -- views -------------------------------------------------------------

@@ -53,7 +53,15 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        .config("spark.driver.memory", os.environ.get("CURATOR_SPARK_DRIVER_MEM", "48g"))
+        # Vectorized-reader batches are rows×row-size memory: the default
+        # 4096 rows × ~33 KB audio bytes ≈ 135 MB *per scan task* — 32 local
+        # tasks OOM a small heap instantly. 512 bounds scan memory to
+        # ~17 MB/task for clip-sized rows; at 100 TB the same bound holds
+        # per executor core regardless of table size.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        # NOTE: only honored when the JVM starts in-process (python jobs/...);
+        # under spark-submit pass --driver-memory explicitly.
+        .config("spark.driver.memory", os.environ.get("CURATOR_SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )

@@ -90,6 +90,50 @@ def score_stage(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_score, schema=schema)
 
 
+# ---------------------------------------------------- fused decode+score
+
+
+def decode_score_stage(df: DataFrame) -> DataFrame:
+    """decode + score in ONE ``mapInPandas`` pass.
+
+    Semantically identical to ``score_stage(decode_stage(df))`` (asserted by
+    tests/test_stage_parity.py) but physically one Arrow round-trip instead
+    of two: the audio ``bytes`` and the transcript cross the JVM→Python
+    boundary once, features come back once. At 100 TB the bytes column IS
+    the table, so halving Python-boundary traffic on the decode path is the
+    single biggest constant-factor lever after dropping ``bytes`` early.
+    """
+    out_cols = [c for c in df.columns if c != "bytes"]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema if f.name != "bytes"
+    )
+    schema = f"{schema}, {_DECODE_ADDED}, lang string, lang_conf double, ppl double"
+
+    def _decode_score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .scoring import audio as audio_scoring
+        from .scoring import langid, lm
+
+        for pdf in it:
+            feats = [
+                audio_scoring.decode_features(b, c, int(sr), int(d))
+                for b, c, sr, d in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["dur_ms"])
+            ]
+            texts = pdf["transcript"].tolist()
+            langs, confs = langid.score_batch(texts)
+            ppls = lm.ppl_batch(texts, langs)
+            out = pdf[out_cols].copy()
+            out["rms_db"] = np.array([f["rms_db"] for f in feats], dtype=np.float64)
+            out["silence_ratio"] = np.array([f["silence_ratio"] for f in feats], dtype=np.float64)
+            out["clip_ratio"] = np.array([f["clip_ratio"] for f in feats], dtype=np.float64)
+            out["decode_ok"] = [not np.isnan(f["rms_db"]) for f in feats]
+            out["lang"] = langs
+            out["lang_conf"] = confs
+            out["ppl"] = ppls
+            yield out
+
+    return df.mapInPandas(_decode_score, schema=schema)
+
+
 # ----------------------------------------------------------------- scrub
 
 
@@ -195,5 +239,5 @@ def decide_stage(df: DataFrame, t: RuleThresholds) -> DataFrame:
 
 
 def apply_all(df: DataFrame, t: RuleThresholds) -> DataFrame:
-    """decode → score → scrub → rules → decide."""
-    return decide_stage(rules_stage(scrub_stage(score_stage(decode_stage(df)))), t)
+    """decode+score (fused, one Python pass) → scrub → rules → decide."""
+    return decide_stage(rules_stage(scrub_stage(decode_score_stage(df))), t)

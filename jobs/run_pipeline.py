@@ -3,9 +3,12 @@
 Cluster launch (the BASELINE.json north-rule launch mode)::
 
     cd /root/repo && zip -qr /tmp/curator_spark.zip curator_spark
-    spark-submit --py-files /tmp/curator_spark.zip \
+    spark-submit --py-files /tmp/curator_spark.zip --driver-memory 8g \
         jobs/run_pipeline.py --input /path/clips --warehouse /path/wh \
         --n-partitions 4096 --commit-batches 16
+
+(``--driver-memory`` matters: configs set by the in-process builder are
+ignored once spark-submit has already launched the JVM.)
 
 Local two-cluster-size evidence run (bench_scaling.py drives this)::
 
@@ -29,6 +32,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-partitions", type=int, default=64)
     p.add_argument("--commit-batches", type=int, default=4)
     p.add_argument("--fresh", action="store_true", help="ignore existing checkpoints")
+    p.add_argument(
+        "--warmup",
+        action="store_true",
+        help="pay CPU-ramp/codegen/worker cold-start before the timed run "
+        "(benchmark mode; see curator_spark/warmup.py)",
+    )
     args = p.parse_args(argv)
 
     from curator_spark.catalog import ParquetCatalog
@@ -44,6 +53,11 @@ def main(argv: list[str] | None = None) -> int:
         shutil.rmtree(args.warehouse, ignore_errors=True)
     cat = ParquetCatalog(spark, args.warehouse)
     pipe = Pipeline(spark, cat, cfg)
+
+    if args.warmup:
+        from curator_spark.warmup import warmup
+
+        warmup(spark, args.input, cfg.rules)
 
     t0 = time.monotonic()
     res = pipe.run(args.input)

@@ -79,3 +79,24 @@ def test_scoring_invariant_to_partitioning(spark):
     )
     for col in ["keep", "lang", "lang_conf", "ppl", "scrubbed_transcript"]:
         assert (a[col] == b[col]).all(), col
+
+
+def test_fused_decode_score_equals_chained(spark):
+    """The fused single-pass decode+score stage (one Arrow round-trip) is
+    column-for-column identical to the chained decode→score stages."""
+    df = clips.generate_clips(spark, 120, 4)
+    fused = (
+        stages.decode_score_stage(df)
+        .toPandas().sort_values("clip_id").reset_index(drop=True)
+    )
+    chained = (
+        stages.score_stage(stages.decode_stage(df))
+        .toPandas().sort_values("clip_id").reset_index(drop=True)
+    )
+    assert list(fused.columns) == list(chained.columns)
+    for col in fused.columns:
+        a, b = fused[col].to_numpy(), chained[col].to_numpy()
+        if a.dtype.kind == "f":
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), col
+        else:
+            assert (a == b).all(), col

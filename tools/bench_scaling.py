@@ -33,6 +33,7 @@ def run_level(cores: int, clips_path: str, n_clips: int) -> dict:
             "--master", f"local[{cores}]",
             "--n-partitions", "64",
             "--commit-batches", "1",
+            "--warmup",
         ],
         capture_output=True, text=True, check=True, cwd=REPO,
         env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
