@@ -44,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from curator_spark.ops import dedup, relational, similarity, text
+    from curator_spark.ops import dedup, multimodal, relational, similarity, text
 
     return {
         # relational / engine-core operators (SURVEY.md §2)
@@ -61,6 +61,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_balance": relational.chunk_balance,
         "events_hourly": relational.events_hourly,
         "json_extract_props": relational.json_extract_props,
+        "fanout_tokens": relational.fanout_tokens,
+        "json_validate_filter": relational.json_validate_filter,
+        "dim_broadcast_join": relational.dim_broadcast_join,
+        "moving_avg_value": relational.moving_avg_value,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
@@ -77,6 +81,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": text.quality_scores,
         "doc_fingerprint": text.doc_fingerprint,
         "lang_distribution": text.lang_distribution,
+        "langid_docs": text.langid_docs,              # rows-only
+        # multimodal (binary column + batched decode UDF)
+        "audio_decode_features": multimodal.audio_decode_features,  # rows-only
     }
 
 
@@ -192,6 +199,38 @@ SELECT event_type, COUNT(*) AS n, SUM(CAST(json_extract_string(props, '$.k') AS 
 FROM events
 WHERE json_extract_string(props, '$.k') IS NOT NULL
 GROUP BY event_type ORDER BY event_type
+""",
+        "fanout_tokens": """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS words
+  FROM documents
+)
+SELECT doc_id, CAST(x.i - 1 AS INT) AS pos, words[CAST(x.i AS INT)] AS token
+FROM w, UNNEST(range(1, len(words)+1)) AS x(i)
+ORDER BY doc_id, pos
+""",
+        "json_validate_filter": """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+WHERE json_valid(props) AND json_extract_string(props, '$.k') IS NOT NULL
+ORDER BY event_id
+""",
+        "dim_broadcast_join": """
+SELECT r_name AS region, n_name AS nation, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY region, nation
+""",
+        "moving_avg_value": """
+SELECT user_id, event_id,
+  round(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+        / COUNT(value) OVER w, 6) AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
 """,
         "dedup_exact": """
 SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count

@@ -194,3 +194,67 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def fanout_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse fan-out (SURVEY §2.2 M4: one row → N rows via the parse
+    function, base_request_processor.py:346-359) — posexplode of the word
+    list; pure Catalyst Generate node, no Python."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " ", -1), lambda w: w != F.lit(""))
+    return (
+        docs.select("doc_id", F.posexplode(words).alias("pos", "token"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+def json_validate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-output validation (SURVEY §2.2 M5: JSON-parse + schema
+    validate, drop rows that fail — prompt_formatter.py:124-169):
+    ``from_json`` with an explicit schema, strict null filter."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.withColumn("j", F.from_json("props", "k int"))
+    return (
+        parsed.filter(F.col("j").isNotNull() & F.col("j.k").isNotNull())
+        .select("event_id", F.col("j.k").alias("k"))
+        .orderBy("event_id")
+    )
+
+
+def dim_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build+probe rejoin with broadcast dims (SURVEY §2.4 J1: the batch
+    response↔request hash join, base_batch_request_processor.py:461-477).
+    Two chained broadcast joins — .explain shows BroadcastHashJoin, no
+    shuffle of the fact side."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("sum_acctbal"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+def moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded moving average (SURVEY §2.5 A3: deque(50) moving average of
+    completion tokens, base_online_request_processor.py:34,89): 50-row
+    trailing window per user, decimal-exact then rounded for cross-engine
+    hash equality."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-49, 0)
+    mavg = (
+        F.sum(F.col("value").cast(DEC)).over(w) / F.count("value").over(w)
+    ).cast("double")
+    return (
+        ev.withColumn("moving_avg", F.round(mavg, 6))
+        .select("user_id", "event_id", "moving_avg")
+        .orderBy("user_id", "event_id")
+    )

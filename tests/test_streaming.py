@@ -1,0 +1,74 @@
+"""Structured Streaming face: exactly-once file-stream curation + windowed
+rollup. Streaming labels must be bit-identical to the batch stages — the
+same guarantee the reference's batch resume gives (SURVEY §2.8 T4)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from curator_spark import stages, streaming
+from curator_spark.config import PipelineConfig
+from curator_spark.synth import clips
+
+N = 240
+
+
+def _land_clips(spark, path: str, n: int, files: int) -> None:
+    clips.generate_clips(spark, n, files).repartition(files).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def test_stream_pipeline_matches_batch(spark, workdir):
+    cfg = PipelineConfig(n_partitions=8)
+    inp = os.path.join(workdir, "landing")
+    out = os.path.join(workdir, "labeled")
+    ckpt = os.path.join(workdir, "ckpt")
+    _land_clips(spark, inp, N, 4)
+
+    q = streaming.stream_pipeline(spark, inp, out, ckpt, cfg, max_files_per_trigger=2)
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        stages.apply_all(
+            spark.read.parquet(inp).withColumn(
+                "part_key", F.pmod(F.xxhash64("clip_id"), F.lit(8)).cast("int")
+            ),
+            cfg.rules,
+        )
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == N
+    for col in ["keep", "lang", "ppl", "scrubbed_transcript"]:
+        assert (got[col] == want[col]).all(), col
+
+
+def test_stream_pipeline_exactly_once_on_restart(spark, workdir):
+    """Restarting the query over the same checkpoint must not rescore
+    already-processed files; new files are picked up incrementally."""
+    cfg = PipelineConfig(n_partitions=8)
+    inp = os.path.join(workdir, "landing")
+    out = os.path.join(workdir, "labeled")
+    ckpt = os.path.join(workdir, "ckpt")
+    _land_clips(spark, inp, N, 4)
+
+    q = streaming.stream_pipeline(spark, inp, out, ckpt, cfg)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == N
+
+    # restart with no new files → no duplicates
+    q = streaming.stream_pipeline(spark, inp, out, ckpt, cfg)
+    q.awaitTermination(120)
+    df = spark.read.parquet(out)
+    assert df.count() == N
+    assert df.select("clip_id").distinct().count() == N
