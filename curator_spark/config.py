@@ -48,6 +48,15 @@ class PipelineConfig:
     n_partitions: int = 64        # logical partition keys (checkpoint grain)
     commit_batches: int = 4       # partition groups committed independently
     stages: tuple[str, ...] = ("decode", "langid", "ppl", "rules", "scrub", "decide")
+    # physical scan strategy for the byte-heavy decode stage:
+    #   auto     — "column" when the input already carries part_key
+    #              (pre-partitioned layout → pruned reads), else "manifest"
+    #   manifest — driver plans (file, row_group) splits, Python workers
+    #              read them directly with pyarrow (bytes never cross the
+    #              JVM→Python socket; zero read amplification per group)
+    #   column   — plain DataFrame scan + Arrow ship (always correct;
+    #              needed when the input is not a parquet directory)
+    scan_mode: str = "auto"
 
     def canonical_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True, separators=(",", ":"))

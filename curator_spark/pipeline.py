@@ -41,6 +41,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import manifest as manifest_mod
 from . import stages
 from .catalog import ParquetCatalog, dir_snapshot_id
 from .config import PipelineConfig
@@ -61,6 +62,7 @@ class RunResult:
     partitions_skipped: int = 0
     cached: bool = False
     timings: dict[str, float] = field(default_factory=dict)  # step → seconds
+    scan_mode: str = ""  # resolved physical scan strategy
 
 
 class Pipeline:
@@ -105,9 +107,33 @@ class Pipeline:
             res.partitions_skipped = len(all_keys)
             return res
 
-        base = self.spark.read.parquet(input_path).withColumn(
-            "part_key", F.pmod(F.xxhash64("clip_id"), F.lit(cfg.n_partitions)).cast("int")
-        )
+        raw = self.spark.read.parquet(input_path)
+        mode = cfg.scan_mode
+        if mode == "auto":
+            mode = "column" if "part_key" in raw.columns else "manifest"
+        res.scan_mode = mode
+
+        man = None
+        if mode == "manifest":
+            # driver-side split planning (≙ Iceberg manifest scan): each
+            # commit group reads exactly its own files, and the audio bytes
+            # are read by the Python workers directly — see manifest.py.
+            t1 = time.monotonic()
+            man = manifest_mod.build_manifest(input_path, cfg.n_partitions)
+            res.timings["plan_manifest"] = time.monotonic() - t1
+            base = None
+        elif "part_key" in raw.columns:
+            # input laid out by part_key (hive-partitioned parquet / Iceberg
+            # bucket partition): the per-group isin() filter below becomes
+            # *partition pruning* — each group reads only its own files.
+            # Without one of these two pruned paths, G commit groups re-scan
+            # the full table G times (1.6 PB of reads for a 100 TB table at
+            # G=16).
+            base = raw
+        else:
+            base = raw.withColumn(
+                "part_key", F.pmod(F.xxhash64("clip_id"), F.lit(cfg.n_partitions)).cast("int")
+            )
 
         groups_done = 0
         for g in range(cfg.commit_batches):
@@ -119,23 +145,40 @@ class Pipeline:
                 continue
 
             t0 = time.monotonic()
-            df_g = base.filter(F.col("part_key").isin(missing))
-            labeled = stages.apply_all(df_g, cfg.rules)
-            # align file layout with part_key (bytes already dropped by
-            # decode, so this shuffle is text+floats only)
-            labeled = labeled.repartition(
-                max(1, min(len(missing), self.spark.sparkContext.defaultParallelism)),
-                "part_key",
-            )
-            self.catalog.overwrite_partitions(labeled, OUTPUT_TABLE, "part_key")
+            if man is not None:
+                splits_g = man.splits[man.splits["part_key"].isin(missing)]
+                rows_in = {k: man.rows_per_key[k] for k in missing}
+                labeled = (
+                    stages.catalyst_suffix(
+                        manifest_mod.decode_score_splits(self.spark, splits_g), cfg.rules
+                    )
+                    if len(splits_g)
+                    else None
+                )
+            else:
+                df_g = base.filter(F.col("part_key").isin(missing))
+                rows_in = None  # counted after the write (input-side scan)
+                labeled = stages.apply_all(df_g, cfg.rules)
+            if labeled is not None:
+                if man is None:
+                    # align file layout with part_key (bytes already dropped
+                    # by decode, so this shuffle is text+floats only)
+                    labeled = labeled.repartition(
+                        max(1, min(len(missing), self.spark.sparkContext.defaultParallelism)),
+                        "part_key",
+                    )
+                # manifest mode: splits are already clustered by part_key —
+                # the partitioned write is shuffle-free
+                self.catalog.overwrite_partitions(labeled, OUTPUT_TABLE, "part_key")
             wall_ms = int((time.monotonic() - t0) * 1000)
             res.timings[f"write_g{g}"] = wall_ms / 1000
 
             t1 = time.monotonic()
-            rows_in = {
-                r["part_key"]: r["n"]
-                for r in df_g.groupBy("part_key").agg(F.count("*").alias("n")).collect()
-            }
+            if rows_in is None:
+                rows_in = {
+                    r["part_key"]: r["n"]
+                    for r in df_g.groupBy("part_key").agg(F.count("*").alias("n")).collect()
+                }
             res.timings[f"rows_in_g{g}"] = time.monotonic() - t1
             t1 = time.monotonic()
             self._commit_audit(fingerprint, missing, rows_in, wall_ms)
@@ -177,9 +220,14 @@ class Pipeline:
         self, fingerprint: str, keys: list[int], rows_in: dict[int, int], wall_ms: int
     ) -> None:
         """Per-(partition, stage) lineage rows, derived from the committed
-        output (so audit reflects what was actually written)."""
-        out = self.catalog.read(OUTPUT_TABLE).filter(F.col("part_key").isin(list(keys)))
-        agg = (
+        output (so audit reflects what was actually written). Keys with no
+        input rows (possible in manifest mode when files < keys) get
+        zero-count rows — trivially complete."""
+        if self.catalog.exists(OUTPUT_TABLE):
+            out = self.catalog.read(OUTPUT_TABLE).filter(F.col("part_key").isin(list(keys)))
+        else:  # every key in this group was empty
+            out = None
+        agg = [] if out is None else (
             out.groupBy("part_key")
             .agg(
                 F.count("*").alias("rows_out"),
@@ -205,8 +253,10 @@ class Pipeline:
         import pandas as pd
 
         rows = []
+        seen = set()
         for r in agg:
             k = r["part_key"]
+            seen.add(int(k))
             for stage in AUDIT_STAGES:
                 rows.append(
                     (
@@ -220,6 +270,10 @@ class Pipeline:
                         {m: float(v) for m, v in stage_metrics[stage](r).items() if v is not None},
                     )
                 )
+        for k in keys:  # empty keys: zero-count lineage rows
+            if int(k) not in seen:
+                for stage in AUDIT_STAGES:
+                    rows.append((fingerprint, int(k), stage, 0, 0, 0, wall_ms, {}))
         cols = [
             "run_fingerprint", "partition_key", "stage", "rows_in",
             "rows_out", "rows_error", "wall_ms", "metrics",

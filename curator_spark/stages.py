@@ -110,28 +110,38 @@ def decode_score_stage(df: DataFrame) -> DataFrame:
     schema = f"{schema}, {_DECODE_ADDED}, lang string, lang_conf double, ppl double"
 
     def _decode_score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .scoring import audio as audio_scoring
-        from .scoring import langid, lm
-
         for pdf in it:
-            feats = [
-                audio_scoring.decode_features(b, c, int(sr), int(d))
-                for b, c, sr, d in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["dur_ms"])
-            ]
-            texts = pdf["transcript"].tolist()
-            langs, confs = langid.score_batch(texts)
-            ppls = lm.ppl_batch(texts, langs)
-            out = pdf[out_cols].copy()
-            out["rms_db"] = np.array([f["rms_db"] for f in feats], dtype=np.float64)
-            out["silence_ratio"] = np.array([f["silence_ratio"] for f in feats], dtype=np.float64)
-            out["clip_ratio"] = np.array([f["clip_ratio"] for f in feats], dtype=np.float64)
-            out["decode_ok"] = [not np.isnan(f["rms_db"]) for f in feats]
-            out["lang"] = langs
-            out["lang_conf"] = confs
-            out["ppl"] = ppls
-            yield out
+            yield score_clip_pdf(pdf, out_cols)
 
     return df.mapInPandas(_decode_score, schema=schema)
+
+
+def score_clip_pdf(pdf: pd.DataFrame, out_cols: list[str]) -> pd.DataFrame:
+    """Decode + langid + perplexity over one pandas batch of clip rows.
+
+    Pure function of the rows (models are process-level singletons), shared
+    by the column-scan stage above and the manifest scan
+    (:mod:`curator_spark.manifest`), so both physical paths produce
+    bit-identical scores."""
+    from .scoring import audio as audio_scoring
+    from .scoring import langid, lm
+
+    feats = [
+        audio_scoring.decode_features(b, c, int(sr), int(d))
+        for b, c, sr, d in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["dur_ms"])
+    ]
+    texts = pdf["transcript"].tolist()
+    langs, confs = langid.score_batch(texts)
+    ppls = lm.ppl_batch(texts, langs)
+    out = pdf[out_cols].copy()
+    out["rms_db"] = np.array([f["rms_db"] for f in feats], dtype=np.float64)
+    out["silence_ratio"] = np.array([f["silence_ratio"] for f in feats], dtype=np.float64)
+    out["clip_ratio"] = np.array([f["clip_ratio"] for f in feats], dtype=np.float64)
+    out["decode_ok"] = [not np.isnan(f["rms_db"]) for f in feats]
+    out["lang"] = langs
+    out["lang_conf"] = confs
+    out["ppl"] = ppls
+    return out
 
 
 # ----------------------------------------------------------------- scrub
@@ -238,6 +248,12 @@ def decide_stage(df: DataFrame, t: RuleThresholds) -> DataFrame:
     return df.withColumn("keep", keep).withColumn("reasons", reasons)
 
 
+def catalyst_suffix(df: DataFrame, t: RuleThresholds) -> DataFrame:
+    """scrub → rules → decide — the pure-Catalyst tail, shared by the
+    column-scan, manifest-scan, and streaming paths."""
+    return decide_stage(rules_stage(scrub_stage(df)), t)
+
+
 def apply_all(df: DataFrame, t: RuleThresholds) -> DataFrame:
     """decode+score (fused, one Python pass) → scrub → rules → decide."""
-    return decide_stage(rules_stage(scrub_stage(decode_score_stage(df))), t)
+    return catalyst_suffix(decode_score_stage(df), t)

@@ -55,7 +55,11 @@ def warmup(spark: SparkSession, input_path: str, rules, n_rows: int = 2000) -> N
 
     _cpu_burn(os.cpu_count() or 8)
 
-    base = spark.read.parquet(input_path).limit(n_rows)
+    par = spark.sparkContext.defaultParallelism
+    # one warm task PER core: a limit() slice runs as a single task and
+    # would leave every other Python worker cold (pyspark+pandas imports +
+    # scoring-model build ≈ tens of seconds each inside the timed run)
+    base = spark.read.parquet(input_path).limit(n_rows).repartition(par)
     base = base.withColumn("part_key", F.pmod(F.xxhash64("clip_id"), F.lit(8)).cast("int"))
     labeled = stages.apply_all(base, rules)
     tmp = tempfile.mkdtemp(prefix="curator_warmup_")

@@ -112,3 +112,42 @@ def test_audit_reconciliation_and_output(env):
     assert (got["scrubbed_transcript"] == gold["scrubbed_transcript"]).all()
     # kept view row count
     assert pipe.kept().count() == int(gold["keep"].sum())
+
+
+def test_prepartitioned_input_prunes_and_matches(spark, workdir):
+    """Inputs already laid out by part_key (hive parquet / Iceberg bucket
+    partition) must (a) be read with real partition pruning per commit
+    group — no full-table re-scan per group — and (b) produce identical
+    labels to the computed-key path."""
+    inp = os.path.join(workdir, "clips_flat")
+    clips.write_clips(spark, N, inp)
+    cfg = PipelineConfig(n_partitions=16, commit_batches=4)
+
+    # re-lay the same clips out hive-partitioned by part_key
+    part_inp = os.path.join(workdir, "clips_by_key")
+    (
+        spark.read.parquet(inp)
+        .withColumn("part_key", F.pmod(F.xxhash64("clip_id"), F.lit(16)).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("part_key")
+        .parquet(part_inp)
+    )
+
+    # (a) pruning: a one-group filter over the partitioned layout shows a
+    # partition filter and scans only that group's files
+    pruned = spark.read.parquet(part_inp).filter(F.col("part_key").isin([0, 4, 8, 12]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part_key" in plan.split("PartitionFilters")[1][:200]
+
+    # (b) same labels via the pipeline
+    cat_a = ParquetCatalog(spark, os.path.join(workdir, "wh_flat"))
+    cat_b = ParquetCatalog(spark, os.path.join(workdir, "wh_part"))
+    Pipeline(spark, cat_a, cfg).run(inp)
+    res = Pipeline(spark, cat_b, cfg).run(part_inp)
+    assert res.partitions_run == cfg.n_partitions
+
+    a = {r["clip_id"]: (r["keep"], r["scrubbed_transcript"])
+         for r in cat_a.read("clips_labeled").collect()}
+    b = {r["clip_id"]: (r["keep"], r["scrubbed_transcript"])
+         for r in cat_b.read("clips_labeled").collect()}
+    assert a == b

@@ -100,3 +100,68 @@ def test_fused_decode_score_equals_chained(spark):
             assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), col
         else:
             assert (a == b).all(), col
+
+
+def test_manifest_scan_equals_column_scan(spark, tmp_path):
+    """The Python-native manifest scan (pyarrow row-group reads inside the
+    workers) must produce bit-identical scores to the column scan that
+    ships bytes through the JVM Arrow path."""
+    from curator_spark import manifest as M
+
+    inp = str(tmp_path / "clips")
+    clips.write_clips(spark, 200, inp)
+
+    man = M.build_manifest(inp, 16)
+    assert sum(man.rows_per_key.values()) == 200
+    got = (
+        M.decode_score_splits(spark, man.splits)
+        .drop("part_key")
+        .toPandas().sort_values("clip_id").reset_index(drop=True)
+    )
+    want = (
+        stages.decode_score_stage(spark.read.parquet(inp))
+        .toPandas().sort_values("clip_id").reset_index(drop=True)
+    )
+    assert sorted(got.columns) == sorted(want.columns)
+    for col in want.columns:
+        a, b = got[col].to_numpy(), want[col].to_numpy()
+        if a.dtype.kind == "f":
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), col
+        else:
+            assert (a == b).all(), col
+
+
+def test_manifest_lpt_balances_skewed_files(spark, tmp_path):
+    """LPT assignment keeps per-key byte loads balanced under a skewed
+    file-size distribution (the straggler-avoidance property)."""
+    import pyarrow.parquet as pq
+
+    from curator_spark import manifest as M
+
+    inp = str(tmp_path / "skewed")
+    # skewed layout: one big file + many small ones
+    clips.generate_clips(spark, 300, 2).coalesce(1).write.parquet(inp + "/big")
+    clips.generate_clips(spark, 100, 8).repartition(8).write.parquet(inp + "/small")
+
+    man = M.build_manifest(inp, 4)
+    sizes = dict.fromkeys(range(4), 0)
+    for path, grp in man.splits.groupby("path"):
+        meta = pq.ParquetFile(path).metadata
+        nbytes = sum(meta.row_group(g).total_byte_size for g in range(meta.num_row_groups))
+        sizes[int(grp["part_key"].iloc[0])] += nbytes
+    per_file = {}
+    for path, grp in man.splits.groupby("path"):
+        meta = pq.ParquetFile(path).metadata
+        per_file[path] = sum(
+            meta.row_group(g).total_byte_size for g in range(meta.num_row_groups)
+        )
+    loads = sorted(sizes.values())
+    mean = sum(loads) / len(loads)
+    # classic LPT bound: max load <= mean + largest indivisible item
+    assert loads[-1] <= mean + max(per_file.values())
+    # the one oversized file monopolizes its key; the small files spread
+    # across the remaining keys instead of piling onto it
+    big_key = {int(grp["part_key"].iloc[0]) for path, grp in man.splits.groupby("path")
+               if per_file[path] == max(per_file.values())}.pop()
+    assert man.splits.groupby("part_key")["path"].nunique()[big_key] == 1
+    assert sum(man.rows_per_key.values()) == 400
