@@ -88,22 +88,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    n_hashes, band = 8, 2
+    from curator_spark.ops.dedup import M32, MINHASH_COEFFS
+
+    n_hashes, band, shk = 16, 4, 5
+    # one md5 per shingle → 32-bit x; family j is the multiply-mod
+    # permutation (a_j*x + b_j) mod 2^32 (mirrors curator_spark/ops/dedup.py)
     mh_cols = ",\n    ".join(
-        "list_min(list_transform(range(1, greatest(length(text)-2,1)+1), "
-        f"i -> md5('{j}|' || substring(text, i, 3)))) AS mh{j}"
-        for j in range(n_hashes)
+        f"list_min(list_transform(xs, x -> ({a} * x + {b}) % {M32})) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
     )
     band_cols = ",\n    ".join(
-        "md5(" + " || '|' || ".join(f"mh{j}" for j in range(b * band, (b + 1) * band)) + f") AS band{b}"
+        "md5(" + " || '|' || ".join(f"CAST(mh{j} AS VARCHAR)" for j in range(b * band, (b + 1) * band))
+        + f") AS band{b}"
         for b in range(n_hashes // band)
     )
-    sig_concat = " || ".join(f"mh{j}" for j in range(n_hashes))
+    sig_concat = " || ',' || ".join(f"CAST(mh{j} AS VARCHAR)" for j in range(n_hashes))
     minhash_base = f"""
-WITH sig AS (
+WITH harr AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(length(text)-{shk - 1},1)+1),
+                   i -> CAST(('0x' || substring(md5(substring(text, CAST(i AS INT), {shk})), 1, 8)) AS BIGINT)) AS xs
+  FROM documents
+), sig AS (
   SELECT doc_id,
     {mh_cols}
-  FROM documents
+  FROM harr
 ), sigb AS (
   SELECT doc_id, {sig_concat} AS signature,
     {band_cols}

@@ -25,8 +25,12 @@ from pyspark.sql import functions as F
 
 from . import load
 
-N_HASHES = 8
-BAND_SIZE = 2  # 4 bands of 2 → catches jaccard ≳ 0.5 pairs
+N_HASHES = 16
+BAND_SIZE = 4   # 4 bands of 4 → collision prob 1-(1-s^4)^4: steep around
+SHINGLE_K = 5   # jaccard~0.7 over 5-char shingles — the near-dup regime.
+# Looser settings (8 hashes, bands of 2, 3-char shingles) made ~half of
+# ALL pairs collide on homogeneous corpora: an O(n^2) bucket self-join
+# that cannot survive web scale.
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,26 +46,52 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_cols(k: int = 3) -> list:
-    """N_HASHES minhash columns over char-3-shingles of ``text``.
+M32 = 1 << 32
 
-    minhash_j = min over shingles of md5('<j>|' + shingle) — string-min over
-    hex digests, identical semantics in Spark and DuckDB.
-    """
+
+def _minhash_coeffs() -> list[tuple[int, int]]:
+    """Deterministic (a, b) per hash family for the multiply-mod
+    permutation ``h_j(x) = (a_j*x + b_j) mod 2^32`` (a_j odd). One md5 per
+    shingle gives the 32-bit base hash x; the j families are decorrelated
+    (a Kirsch-Mitzenmacher h1+j*h2 family shares its argmin across large j
+    → band collisions explode on near-dup-rich corpora)."""
+    rng = np.random.RandomState(1234567)
+    return [
+        (int(rng.randint(1, 1 << 30)) * 2 + 1, int(rng.randint(0, 1 << 31)))
+        for _ in range(N_HASHES)
+    ]
+
+
+MINHASH_COEFFS = _minhash_coeffs()
+
+
+def _hash_arrays(df: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """+ xs: one md5 per char-k-shingle, first 8 hex chars as a 32-bit int.
+    Materialized as one column; the N_HASHES minhash families are cheap
+    integer permutations of it (no per-family digest)."""
     text = F.col("text")
     idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1)))
-    def mk(j: int):
-        # closure factory — a default-arg lambda would make PySpark treat
-        # the extra parameter as the transform() index argument
-        return lambda i: F.md5(F.concat(F.lit(f"{j}|"), F.substring(text, i, k)))
+    sh = F.transform(
+        idx, lambda i: F.conv(F.substring(F.md5(F.substring(text, i, k)), 1, 8), 16, 10).cast("long")
+    )
+    return df.select("*", sh.alias("xs"))
 
-    return [F.array_min(F.transform(idx, mk(j))).alias(f"mh{j}") for j in range(N_HASHES)]
+
+def _minhash_cols() -> list:
+    """minhash_j = min over shingles of (a_j*x + b_j) mod 2^32; products
+    < 2^63, exact in int64 on both engines."""
+    return [
+        F.array_min(
+            F.transform("xs", lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(M32)))
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature (concatenated) + LSH band keys."""
     docs = load(spark, sf_dir, "documents")
-    sig = docs.select("doc_id", *_minhash_cols())
+    sig = _hash_arrays(docs).select("doc_id", *_minhash_cols())
     bands = [
         F.md5(
             F.concat_ws("|", *[F.col(f"mh{j}") for j in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)])
@@ -70,7 +100,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return sig.select(
         "doc_id",
-        F.concat_ws("", *[F.col(f"mh{j}") for j in range(N_HASHES)]).alias("signature"),
+        F.concat_ws(",", *[F.col(f"mh{j}") for j in range(N_HASHES)]).alias("signature"),
         *bands,
     ).orderBy("doc_id")
 
