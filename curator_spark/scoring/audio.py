@@ -56,7 +56,10 @@ def decode_features(blob: bytes, codec: str, sr_hz: int, dur_ms: int) -> dict[st
     """decode → features → drop PCM. One call per row inside an Arrow batch;
     PCM (up to ~100x the encoded bytes) never persists past the call."""
     try:
-        pcm = decode(blob, codec, sr_hz)
-    except (ValueError, NotImplementedError):
+        pcm = decode(bytes(blob), codec, sr_hz)
+    except Exception:  # noqa: BLE001 - quarantine semantics: ANY malformed
+        # payload (truncated chunk → struct.error, bad header → ValueError,
+        # unknown codec → NotImplementedError) must mark the row, never kill
+        # the task (≙ per-row retry→failure path, SURVEY §2.8 T2)
         return {"rms_db": float("nan"), "silence_ratio": 1.0, "clip_ratio": 1.0, "dur_err_ms": 1e9}
     return features(pcm, sr_hz, dur_ms)

@@ -151,3 +151,40 @@ def test_prepartitioned_input_prunes_and_matches(spark, workdir):
     b = {r["clip_id"]: (r["keep"], r["scrubbed_transcript"])
          for r in cat_b.read("clips_labeled").collect()}
     assert a == b
+
+
+def test_corrupt_audio_quarantined_not_fatal(spark, workdir):
+    """Malformed audio payloads (truncated WAV chunks, garbage, unknown
+    codec) must be quarantined — keep=false with an audio reason, counted
+    in audit rows_error — never kill the task (≙ the reference's bounded
+    retry → permanent-failure path, SURVEY §2.8 T2)."""
+    import pandas as pd
+
+    inp = os.path.join(workdir, "clips_bad")
+    good = clips.clips_pandas(20)
+    bad = pd.DataFrame(
+        [
+            {"clip_id": "bad_trunc", "bytes": b"RIFF\x00\x00\x00\x00WAVEfmt \x20\x00\x00\x00",
+             "sr_hz": 16000, "dur_ms": 500, "codec": "pcm_s16le", "transcript": "truncated chunk"},
+            {"clip_id": "bad_garbage", "bytes": b"not audio at all",
+             "sr_hz": 16000, "dur_ms": 500, "codec": "pcm_s16le", "transcript": "garbage"},
+            {"clip_id": "bad_codec", "bytes": b"\x00\x01\x02",
+             "sr_hz": 44100, "dur_ms": 500, "codec": "mp3", "transcript": "unsupported codec"},
+        ]
+    )
+    spark.createDataFrame(pd.concat([good, bad], ignore_index=True)).write.parquet(inp)
+
+    cfg = PipelineConfig(n_partitions=4, commit_batches=2)
+    cat = ParquetCatalog(spark, os.path.join(workdir, "wh_bad"))
+    res = Pipeline(spark, cat, cfg).run(inp)
+    assert res.partitions_run == 4
+
+    out = {r["clip_id"]: r for r in cat.read("clips_labeled").collect()}
+    assert len(out) == 23
+    for cid in ("bad_trunc", "bad_garbage", "bad_codec"):
+        assert out[cid]["decode_ok"] is False
+        assert out[cid]["keep"] is False
+        assert "audio_rms" in out[cid]["reasons"]
+    aud = cat.read("audit")
+    n_err = aud.filter(F.col("stage") == "decode").agg(F.sum("rows_error")).head()[0]
+    assert n_err == 3
