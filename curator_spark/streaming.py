@@ -68,7 +68,7 @@ def stream_pipeline(
                 F.pmod(F.xxhash64("clip_id"), F.lit(cfg.n_partitions)).cast("int"),
             ),
             cfg.rules,
-        )
+        ).withColumn("ingest_ts", F.current_timestamp())  # arrival-time lineage
         (
             labeled.write.mode("append")
             .partitionBy("part_key")
@@ -88,17 +88,23 @@ def stream_hourly_metrics(
     labeled_dir: str,
     checkpoint_dir: str,
     watermark: str = "2 hours",
+    query_name: str = "hourly_metrics",
 ):
-    """Watermarked tumbling-window keep-rate rollup over the labeled stream.
+    """Watermarked tumbling-window keep-rate rollup over the labeled stream
+    written by :func:`stream_pipeline` (which stamps ``ingest_ts``).
 
-    Emits (window, lang, n, keep_rate) in update mode to an in-memory sink
-    named ``hourly_metrics`` (tests read it back with spark.sql). Late
-    clips beyond the watermark are dropped — the bounded-state guarantee
-    that makes this runnable forever at 10^12-clip scale.
+    ``update`` output mode: every triggered micro-batch emits the windows it
+    changed, so a one-shot ``availableNow`` drain produces rows even for
+    windows the watermark has not closed yet (``append`` would hold them
+    back until a later batch advances the watermark). The watermark still
+    bounds state: windows older than it are dropped from the store — the
+    guarantee that makes this runnable forever at 10^12-clip scale.
+    Results land in the in-memory table ``query_name``.
     """
     src = (
         spark.readStream.schema(
-            CLIPS_SCHEMA + ", keep boolean, ingest_ts timestamp"
+            "clip_id string, sr_hz int, dur_ms int, codec string, "
+            "transcript string, keep boolean, ingest_ts timestamp"
         )
         .parquet(labeled_dir)
         .withWatermark("ingest_ts", watermark)
@@ -116,9 +122,9 @@ def stream_hourly_metrics(
         )
     )
     return (
-        agg.writeStream.outputMode("append")
+        agg.writeStream.outputMode("update")
         .format("memory")
-        .queryName("hourly_metrics")
+        .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

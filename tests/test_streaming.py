@@ -72,3 +72,25 @@ def test_stream_pipeline_exactly_once_on_restart(spark, workdir):
     df = spark.read.parquet(out)
     assert df.count() == N
     assert df.select("clip_id").distinct().count() == N
+
+
+def test_stream_hourly_metrics(spark, workdir):
+    cfg = PipelineConfig(n_partitions=8)
+    inp = os.path.join(workdir, "landing")
+    out = os.path.join(workdir, "labeled")
+    _land_clips(spark, inp, N, 4)
+    q = streaming.stream_pipeline(spark, inp, out, os.path.join(workdir, "ck1"), cfg)
+    q.awaitTermination(120)
+
+    q2 = streaming.stream_hourly_metrics(
+        spark, out, os.path.join(workdir, "ck2"), query_name="hm_test"
+    )
+    q2.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hm_test").collect()
+    assert sum(r["n"] for r in rows) == N
+    batch_keep_rate = (
+        spark.read.parquet(out).agg(F.avg(F.col("keep").cast("double"))).head()[0]
+    )
+    total = sum(r["n"] for r in rows)
+    stream_rate = sum(r["keep_rate"] * r["n"] for r in rows) / total
+    assert abs(stream_rate - batch_keep_rate) < 1e-9
