@@ -1,0 +1,130 @@
+"""Generic user-defined map stages — the reference's ``LLM`` / ``CodeExecutor``
+surface re-expressed Spark-first.
+
+Reference semantics being reproduced (SURVEY.md §2.2, §2.9):
+
+- ``LLM.prompt(row)`` / ``LLM.parse(row, resp)`` — user functions mapped over
+  every row, with per-row bounded retry and permanent-failure quarantine
+  (``base_online_request_processor.py:455-544``), fan-out parse (1 row → N
+  rows, ``base_request_processor.py:346-359``), structured-output schema
+  enforcement (``prompt_formatter.py:124-169``), and order restoration via
+  ``__original_row_idx`` (``base_request_processor.py:469-475``).
+- ``CodeExecutor`` — the same lifecycle around an arbitrary per-row
+  executor (``code_executor/code_executor.py:99-181``).
+
+Spark mapping: the user supplies a **vectorized** function over pandas
+batches (never per-row Python at the API boundary — input_hint mandate);
+``VectorMap`` wraps it in ``mapInPandas`` with:
+
+- bounded batch-level retry, then per-row isolation retry: a failing batch
+  is re-tried whole ``retries`` times, then split row-by-row so only the
+  truly-poisoned rows are quarantined (``_error`` column set, all output
+  columns null) — the Spark analog of per-request retry→failure.
+- fan-out: the user fn may return MORE or FEWER rows than it received, but
+  must carry ``row_key`` through so lineage joins stay possible (explode ≙
+  parse returning a list).
+- deterministic output: stages must be pure functions of the batch; order
+  restoration is a terminal ``orderBy(row_key)``, applied only at export
+  just like the reference's final sort.
+
+The caching/fingerprint/resume lifecycle for these stages is the same
+:class:`curator_spark.pipeline.Pipeline` machinery (run fingerprints ≙
+``llm/llm.py:139-164``); ``fingerprint_fn`` hashes the user function's
+source exactly like the reference pickles+hashes ``prompt``/``parse``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def fingerprint_fn(*fns: Callable) -> str:
+    """Content identity of user code (≙ xxh64 over function source,
+    ``llm/llm.py:146-151``): same source ⇒ same stage fingerprint."""
+    h = hashlib.blake2b(digest_size=16)
+    for fn in fns:
+        try:
+            h.update(inspect.getsource(fn).encode())
+        except (OSError, TypeError):  # builtins / lambdas from REPL
+            h.update(repr(fn).encode())
+    return h.hexdigest()
+
+
+@dataclass(frozen=True)
+class VectorMap:
+    """A named, retry-wrapped vectorized map stage.
+
+    ``fn(pdf) -> pdf`` over pandas batches; ``out_schema`` is the full
+    output schema DDL **excluding** the ``_error`` column (added
+    automatically, null = success). ``key`` must be a column the user fn
+    preserves (lineage / order restoration).
+    """
+
+    name: str
+    fn: Callable[[pd.DataFrame], pd.DataFrame]
+    out_schema: str
+    key: str = "row_key"
+    retries: int = 2
+
+    @property
+    def fingerprint(self) -> str:
+        return fingerprint_fn(self.fn)
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        fn, key, retries = self.fn, self.key, self.retries
+        schema = f"{self.out_schema}, _error string"
+        out_cols = [c.strip().split(" ")[0] for c in self.out_schema.split(",")]
+
+        def _apply(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                yield _run_batch(pdf, fn, key, out_cols, retries)
+
+        return df.mapInPandas(_apply, schema=schema)
+
+
+def _quarantine(pdf: pd.DataFrame, key: str, out_cols: list[str], err: str) -> pd.DataFrame:
+    out = pd.DataFrame({c: [None] * len(pdf) for c in out_cols})
+    if key in pdf.columns:
+        out[key] = list(pdf[key])
+    out["_error"] = [err] * len(pdf)
+    return out
+
+
+def _run_batch(
+    pdf: pd.DataFrame,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    key: str,
+    out_cols: list[str],
+    retries: int,
+) -> pd.DataFrame:
+    last_err = None
+    for _ in range(max(1, retries)):
+        try:
+            out = fn(pdf.copy())
+            out = out[[c for c in out_cols if c in out.columns]].copy()
+            out["_error"] = None
+            return out
+        except Exception as e:  # noqa: BLE001 - bounded retry then isolate
+            last_err = e
+    if len(pdf) <= 1:  # single poisoned row → quarantine (≙ failed request)
+        return _quarantine(pdf, key, out_cols, f"{type(last_err).__name__}: {last_err}")
+    mid = len(pdf) // 2  # bisect: only truly-poisoned rows get quarantined
+    left = _run_batch(pdf.iloc[:mid], fn, key, out_cols, 1)
+    right = _run_batch(pdf.iloc[mid:], fn, key, out_cols, 1)
+    return pd.concat([left, right], ignore_index=True)
+
+
+def ok(df: DataFrame) -> DataFrame:
+    """Successful rows (≙ failed-response filter F2)."""
+    return df.filter(df["_error"].isNull()).drop("_error")
+
+
+def failed(df: DataFrame) -> DataFrame:
+    """Quarantined rows for inspection/retry (≙ error sample A5)."""
+    return df.filter(df["_error"].isNotNull())
