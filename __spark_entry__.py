@@ -1,6 +1,6 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``entry(spark)`` — flagship quality-filter summary on sf0.001.
+``entry(spark)`` — flagship: the full clip curation DAG on seeded clips.
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
 training-data-pipeline ops); each callable takes (spark, sf_dir).
 ``oracle_sql()`` — DuckDB-equivalent ANSI SQL, alias-matched column for
@@ -16,28 +16,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: heuristic quality-filter rollup over documents at sf0.001 —
-    the documents-table face of the clip curation DAG (keep-rate per lang)."""
+    """Flagship: the full clip curation DAG (decode → langid+perplexity →
+    rules → scrub → keep/drop) over a deterministic seeded clip batch,
+    rolled up to per-language keep rates with mean quality scores."""
     from pyspark.sql import functions as F
 
-    from curator_spark.ops import text as text_ops
+    from curator_spark import stages
+    from curator_spark.config import PipelineConfig
+    from curator_spark.synth import clips
 
-    sf_dir = "/root/testdata/sf0.001"
-    q = text_ops.quality_scores(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
-    keep = (
-        (F.col("n_words") >= 5)
-        & (F.col("distinct_ratio") >= 0.2)
-        & (F.col("n_chars") <= 10000)
-    )
+    cfg = PipelineConfig()
+    labeled = stages.apply_all(clips.generate_clips(spark, 500, 8), cfg.rules)
     return (
-        q.join(docs, "doc_id")
-        .withColumn("keep", keep)
-        .groupBy("lang")
+        labeled.groupBy("lang")
         .agg(
-            F.count("*").alias("n_docs"),
+            F.count("*").alias("n_clips"),
             F.sum(F.col("keep").cast("long")).alias("n_keep"),
-            F.round(F.avg(F.col("distinct_ratio")), 4).alias("mean_distinct_ratio"),
+            F.round(F.avg("ppl"), 4).alias("mean_ppl"),
+            F.round(F.avg("lang_conf"), 4).alias("mean_lang_conf"),
+            F.sum("scrub_hits").alias("sum_scrub_hits"),
         )
         .orderBy("lang")
     )
@@ -84,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_docs": text.langid_docs,              # rows-only
         # multimodal (binary column + batched decode UDF)
         "audio_decode_features": multimodal.audio_decode_features,  # rows-only
+        "clip_keep_summary": multimodal.clip_keep_summary,          # rows-only
     }
 
 

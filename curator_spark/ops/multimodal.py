@@ -38,3 +38,26 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("clip_id")
     )
+
+
+def clip_keep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete north-rule DAG (decode -> langid+ppl -> rules -> scrub
+    -> keep/drop) over a deterministic seeded clip batch, rolled up per
+    (lang, keep). Rows-only driver check (langid/LM weights have no SQL
+    form); bit-exact label parity vs the pure-Python oracle is asserted in
+    tests/test_stage_parity.py."""
+    from .. import stages
+    from ..config import PipelineConfig
+    from ..synth import clips
+
+    cfg = PipelineConfig()
+    labeled = stages.apply_all(clips.generate_clips(spark, 300, 4), cfg.rules)
+    return (
+        labeled.groupBy("lang", "keep")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("ppl"), 4).alias("mean_ppl"),
+            F.round(F.avg("silence_ratio"), 4).alias("mean_silence"),
+        )
+        .orderBy("lang", "keep")
+    )
