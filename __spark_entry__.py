@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ivf_topk": similarity.ivf_topk,                      # rows-only
+        "kmeans_assign": similarity.kmeans_assign,
+        "dup_groups": dedup.dup_groups,                       # rows-only (iterative)
         # text analysis
         "token_count": text.token_count,
         "quality_scores": text.quality_scores,
@@ -280,6 +282,36 @@ SELECT vec_id,
 FROM embeddings e, qv
 ORDER BY cos_sim DESC, vec_id
 LIMIT 10
+""",
+
+        "kmeans_assign": """
+WITH cpiv AS (
+  SELECT
+    (SELECT embedding FROM embeddings WHERE vec_id = 0) AS c0,
+    (SELECT embedding FROM embeddings WHERE vec_id = 7) AS c1,
+    (SELECT embedding FROM embeddings WHERE vec_id = 19) AS c2,
+    (SELECT embedding FROM embeddings WHERE vec_id = 42) AS c3
+), dists AS (
+  SELECT e.vec_id, list_value(
+    list_sum(list_transform(range(1, len(e.embedding)+1),
+      i -> (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c0[CAST(i AS INT)] AS DOUBLE)) ^ 2)),
+    list_sum(list_transform(range(1, len(e.embedding)+1),
+      i -> (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c1[CAST(i AS INT)] AS DOUBLE)) ^ 2)),
+    list_sum(list_transform(range(1, len(e.embedding)+1),
+      i -> (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c2[CAST(i AS INT)] AS DOUBLE)) ^ 2)),
+    list_sum(list_transform(range(1, len(e.embedding)+1),
+      i -> (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c3[CAST(i AS INT)] AS DOUBLE)) ^ 2))
+  ) AS darr
+  FROM embeddings e CROSS JOIN cpiv
+), assigned AS (
+  SELECT vec_id,
+    CAST(list_position(darr, list_min(darr)) - 1 AS INT) AS cluster,
+    CAST(round(sqrt(list_min(darr)), 6) AS DECIMAL(28,6)) AS dist
+  FROM dists
+)
+SELECT cluster, COUNT(*) AS n_vecs,
+  round(CAST(AVG(dist) AS DOUBLE), 6) AS mean_dist
+FROM assigned GROUP BY cluster ORDER BY cluster
 """,
         "token_count": """
 SELECT doc_id,

@@ -258,3 +258,48 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str, threshold: float = 0.9
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
+
+
+def dup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate graph →
+    (group_id, doc_id) with group_id = the component's min doc_id — the
+    canonical-document assignment an actual dedup pipeline emits.
+
+    Iterative min-label propagation (HashMin / Pregel-style, public):
+    every round each node takes the min label among itself and its
+    neighbors; converges in O(component diameter) rounds. Each round is
+    one shuffle (edge join + min agg); the driver stops at fixpoint via a
+    cheap changed-count. Rows-only driver oracle (iterative — no single
+    SQL form); exactness vs a union-find is asserted in tests/test_ops.py.
+    """
+    edges = minhash_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # symmetric adjacency, cached: reused every iteration
+    adj = edges.union(edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+    adj = adj.persist()
+    nodes = adj.select(F.col("doc_a").alias("doc_id")).distinct()
+    labels = nodes.withColumn("label", F.col("doc_id"))
+    for _ in range(max_iters):
+        neigh = (
+            adj.join(labels, adj.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels = new_labels
+        if changed == 0:
+            break
+    adj.unpersist()
+    return labels.select(F.col("label").alias("group_id"), "doc_id").orderBy("group_id", "doc_id")

@@ -101,3 +101,39 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
     )
+
+
+CENTROID_IDS = (0, 7, 19, 42)
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment step (the inner loop of Lloyd / IVF training):
+    nearest-centroid per vector against fixed centroids (the embeddings of
+    ``CENTROID_IDS``), rolled up per cluster. Fully SQL-expressible —
+    sequential-fold double math matches the DuckDB oracle bit-exactly."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = [
+        F.array(*[F.lit(float(np.float32(v))) for v in query_vector(spark, sf_dir, cid)])
+        for cid in CENTROID_IDS
+    ]
+
+    def dist2(x: Column, c: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, c, lambda p, q: (p.cast("double") - q.cast("double")) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    darr = F.array(*[dist2(F.col("embedding"), c) for c in cents])
+    cluster = (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    dist = F.round(F.sqrt(F.array_min(darr)), 6).cast("decimal(28,6)")
+    return (
+        emb.select(cluster.alias("cluster"), dist.alias("dist"))
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.avg("dist").cast("double").alias("mean_dist"),
+        )
+        .withColumn("mean_dist", F.round("mean_dist", 6))
+        .orderBy("cluster")
+    )

@@ -87,3 +87,33 @@ def test_embedding_near_dups_runs(spark):
     rows = df.collect()
     for r in rows:  # every reported pair really clears the threshold
         assert r["cos_sim"] >= 0.3 and r["vec_a"] < r["vec_b"]
+
+
+def test_dup_groups_matches_union_find(spark):
+    """Connected components via iterative min-label propagation must equal
+    a single-node union-find over the same candidate-pair graph."""
+    sf_dir = "/root/testdata/sf0.001"
+    from curator_spark.ops import dedup
+
+    pairs = [(r["doc_a"], r["doc_b"]) for r in dedup.minhash_dup_pairs(spark, sf_dir).collect()]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for node in parent:
+        want.setdefault(find(node), set()).add(node)
+    want_groups = {min(v): v for v in want.values()}
+
+    got = {}
+    for r in dedup.dup_groups(spark, sf_dir).collect():
+        got.setdefault(r["group_id"], set()).add(r["doc_id"])
+    assert got == want_groups
