@@ -88,10 +88,46 @@ def _minhash_cols() -> list:
     ]
 
 
+def _minhash_pandas(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """doc_id + mh0..mh{N-1} via one vectorized Python pass.
+
+    Semantically identical to the ``_hash_arrays``+``_minhash_cols`` SQL
+    expressions (same md5-prefix base hash, same permutations — the DuckDB
+    oracle checks this), but ~30× faster: Catalyst evaluates higher-order
+    lambdas interpreted at ~30µs per array element, while hashlib+numpy
+    do the same shingle hashing at <1µs."""
+    import hashlib
+
+    coeffs_a = np.array([a for a, _ in MINHASH_COEFFS], dtype=np.int64)[:, None]
+    coeffs_b = np.array([b for _, b in MINHASH_COEFFS], dtype=np.int64)[:, None]
+    schema = "doc_id long, " + ", ".join(f"mh{j} long" for j in range(N_HASHES))
+
+    def _sig(it):
+        for pdf in it:
+            out = np.empty((len(pdf), N_HASHES), dtype=np.int64)
+            for r, text in enumerate(pdf["text"]):
+                t = text if isinstance(text, str) else ""
+                n = max(len(t) - (k - 1), 1)
+                xs = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.md5(t[i : i + k].encode("utf-8")).digest()[:4], "big")
+                        for i in range(n)
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+                out[r] = ((coeffs_a * xs[None, :] + coeffs_b) % M32).min(axis=1)
+            res = pd.DataFrame(out, columns=[f"mh{j}" for j in range(N_HASHES)])
+            res.insert(0, "doc_id", list(pdf["doc_id"]))
+            yield res
+
+    return docs.select("doc_id", "text").mapInPandas(_sig, schema=schema)
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature (concatenated) + LSH band keys."""
     docs = load(spark, sf_dir, "documents")
-    sig = _hash_arrays(docs).select("doc_id", *_minhash_cols())
+    sig = _minhash_pandas(docs)
     bands = [
         F.md5(
             F.concat_ws("|", *[F.col(f"mh{j}") for j in range(b * BAND_SIZE, (b + 1) * BAND_SIZE)])
@@ -115,7 +151,7 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[
             F.concat_ws(":", F.lit(str(b)), F.col(f"band{b}")) for b in range(n_bands)
         ])).alias("bucket"),
-    )
+    ).persist()  # both sides of the self-join read it; compute sigs once
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -290,14 +326,17 @@ def dup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFra
                 "doc_id",
                 F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
             )
-        ).persist()
+            # truncate lineage each round: without this the plan tree grows
+            # linearly with iterations (re-derives every prior round on any
+            # recompute — fatal for long chains at scale)
+            .localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist() if hasattr(labels, "unpersist") else None
         labels = new_labels
         if changed == 0:
             break

@@ -55,7 +55,7 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 1
-    assert set(df.columns) == {"lang", "n_docs", "n_keep", "mean_distinct_ratio"}
+    assert set(df.columns) == {"lang", "n_clips", "n_keep", "mean_ppl", "mean_lang_conf", "sum_scrub_hits"}
 
 
 def test_simhash_near_pairs_semantics(spark):
