@@ -46,7 +46,11 @@ def trigram_buckets(text: str) -> np.ndarray:
 
 @lru_cache(maxsize=1)
 def model() -> tuple[np.ndarray, np.ndarray]:
-    """(logp[lang, bucket], log_prior[lang]) — trained once per process."""
+    """(logpT[bucket, lang], log_prior[lang]) — trained once per process.
+
+    Stored bucket-major: scoring gathers whole rows (one cache line per
+    trigram, all languages) instead of striding a lang-major table —
+    the gather is the langid hot loop."""
     langs = textgen.LANGS
     logp = np.zeros((len(langs), N_BUCKETS), dtype=np.float64)
     for li, lang in enumerate(langs):
@@ -58,18 +62,18 @@ def model() -> tuple[np.ndarray, np.ndarray]:
         total = counts.sum()
         logp[li] = np.log((counts + 0.5) / (total + 0.5 * N_BUCKETS))
     log_prior = np.log(np.asarray(textgen.LANG_PROBS, dtype=np.float64))
-    return logp, log_prior
+    return np.ascontiguousarray(logp.T), log_prior
 
 
 def score_text(text: str) -> tuple[str, float]:
     """→ (predicted_lang, confidence). Pure per-row function."""
-    logp, log_prior = model()
+    logpT, log_prior = model()
     b = trigram_buckets(text)
     if b.shape[0] == 0:
         i = int(np.argmax(log_prior))
         return textgen.LANGS[i], 0.0
     # mean per-ngram log-likelihood keeps softmax length-invariant
-    s = logp[:, b].sum(axis=1) / b.shape[0] + log_prior / b.shape[0]
+    s = logpT[b].sum(axis=0) / b.shape[0] + log_prior / b.shape[0]
     s = s - s.max()
     # fixed temperature calibrated on the synthetic corpus: clean-language
     # margins (~6-8 nats/trigram) map to conf ~0.95+, mixed-language

@@ -25,7 +25,10 @@ _BOS = "<s>"
 _MASK = 0xFFFFFFFFFFFFFFFF
 
 
+@lru_cache(maxsize=1 << 16)
 def _whash(w: str) -> int:
+    # cached: FNV-1a is pure-Python per char, and transcripts draw from a
+    # bounded vocabulary — the cache turns the per-word hash into a dict hit
     return textgen.hash_str(f"w:{w}")
 
 
@@ -34,14 +37,24 @@ def _pair(a: int, b: int) -> int:
 
 
 class _LangLM:
-    """Immutable per-language bigram LM."""
+    """Immutable per-language bigram LM.
 
-    __slots__ = ("uni_logp", "bi_count", "ctx_count", "oov_logp")
+    Lookup tables are sorted uint64 key arrays probed with ``searchsorted``
+    (vectorized over a whole transcript — the hot path). The dict-based
+    ``logprob`` defines the exact semantics; the array mirrors store values
+    computed by the very same expressions, so both paths are bit-equal
+    (asserted in tests/test_scoring_core.py)."""
+
+    __slots__ = (
+        "uni_logp", "bi_count", "ctx_count", "oov_logp", "backoff_logp",
+        "bi_keys", "bi_logp", "uni_keys", "uni_vals",
+    )
 
     def __init__(self, sentences: tuple[str, ...]):
         uni: dict[int, int] = {}
         bi: dict[int, int] = {}
         ctx: dict[int, int] = {}
+        left: dict[int, int] = {}  # pair_key -> a (for ctx lookup at build)
         total = 0
         for sent in sentences:
             hs = [_whash(_BOS)] + [_whash(w) for w in sent.split(" ") if w != ""]
@@ -49,20 +62,54 @@ class _LangLM:
                 uni[h] = uni.get(h, 0) + 1
                 total += 1
             for a, b in zip(hs[:-1], hs[1:]):
-                bi[_pair(a, b)] = bi.get(_pair(a, b), 0) + 1
+                pk = _pair(a, b)
+                bi[pk] = bi.get(pk, 0) + 1
+                left[pk] = a
                 ctx[a] = ctx.get(a, 0) + 1
         v = len(uni)
         denom = total + 0.1 * (v + 1)
         self.uni_logp = {h: float(np.log((c + 0.1) / denom)) for h, c in uni.items()}
         self.oov_logp = float(np.log(0.1 / denom))
+        self.backoff_logp = float(np.log(_BACKOFF))
         self.bi_count = bi
         self.ctx_count = ctx
+
+        bk = np.fromiter(bi.keys(), dtype=np.uint64, count=len(bi))
+        order = np.argsort(bk, kind="stable")
+        self.bi_keys = bk[order]
+        self.bi_logp = np.array(
+            [float(np.log(bi[int(k)] / ctx[left[int(k)]])) for k in self.bi_keys],
+            dtype=np.float64,
+        )
+        uk = np.fromiter(uni.keys(), dtype=np.uint64, count=len(uni))
+        uorder = np.argsort(uk, kind="stable")
+        self.uni_keys = uk[uorder]
+        self.uni_vals = np.array([self.uni_logp[int(k)] for k in self.uni_keys], dtype=np.float64)
 
     def logprob(self, a: int, b: int) -> float:
         c_bi = self.bi_count.get(_pair(a, b))
         if c_bi is not None:
             return float(np.log(c_bi / self.ctx_count[a]))
-        return float(np.log(_BACKOFF)) + self.uni_logp.get(b, self.oov_logp)
+        return self.backoff_logp + self.uni_logp.get(b, self.oov_logp)
+
+    def logprob_vec(self, hs: np.ndarray) -> np.ndarray:
+        """Per-bigram logprobs for a hashed-word sequence (vectorized mirror
+        of ``logprob`` over ``zip(hs[:-1], hs[1:])``)."""
+        a, b = hs[:-1], hs[1:]
+        pk = (a * np.uint64(1000003) + b)  # wraps mod 2^64 == _pair
+        pos = np.searchsorted(self.bi_keys, pk)
+        pos_c = np.minimum(pos, len(self.bi_keys) - 1) if len(self.bi_keys) else pos
+        hit = (
+            (self.bi_keys[pos_c] == pk) if len(self.bi_keys) else np.zeros(len(pk), dtype=bool)
+        )
+        upos = np.searchsorted(self.uni_keys, b)
+        upos_c = np.minimum(upos, len(self.uni_keys) - 1)
+        uhit = self.uni_keys[upos_c] == b
+        uni_part = np.where(uhit, self.uni_vals[upos_c], self.oov_logp)
+        out = self.backoff_logp + uni_part
+        if len(self.bi_keys):
+            out = np.where(hit, self.bi_logp[pos_c], out)
+        return out
 
 
 @lru_cache(maxsize=1)
@@ -79,10 +126,10 @@ def ppl(text: str, lang: str) -> float:
     words = [w for w in text.split(" ") if w != ""]
     if not words:
         return float(np.exp(-lm.oov_logp))
-    hs = [_whash(_BOS)] + [_whash(w) for w in words]
-    lp = 0.0
-    for a, b in zip(hs[:-1], hs[1:]):
-        lp += lm.logprob(a, b)
+    hs = np.fromiter(
+        (_whash(w) for w in [_BOS, *words]), dtype=np.uint64, count=len(words) + 1
+    )
+    lp = float(lm.logprob_vec(hs).sum())
     return float(np.exp(-lp / len(words)))
 
 
