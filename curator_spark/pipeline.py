@@ -111,6 +111,11 @@ class Pipeline:
         mode = cfg.scan_mode
         if mode == "auto":
             mode = "column" if "part_key" in raw.columns else "manifest"
+        if mode == "manifest" and set(raw.columns) != set(manifest_mod.CLIP_COLUMNS):
+            # the manifest reader materializes exactly the clip schema; an
+            # input with extra/missing columns must take the generic column
+            # path rather than silently dropping data
+            mode = "column"
         res.scan_mode = mode
 
         man = None

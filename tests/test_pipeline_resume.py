@@ -188,3 +188,21 @@ def test_corrupt_audio_quarantined_not_fatal(spark, workdir):
     aud = cat.read("audit")
     n_err = aud.filter(F.col("stage") == "decode").agg(F.sum("rows_error")).head()[0]
     assert n_err == 3
+
+
+def test_extra_columns_take_column_path_and_survive(spark, workdir):
+    """Inputs with columns beyond the clip schema must fall back to the
+    column scan (the manifest reader materializes exactly the clip schema)
+    and carry the extra columns through to the labeled output."""
+    inp = os.path.join(workdir, "clips_extra")
+    base = os.path.join(workdir, "clips_base")
+    clips.write_clips(spark, 60, base)
+    spark.read.parquet(base).withColumn("source_url", F.concat(F.lit("s3://x/"), F.col("clip_id"))).write.parquet(inp)
+
+    cfg = PipelineConfig(n_partitions=4, commit_batches=1)
+    cat = ParquetCatalog(spark, os.path.join(workdir, "wh_extra"))
+    res = Pipeline(spark, cat, cfg).run(inp)
+    assert res.scan_mode == "column"
+    out = cat.read("clips_labeled")
+    assert "source_url" in out.columns
+    assert out.filter(F.col("source_url").startswith("s3://x/clip_")).count() == 60
