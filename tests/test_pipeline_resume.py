@@ -206,3 +206,26 @@ def test_extra_columns_take_column_path_and_survive(spark, workdir):
     out = cat.read("clips_labeled")
     assert "source_url" in out.columns
     assert out.filter(F.col("source_url").startswith("s3://x/clip_")).count() == 60
+
+
+def test_audit_jsonl_export_import_roundtrip(spark, workdir):
+    """S3/S5 (SURVEY §2.1): the audit log exports to JSONL and re-imports
+    with an explicit schema — the reference's response-file interchange
+    (create_dataset_files) re-expressed as schema'd spark.read.json."""
+    inp = os.path.join(workdir, "clips_in")
+    clips.write_clips(spark, 60, inp)
+    cfg = PipelineConfig(n_partitions=4, commit_batches=1)
+    cat = ParquetCatalog(spark, os.path.join(workdir, "wh"))
+    Pipeline(spark, cat, cfg).run(inp)
+
+    aud = cat.read("audit")
+    jl = os.path.join(workdir, "audit_jsonl")
+    aud.coalesce(1).write.json(jl)
+    back = spark.read.schema(
+        "run_fingerprint string, partition_key int, stage string, rows_in long, "
+        "rows_out long, rows_error long, wall_ms long, metrics map<string,double>"
+    ).json(jl)
+    assert back.count() == aud.count()
+    a = {(r["partition_key"], r["stage"]): r["rows_out"] for r in aud.collect()}
+    b = {(r["partition_key"], r["stage"]): r["rows_out"] for r in back.collect()}
+    assert a == b
