@@ -77,9 +77,13 @@ class VectorMap:
         return fingerprint_fn(self.fn)
 
     def __call__(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.types import StructType
+
         fn, key, retries = self.fn, self.key, self.retries
         schema = f"{self.out_schema}, _error string"
-        out_cols = [c.strip().split(" ")[0] for c in self.out_schema.split(",")]
+        # real DDL parse — a naive comma split would mangle nested types
+        # (map<string,double>, decimal(10,2), struct<...>)
+        out_cols = list(StructType.fromDDL(self.out_schema).fieldNames())
 
         def _apply(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:

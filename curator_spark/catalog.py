@@ -29,8 +29,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 def dir_snapshot_id(path: str) -> str:
     """Deterministic content identity of a parquet directory: blake2b over
-    the sorted (relative-path, size) listing. Stands in for an Iceberg
-    snapshot id in the sandbox."""
+    the sorted (relative-path, size, mtime_ns) listing. Stands in for an
+    Iceberg snapshot id in the sandbox. mtime is included so a file
+    rewritten with different contents but an identical byte count still
+    changes the fingerprint (size alone would silently serve stale
+    cached results)."""
     h = hashlib.blake2b(digest_size=16)
     for root, _dirs, files in sorted(os.walk(path)):
         for f in sorted(files):
@@ -38,7 +41,8 @@ def dir_snapshot_id(path: str) -> str:
                 continue
             full = os.path.join(root, f)
             rel = os.path.relpath(full, path)
-            h.update(f"{rel}:{os.path.getsize(full)}".encode())
+            st = os.stat(full)
+            h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()
 
 

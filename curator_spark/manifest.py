@@ -17,8 +17,9 @@ read their own columns. On a real cluster pyarrow reads object storage
 directly, so the pattern carries to 10^12-clip tables unchanged.
 
 Checkpoint / resume semantics in manifest mode:
-- ``part_key = file_index % n_partitions`` over the *sorted* file list —
-  deterministic for a static input, assigned driver-side (no row hashing).
+- file→part_key assigned driver-side by LPT bin-packing on compressed
+  bytes over the *sorted* file list — deterministic for a static input
+  (no row hashing).
 - a commit group's read set is exactly its files: zero read amplification
   across groups (the column path re-scans the table per group unless the
   input is pre-partitioned by part_key).
@@ -105,9 +106,7 @@ def build_manifest(input_path: str, n_partitions: int) -> Manifest:
     return Manifest(splits=splits, rows_per_key=rows_per_key)
 
 
-def decode_score_splits(
-    spark: SparkSession, splits: pd.DataFrame, columns: list[str] | None = None
-) -> DataFrame:
+def decode_score_splits(spark: SparkSession, splits: pd.DataFrame) -> DataFrame:
     """Run the fused decode+score stage over manifest splits.
 
     Returns the same schema as ``stages.decode_score_stage`` plus
@@ -115,7 +114,10 @@ def decode_score_splits(
     scrub/rules/decide suffix."""
     from . import stages
 
-    columns = columns or CLIP_COLUMNS
+    # the reader materializes exactly the clip schema (pipeline.run guards
+    # non-clip inputs onto the column path) — a columns parameter here
+    # would desync from the hardcoded output schema below
+    columns = CLIP_COLUMNS
     out_cols = [c for c in columns if c != "bytes"] + ["part_key"]
     schema = (
         "clip_id string, sr_hz int, dur_ms int, codec string, transcript string, "

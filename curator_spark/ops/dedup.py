@@ -8,10 +8,10 @@ for the driver's oracle; SimHash and embedding near-dup are Spark-side
 
 Scale design (10^9+ docs):
 - exact:   one shuffle on the 32-hex digest (groupBy), no text comparison.
-- minhash: shingle→minhash is a narrow per-row map (higher-order functions,
-  codegen); LSH banding turns all-pairs O(n²) into a groupBy on band keys +
-  within-bucket pairing — the standard public MinHash-LSH construction
-  (Broder '97; Leskovec et al. MMDS ch.3).
+- minhash: shingle→minhash is a narrow per-row map (one vectorized pandas
+  pass; see _minhash_pandas); LSH banding turns all-pairs O(n²) into a
+  groupBy on band keys + within-bucket pairing — the standard public
+  MinHash-LSH construction (Broder '97; Leskovec et al. MMDS ch.3).
 - pairs:   self-join only inside buckets; bucket sizes are bounded by the
   band width, and AQE skew-join splits hot buckets.
 """
@@ -65,37 +65,15 @@ def _minhash_coeffs() -> list[tuple[int, int]]:
 MINHASH_COEFFS = _minhash_coeffs()
 
 
-def _hash_arrays(df: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """+ xs: one md5 per char-k-shingle, first 8 hex chars as a 32-bit int.
-    Materialized as one column; the N_HASHES minhash families are cheap
-    integer permutations of it (no per-family digest)."""
-    text = F.col("text")
-    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1)))
-    sh = F.transform(
-        idx, lambda i: F.conv(F.substring(F.md5(F.substring(text, i, k)), 1, 8), 16, 10).cast("long")
-    )
-    return df.select("*", sh.alias("xs"))
-
-
-def _minhash_cols() -> list:
-    """minhash_j = min over shingles of (a_j*x + b_j) mod 2^32; products
-    < 2^63, exact in int64 on both engines."""
-    return [
-        F.array_min(
-            F.transform("xs", lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(M32)))
-        ).alias(f"mh{j}")
-        for j, (a, b) in enumerate(MINHASH_COEFFS)
-    ]
-
-
 def _minhash_pandas(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     """doc_id + mh0..mh{N-1} via one vectorized Python pass.
 
-    Semantically identical to the ``_hash_arrays``+``_minhash_cols`` SQL
-    expressions (same md5-prefix base hash, same permutations — the DuckDB
-    oracle checks this), but ~30× faster: Catalyst evaluates higher-order
-    lambdas interpreted at ~30µs per array element, while hashlib+numpy
-    do the same shingle hashing at <1µs."""
+    Semantically: x = first 8 hex chars of md5(utf8(shingle)) as int;
+    mh_j = min over shingles of (a_j*x + b_j) mod 2^32 — exactly what the
+    DuckDB oracle SQL in __spark_entry__ expresses (hash-compared by the
+    driver). Implemented with hashlib+numpy instead of Catalyst
+    higher-order functions: HOF lambdas evaluate interpreted (~30µs per
+    array element, no CSE), which cost ~150 CPU-seconds at sf0.1."""
     import hashlib
 
     coeffs_a = np.array([a for a, _ in MINHASH_COEFFS], dtype=np.int64)[:, None]
@@ -141,9 +119,17 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket.
-    The bucket groupBy is the only shuffle; pairing happens within buckets."""
+_STACKED_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _stacked_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bucket) rows, persisted once per (session, sf_dir): both
+    sides of the pair self-join and every downstream op (jaccard verify,
+    dup_groups) reuse ONE cached copy instead of leaking a new persisted
+    DataFrame per call."""
+    ck = (id(spark), sf_dir)
+    if ck in _STACKED_CACHE:
+        return _STACKED_CACHE[ck]
     sigs = minhash_signatures(spark, sf_dir)
     n_bands = N_HASHES // BAND_SIZE
     stacked = sigs.select(
@@ -151,7 +137,15 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[
             F.concat_ws(":", F.lit(str(b)), F.col(f"band{b}")) for b in range(n_bands)
         ])).alias("bucket"),
-    ).persist()  # both sides of the self-join read it; compute sigs once
+    ).persist()
+    _STACKED_CACHE[ck] = stacked
+    return stacked
+
+
+def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+    The bucket groupBy is the only shuffle; pairing happens within buckets."""
+    stacked = _stacked_buckets(spark, sf_dir)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -340,5 +334,12 @@ def dup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFra
         labels = new_labels
         if changed == 0:
             break
+    else:
+        adj.unpersist()
+        raise RuntimeError(
+            f"dup_groups did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters) — raising instead of "
+            "returning silently split groups"
+        )
     adj.unpersist()
     return labels.select(F.col("label").alias("group_id"), "doc_id").orderBy("group_id", "doc_id")

@@ -75,8 +75,12 @@ def ivf_topk(
     table, so a probe reads n_probe partitions instead of the full table
     (partition pruning does the work — no custom index server)."""
     emb = load(spark, sf_dir, "embeddings")
+    # orderBy before limit: a bare limit() has no row-order guarantee, so
+    # the "deterministic" centroids would depend on scheduler/partition
+    # order — breaking the determinism contract with the driver
     sample = np.asarray(
-        [r[0] for r in emb.select("embedding").limit(2048).collect()], dtype=np.float64
+        [r[1] for r in emb.select("vec_id", "embedding").orderBy("vec_id").limit(2048).collect()],
+        dtype=np.float64,
     )
     cent = _train_centroids(sample, n_cells)
     cent_b = spark.sparkContext.broadcast(cent)
@@ -90,10 +94,11 @@ def ivf_topk(
             out[i] = int(((c - a) ** 2).sum(axis=1).argmin())
         return pd.Series(out)
 
-    qv = np.asarray(query_vector(spark, sf_dir, 0), dtype=np.float64)
+    qvec = query_vector(spark, sf_dir, 0)  # fetched once, reused below
+    qv = np.asarray(qvec, dtype=np.float64)
     probe_cells = np.argsort(((cent - qv) ** 2).sum(axis=1))[:n_probe].tolist()
 
-    q = F.array(*[F.lit(float(np.float32(v))) for v in query_vector(spark, sf_dir, 0)])
+    q = F.array(*[F.lit(float(np.float32(v))) for v in qvec])
     return (
         emb.withColumn("cell", cell_of("embedding"))
         .filter(F.col("cell").isin([int(c) for c in probe_cells]))

@@ -50,6 +50,17 @@ OUTPUT_TABLE = "clips_labeled"
 CHECKPOINT_TABLE = "checkpoints"
 AUDIT_TABLE = "audit"
 
+
+def _run_table(fingerprint: str) -> str:
+    """Run-scoped output subdir (hive-style, so reading the table root
+    still works and exposes ``run_fp``). Isolates each fingerprint's
+    partitions — without this, a second run with a different fingerprint
+    into the same warehouse would leave the first run's partitions in
+    place wherever it writes nothing, and output()/audit would silently
+    mix rows of both runs (≙ the reference's cache-dir-per-run-hash,
+    ``llm/llm.py:166-243``)."""
+    return f"{OUTPUT_TABLE}/run_fp={fingerprint}"
+
 AUDIT_STAGES = ("decode", "score", "scrub", "decide")
 
 
@@ -70,6 +81,7 @@ class Pipeline:
         self.spark = spark
         self.catalog = catalog
         self.cfg = cfg
+        self.last_fingerprint: str | None = None
 
     # -- resume state ------------------------------------------------------
 
@@ -97,6 +109,7 @@ class Pipeline:
         cfg = self.cfg
         t0 = time.monotonic()
         fingerprint = cfg.fingerprint(dir_snapshot_id(input_path))
+        self.last_fingerprint = fingerprint
         done = self.committed_keys(fingerprint)
         res = RunResult(fingerprint=fingerprint)
         res.timings["resume_scan"] = time.monotonic() - t0
@@ -174,7 +187,7 @@ class Pipeline:
                     )
                 # manifest mode: splits are already clustered by part_key —
                 # the partitioned write is shuffle-free
-                self.catalog.overwrite_partitions(labeled, OUTPUT_TABLE, "part_key")
+                self.catalog.overwrite_partitions(labeled, _run_table(fingerprint), "part_key")
             wall_ms = int((time.monotonic() - t0) * 1000)
             res.timings[f"write_g{g}"] = wall_ms / 1000
 
@@ -227,9 +240,26 @@ class Pipeline:
         """Per-(partition, stage) lineage rows, derived from the committed
         output (so audit reflects what was actually written). Keys with no
         input rows (possible in manifest mode when files < keys) get
-        zero-count rows — trivially complete."""
-        if self.catalog.exists(OUTPUT_TABLE):
-            out = self.catalog.read(OUTPUT_TABLE).filter(F.col("part_key").isin(list(keys)))
+        zero-count rows — trivially complete.
+
+        Idempotent: a crash between this append and the checkpoint commit
+        re-runs the group, so keys already present for this fingerprint are
+        skipped rather than appended twice (audit consumers sum rows_in/
+        rows_out — duplicates would break the reconciliation)."""
+        if self.catalog.exists(AUDIT_TABLE):
+            existing = {
+                r[0]
+                for r in self.catalog.read(AUDIT_TABLE)
+                .filter(F.col("run_fingerprint") == fingerprint)
+                .select("partition_key")
+                .distinct()
+                .collect()
+            }
+            keys = [k for k in keys if int(k) not in existing]
+            if not keys:
+                return
+        if self.catalog.exists(_run_table(fingerprint)):
+            out = self.catalog.read(_run_table(fingerprint)).filter(F.col("part_key").isin(list(keys)))
         else:  # every key in this group was empty
             out = None
         agg = [] if out is None else (
@@ -293,8 +323,14 @@ class Pipeline:
 
     # -- views -------------------------------------------------------------
 
-    def output(self) -> DataFrame:
-        return self.catalog.read(OUTPUT_TABLE)
+    def output(self, fingerprint: str | None = None) -> DataFrame:
+        """The labeled table of one run (default: the last ``run()`` on this
+        Pipeline). Reading the table root instead would mix runs — every
+        fingerprint keeps its own partition subtree."""
+        fp = fingerprint or self.last_fingerprint
+        if fp is None:  # no run() yet: all runs, with run_fp exposed
+            return self.catalog.read(OUTPUT_TABLE)
+        return self.catalog.read(_run_table(fp))
 
     def kept(self) -> DataFrame:
         """The curated view — predicate pushed to the parquet/Iceberg scan."""

@@ -69,10 +69,16 @@ def stream_pipeline(
             ),
             cfg.rules,
         ).withColumn("ingest_ts", F.current_timestamp())  # arrival-time lineage
+        # idempotent replay: foreachBatch is at-least-once (a crash between
+        # this write and the streaming checkpoint commit re-delivers the
+        # batch), so each batch overwrites ITS OWN hive subdir keyed by the
+        # deterministic batch_id — a replay rewrites the same directory
+        # instead of appending duplicates. This is the documented
+        # foreachBatch exactly-once recipe (batch_id-keyed idempotent sink).
         (
-            labeled.write.mode("append")
+            labeled.write.mode("overwrite")
             .partitionBy("part_key")
-            .parquet(output_dir)
+            .parquet(f"{output_dir}/batch_id={batch_id}")
         )
 
     writer = reader.writeStream.foreachBatch(_process).option(

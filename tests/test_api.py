@@ -67,3 +67,22 @@ def test_fingerprint_tracks_source(spark):
     f2 = lambda pdf: pdf.assign(z=1)  # noqa: E731
     assert fingerprint_fn(f1) != fingerprint_fn(f2)
     assert fingerprint_fn(f1) == fingerprint_fn(f1)
+
+
+def test_vector_map_nested_ddl_quarantine(spark):
+    """out_schema with comma-bearing nested types (map<,>, decimal(p,s))
+    must parse correctly so the quarantine path emits the right columns."""
+    def always_fail(pdf: pd.DataFrame) -> pd.DataFrame:
+        raise RuntimeError("boom")
+
+    stage = VectorMap(
+        name="nested",
+        fn=always_fail,
+        out_schema="row_key long, metrics map<string,double>, amt decimal(10,2)",
+        retries=1,
+    )
+    res = stage(_mk_df(spark, 8))
+    bad = failed(res)
+    assert bad.count() == 8
+    assert set(res.columns) == {"row_key", "metrics", "amt", "_error"}
+    assert bad.head()["_error"].startswith("RuntimeError")

@@ -229,3 +229,28 @@ def test_audit_jsonl_export_import_roundtrip(spark, workdir):
     a = {(r["partition_key"], r["stage"]): r["rows_out"] for r in aud.collect()}
     b = {(r["partition_key"], r["stage"]): r["rows_out"] for r in back.collect()}
     assert a == b
+
+
+def test_two_runs_same_warehouse_are_isolated(spark, workdir):
+    """Two different-fingerprint runs into ONE warehouse must not bleed
+    partitions into each other's output or audit (run_fp isolation)."""
+    inp_a = os.path.join(workdir, "in_a")
+    inp_b = os.path.join(workdir, "in_b")
+    clips.write_clips(spark, 120, inp_a)
+    # different input → different fingerprint; fewer rows so some keys
+    # would have been left stale without isolation
+    clips.write_clips(spark, 40, inp_b)
+
+    cfg = PipelineConfig(n_partitions=8, commit_batches=2)
+    cat = ParquetCatalog(spark, os.path.join(workdir, "wh_shared"))
+    pa_ = Pipeline(spark, cat, cfg)
+    ra = pa_.run(inp_a)
+    out_a = pa_.output().count()
+    pb = Pipeline(spark, cat, cfg)
+    rb = pb.run(inp_b)
+    assert ra.fingerprint != rb.fingerprint
+    assert pb.output().count() == 40          # run B sees ONLY its rows
+    assert pa_.output(ra.fingerprint).count() == out_a == 120  # A intact
+    # audit rows of B reconcile against B's input, not A's leftovers
+    aud_b = cat.read("audit").filter(F.col("run_fingerprint") == rb.fingerprint)
+    assert aud_b.filter(F.col("rows_in") != F.col("rows_out")).count() == 0
