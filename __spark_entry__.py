@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": text.doc_fingerprint,
         "lang_distribution": text.lang_distribution,
         "langid_docs": text.langid_docs,              # rows-only
+        "doc_quality_filter": text.doc_quality_filter,
         # multimodal (binary column + batched decode UDF)
         "audio_decode_features": multimodal.audio_decode_features,  # rows-only
         "clip_keep_summary": multimodal.clip_keep_summary,          # rows-only
@@ -312,6 +313,35 @@ WITH cpiv AS (
 SELECT cluster, COUNT(*) AS n_vecs,
   round(CAST(AVG(dist) AS DOUBLE), 6) AS mean_dist
 FROM assigned GROUP BY cluster ORDER BY cluster
+""",
+        "doc_quality_filter": """
+WITH w AS (
+  SELECT doc_id, text, length(text) AS nc,
+    list_filter(string_split(text, ' '), x -> x != '') AS words,
+    length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS symbols
+  FROM documents
+), f AS (
+  SELECT doc_id, nc, len(words) AS nw,
+    CASE WHEN len(words) > 0
+         THEN CAST(len(list_distinct(words)) AS DOUBLE) / len(words) ELSE 0.0 END AS dr,
+    CAST(symbols AS DOUBLE) / greatest(nonspace, 1) AS sr,
+    CASE WHEN len(words) > 0
+         THEN CAST(len(list_filter(words, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
+              / len(words) ELSE 0.0 END AS sd
+  FROM w
+)
+SELECT doc_id,
+  (nc >= 20 AND nc <= 20000 AND nw >= 5 AND dr >= 0.30 AND sr <= 0.10 AND sd >= 0.01) AS keep,
+  COALESCE(array_to_string(list_filter([
+    CASE WHEN NOT (nc >= 20) THEN 'len_min' END,
+    CASE WHEN NOT (nc <= 20000) THEN 'len_max' END,
+    CASE WHEN NOT (nw >= 5) THEN 'words_min' END,
+    CASE WHEN NOT (dr >= 0.30) THEN 'rep_ratio' END,
+    CASE WHEN NOT (sr <= 0.10) THEN 'symbol_ratio' END,
+    CASE WHEN NOT (sd >= 0.01) THEN 'stopword_density' END
+  ], x -> x IS NOT NULL), '|'), '') AS reasons
+FROM f ORDER BY doc_id
 """,
         "token_count": """
 SELECT doc_id,

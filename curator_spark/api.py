@@ -132,3 +132,55 @@ def ok(df: DataFrame) -> DataFrame:
 def failed(df: DataFrame) -> DataFrame:
     """Quarantined rows for inspection/retry (≙ error sample A5)."""
     return df.filter(df["_error"].isNotNull())
+
+
+def code_exec_stage(
+    name: str = "code_exec",
+    timeout_s: float = 10.0,
+    retries: int = 1,
+) -> VectorMap:
+    """The reference's ``CodeExecutor`` re-expressed (SURVEY §2.2 M7,
+    ``code_executor/code_executor.py:99-181`` + multiprocessing backend):
+    each input row carries ``code`` (a Python program) and ``stdin``; the
+    stage runs them in isolated subprocesses (one per row, bounded wall
+    time) and emits stdout/stderr/exit code. Vectorized at the batch level
+    — the Arrow batch fans out to a local process pool, the analog of the
+    reference's per-row multiprocessing backend (Ray/Docker tiers map to
+    executor scaling / container images on a real cluster).
+
+    Input columns: ``row_key``, ``code string``, ``stdin string``.
+    """
+    import subprocess
+    import sys
+
+    def _run_one(args: tuple[str, str]) -> tuple[str, str, int]:
+        code, stdin = args
+        try:
+            p = subprocess.run(
+                [sys.executable, "-I", "-c", code],
+                input=stdin or "",
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+            )
+            return p.stdout, p.stderr, int(p.returncode)
+        except subprocess.TimeoutExpired:
+            return "", f"timeout after {timeout_s}s", -1
+
+    def _exec(pdf: pd.DataFrame) -> pd.DataFrame:
+        from concurrent.futures import ThreadPoolExecutor  # procs are the work
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            res = list(pool.map(_run_one, zip(pdf["code"], pdf["stdin"])))
+        out = pdf[["row_key"]].copy()
+        out["stdout"] = [r[0] for r in res]
+        out["stderr"] = [r[1] for r in res]
+        out["exit_code"] = [r[2] for r in res]
+        return out
+
+    return VectorMap(
+        name=name,
+        fn=_exec,
+        out_schema="row_key long, stdout string, stderr string, exit_code int",
+        retries=retries,
+    )

@@ -118,3 +118,50 @@ def langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         _score, schema="doc_id long, pred_lang string, lang_conf double"
     ).orderBy("doc_id")
+
+
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop quality-filter decision over documents (SURVEY §2.3
+    F4 — the reference's rejection-sampling filter idiom), fully
+    SQL-expressible: length bounds, word count, repetition (distinct
+    ratio), symbol ratio, stopword density. Emits per-doc keep + ordered
+    failed-rule reasons — the documents-table face of the clip DAG's
+    decide stage."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " ", -1), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    symbols = F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to"]])
+    stop_hits = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+
+    feat = docs.select(
+        "doc_id",
+        F.length("text").alias("nc"),
+        n_words.alias("nw"),
+        F.when(n_words > 0, F.size(F.array_distinct(words)) / n_words).otherwise(0.0).alias("dr"),
+        (symbols / F.greatest(nonspace, F.lit(1))).alias("sr"),
+        F.when(n_words > 0, stop_hits / n_words).otherwise(0.0).alias("sd"),
+    )
+    checks = [
+        ("len_min", F.col("nc") >= 20),
+        ("len_max", F.col("nc") <= 20000),
+        ("words_min", F.col("nw") >= 5),
+        ("rep_ratio", F.col("dr") >= 0.30),
+        ("symbol_ratio", F.col("sr") <= 0.10),
+        ("stopword_density", F.col("sd") >= 0.01),
+    ]
+    keep = None
+    for _, c in checks:
+        keep = c if keep is None else keep & c
+    reasons = F.array_compact(
+        F.array(*[F.when(~c, F.lit(rid)).otherwise(F.lit(None)) for rid, c in checks])
+    )
+    return (
+        feat.select(
+            "doc_id",
+            keep.alias("keep"),
+            F.concat_ws("|", reasons).alias("reasons"),
+        )
+        .orderBy("doc_id")
+    )

@@ -86,3 +86,25 @@ def test_vector_map_nested_ddl_quarantine(spark):
     assert bad.count() == 8
     assert set(res.columns) == {"row_key", "metrics", "amt", "_error"}
     assert bad.head()["_error"].startswith("RuntimeError")
+
+
+def test_code_exec_stage(spark):
+    """M7: per-row sandboxed code execution via subprocess pool."""
+    from curator_spark.api import code_exec_stage
+
+    rows = pd.DataFrame(
+        {
+            "row_key": [0, 1, 2],
+            "code": [
+                "import sys; print(int(sys.stdin.read()) * 2)",
+                "print('hello')",
+                "import sys; sys.exit(3)",
+            ],
+            "stdin": ["21", "", ""],
+        }
+    )
+    df = spark.createDataFrame(rows).repartition(2)
+    out = {r["row_key"]: r for r in ok(code_exec_stage()(df)).collect()}
+    assert out[0]["stdout"].strip() == "42" and out[0]["exit_code"] == 0
+    assert out[1]["stdout"].strip() == "hello"
+    assert out[2]["exit_code"] == 3
