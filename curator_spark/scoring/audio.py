@@ -39,10 +39,13 @@ def features(pcm: np.ndarray, sr_hz: int, dur_ms: int) -> dict[str, float]:
     n = pcm.shape[0]
     if n == 0:
         return {"rms_db": -120.0, "silence_ratio": 1.0, "clip_ratio": 0.0, "dur_err_ms": float(dur_ms)}
-    rms = float(np.sqrt(np.mean(pcm * pcm)))
+    # single |pcm| pass reused by both ratio features; dot() for the energy
+    # (one fused pass instead of materializing pcm*pcm)
+    a = np.abs(pcm)
+    rms = float(np.sqrt(np.dot(pcm, pcm) / n))
     rms_db = 20.0 * np.log10(max(rms, 1e-6))
-    silence_ratio = float(np.mean(np.abs(pcm) < 0.01))
-    clip_ratio = float(np.mean(np.abs(pcm) > 0.985))
+    silence_ratio = float(np.count_nonzero(a < 0.01) / n)
+    clip_ratio = float(np.count_nonzero(a > 0.985) / n)
     dur_err_ms = abs(n / sr_hz * 1000.0 - dur_ms)
     return {
         "rms_db": float(rms_db),
