@@ -12,6 +12,10 @@ Protocol:
 - inside each process the job runs twice after a full warmup
   (curator_spark/warmup.py) and the best run is taken — the sandbox VM
   throttles the first parallel burst, so steady state is the measurement.
+- the N/4N pair is run interleaved over SCALING_ROUNDS rounds (default 3)
+  and per-level medians are compared: the VM's speed drifts minute to
+  minute, and sequential level runs would let drift contaminate the
+  efficiency ratio.
 - primary pair: N=1 vs 4N=4 cores. The box is a single VM: beyond ~8
   concurrent byte-heavy workers its memory bandwidth saturates (pyarrow
   row-group reads cost 6-8x more CPU-time at 32 procs than at 8), which
@@ -96,9 +100,24 @@ def main() -> None:
     spark.stop()
 
     wh_root = "/tmp/curator_scaling"
-    results = {lv: run_level(lv, clips_path, wh_root) for lv in levels}
+    # the primary pair runs INTERLEAVED over 3 rounds (1,4,1,4,1,4) with the
+    # per-level median taken: the sandbox VM's speed drifts minute-to-minute,
+    # and sequential level runs would let that drift masquerade as (or mask)
+    # scaling. Interleaving exposes both levels to the same drift.
+    rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
+    pair_runs: dict[int, list[dict]] = {n_small: [], n_large: []}
+    for _ in range(rounds):
+        for lv in (n_small, n_large):
+            pair_runs[lv].append(run_level(lv, clips_path, wh_root))
+    results = {}
+    for lv in (n_small, n_large):
+        ordered = sorted(pair_runs[lv], key=lambda r: r["wall_sec"])
+        results[lv] = ordered[len(ordered) // 2]  # median by wall time
+        print(f"local[{lv}] (median of {rounds}): {results[lv]}  all={[r['wall_sec'] for r in pair_runs[lv]]}")
     for lv in levels:
-        print(f"local[{lv}]: {results[lv]}")
+        if lv not in results:
+            results[lv] = run_level(lv, clips_path, wh_root)
+            print(f"local[{lv}]: {results[lv]}")
 
     t_small = results[n_small]["wall_sec"]
     t_large = results[n_large]["wall_sec"]
