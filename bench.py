@@ -46,6 +46,8 @@ def ensure_clips(spark, sf: float, cache_root: str = "/tmp/curator_bench") -> st
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    if cpus == "*":  # session layer accepts '*'; arithmetic below needs an int
+        cpus = str(os.cpu_count() or 8)
     sf = sf_of(sf_dir)
 
     from curator_spark.catalog import ParquetCatalog
@@ -98,7 +100,8 @@ def main() -> None:
     for name, fn in bench_queries.items():
         best = None
         for _ in range(2):  # steady state: best of 2 (codegen compile +
-            t0 = time.monotonic()  # VM cold-burst throttle hit run 1)
+            dedup.clear_session_cache(spark)  # each repeat does FULL work
+            t0 = time.monotonic()  # (VM cold-burst throttle hits run 1)
             df = fn(spark, sf_dir)
             n = df.count()
             run_dt = time.monotonic() - t0

@@ -142,6 +142,16 @@ def _stacked_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stacked
 
 
+def clear_session_cache(spark: SparkSession) -> None:
+    """Unpersist and drop this session's cached bucket tables (benchmarks
+    call this between repeats so each run does full work)."""
+    for (sid, _), df in list(_STACKED_CACHE.items()):
+        if sid == id(spark):
+            df.unpersist()
+    for k in [k for k in _STACKED_CACHE if k[0] == id(spark)]:
+        del _STACKED_CACHE[k]
+
+
 def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
     The bucket groupBy is the only shuffle; pairing happens within buckets."""

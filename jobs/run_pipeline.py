@@ -53,9 +53,12 @@ def main(argv: list[str] | None = None) -> int:
     spark = build_session(master=args.master, app_name="curator_spark_pipeline")
     cfg = PipelineConfig(n_partitions=args.n_partitions, commit_batches=args.commit_batches)
     if args.fresh:
+        import os
         import shutil
 
-        shutil.rmtree(args.warehouse, ignore_errors=True)
+        # only the resume state: prior runs' outputs and audit lineage are
+        # kept (deleting the whole warehouse would destroy other runs' data)
+        shutil.rmtree(os.path.join(args.warehouse, "checkpoints"), ignore_errors=True)
     cat = ParquetCatalog(spark, args.warehouse)
     pipe = Pipeline(spark, cat, cfg)
 
@@ -68,6 +71,9 @@ def main(argv: list[str] | None = None) -> int:
     res = pipe.run(args.input)
     wall = time.monotonic() - t0
     n_rows = pipe.output().count()
+    # clips/sec is only meaningful when this invocation did ALL the work —
+    # a cached or partially-resumed run divides total rows by partial wall
+    full_run = not res.cached and res.partitions_skipped == 0
     print(
         json.dumps(
             {
@@ -77,7 +83,7 @@ def main(argv: list[str] | None = None) -> int:
                 "partitions_skipped": res.partitions_skipped,
                 "rows": n_rows,
                 "wall_sec": round(wall, 2),
-                "clips_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
+                "clips_per_sec": round(n_rows / wall, 1) if wall > 0 and full_run else None,
             }
         )
     )

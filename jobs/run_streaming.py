@@ -53,7 +53,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     q.awaitTermination()
     wall = time.monotonic() - t0
-    n = spark.read.parquet(args.output).count()
+    try:
+        n = spark.read.parquet(args.output).count()
+    except Exception:  # zero batches fired -> output dir was never created
+        n = 0
     print(json.dumps({"rows_labeled_total": n, "wall_sec": round(wall, 2)}))
     spark.stop()
     return 0

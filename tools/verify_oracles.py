@@ -64,6 +64,19 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            print(f"FAIL unknown query names: {unknown}")
+            return 1
+    # rows-only ops: minimum expected row counts at sf0.01 so a silent
+    # empty-result regression fails loudly (embedding_near_dups is
+    # legitimately 0 — the testdata has no cosine>=0.95 pairs)
+    rows_only_min = {
+        "simhash_fingerprints": 1, "simhash_near_pairs": 1,
+        "embedding_near_dups": 0, "ivf_topk": 1, "dup_groups": 1,
+        "langid_docs": 1, "audio_decode_features": 1, "clip_keep_summary": 1,
+    }
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -74,7 +87,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -
             failures += 1
             continue
         if name not in oracles:
-            print(f"ok?  {name}: rows-only ({len(got)} rows)")
+            need = rows_only_min.get(name, 1)
+            if len(got) < need:
+                print(f"FAIL {name}: rows-only returned {len(got)} rows (expected >= {need})")
+                failures += 1
+            else:
+                print(f"ok?  {name}: rows-only ({len(got)} rows)")
             continue
         try:
             exp = con.sql(oracles[name]).df()
