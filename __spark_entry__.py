@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": text.lang_distribution,
         "langid_docs": text.langid_docs,              # rows-only
         "doc_quality_filter": text.doc_quality_filter,
+        "doc_perplexity": text.doc_perplexity,        # rows-only
         # multimodal (binary column + batched decode UDF)
         "audio_decode_features": multimodal.audio_decode_features,  # rows-only
         "clip_keep_summary": multimodal.clip_keep_summary,          # rows-only

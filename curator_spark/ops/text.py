@@ -165,3 +165,27 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style n-gram perplexity over documents under the predicted
+    language's LM (curator_spark/scoring/lm.py) — the documents-table face
+    of the clip pipeline's ppl stage. Rows-only driver check (count-based
+    LM has no SQL form); determinism covered by the property tests."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _score(it):
+        from ..scoring import langid, lm
+
+        for pdf in it:
+            texts = pdf["text"].tolist()
+            langs, _ = langid.score_batch(texts)
+            ppls = lm.ppl_batch(texts, langs)
+            out = pdf[["doc_id"]].copy()
+            out["pred_lang"] = langs
+            out["ppl"] = ppls
+            yield out
+
+    return docs.mapInPandas(
+        _score, schema="doc_id long, pred_lang string, ppl double"
+    ).orderBy("doc_id")

@@ -117,3 +117,32 @@ def test_dup_groups_matches_union_find(spark):
     for r in dedup.dup_groups(spark, sf_dir).collect():
         got.setdefault(r["group_id"], set()).add(r["doc_id"])
     assert got == want_groups
+
+
+def test_salted_skew_join_parity(spark):
+    """Explicit salting for skewed join keys (the north rule's named
+    technique): one hot key dominating the fact side is salted into S
+    sub-keys, the dim side exploded across the salt range; result must be
+    identical to the plain join."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n, hot = 20000, 7
+    fact = spark.createDataFrame(pd.DataFrame({
+        "k": [hot] * (n // 2) + [i % 50 for i in range(n // 2)],
+        "v": list(range(n)),
+    }))
+    dim = spark.createDataFrame(pd.DataFrame({"k": list(range(50)), "name": [f"d{i}" for i in range(50)]}))
+
+    S = 8
+    salted_fact = fact.withColumn("salt", (F.pmod(F.xxhash64("v"), F.lit(S))).cast("int"))
+    salted_dim = dim.withColumn("salt", F.explode(F.array(*[F.lit(s) for s in range(S)])))
+    got = (
+        salted_fact.join(salted_dim, ["k", "salt"])
+        .groupBy("name").agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+    )
+    want = fact.join(dim, "k").groupBy("name").agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+    g = {r["name"]: (r["n"], r["sv"]) for r in got.collect()}
+    w = {r["name"]: (r["n"], r["sv"]) for r in want.collect()}
+    assert g == w
+    assert g["d7"][0] == n // 2 + (n // 2) // 50  # the hot key really is hot
