@@ -254,3 +254,25 @@ def test_two_runs_same_warehouse_are_isolated(spark, workdir):
     # audit rows of B reconcile against B's input, not A's leftovers
     aud_b = cat.read("audit").filter(F.col("run_fingerprint") == rb.fingerprint)
     assert aud_b.filter(F.col("rows_in") != F.col("rows_out")).count() == 0
+
+
+def test_pipeline_labels_invariant_across_partitionings(spark, workdir):
+    """The two-cluster-size F1 gate at pipeline level: the same input run
+    with different partition-key counts and commit groupings (the local
+    stand-in for different executor counts) must produce identical labels
+    — F1 between the two runs is exactly 1.0."""
+    inp = os.path.join(workdir, "clips_in")
+    clips.write_clips(spark, 300, inp)
+
+    outs = []
+    for n_parts, groups in ((4, 1), (16, 4)):
+        cfg = PipelineConfig(n_partitions=n_parts, commit_batches=groups)
+        cat = ParquetCatalog(spark, os.path.join(workdir, f"wh_{n_parts}"))
+        pipe = Pipeline(spark, cat, cfg)
+        pipe.run(inp)
+        outs.append({
+            r["clip_id"]: (r["keep"], r["lang"], r["ppl"], r["scrubbed_transcript"])
+            for r in pipe.output().collect()
+        })
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == 300
