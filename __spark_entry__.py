@@ -10,15 +10,64 @@ entry → driver records rows-only checks.
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Make curator_spark importable in the PYTHON WORKERS of a session we
+    did not create. Workers inherit PYTHONPATH, not the driver's sys.path —
+    a harness that imports this module from another cwd would otherwise
+    spawn workers that cannot unpickle our mapInPandas UDFs. addPyFile
+    distributes the package to every worker regardless of environment."""
+    sc = spark.sparkContext
+    done = getattr(_ensure_pkg, "_done", set())
+    if id(sc) in done:
+        return
+    pkg_dir = os.path.join(_REPO, "curator_spark")
+    zpath = os.path.join("/tmp", "curator_spark_auto.zip")
+    if not os.path.exists(zpath) or os.path.getmtime(zpath) < max(
+        os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(pkg_dir)
+        for f in fs
+        if f.endswith(".py")
+    ):
+        with zipfile.ZipFile(zpath + ".tmp", "w") as z:
+            for r, _d, fs in os.walk(pkg_dir):
+                for f in fs:
+                    if f.endswith(".py"):
+                        full = os.path.join(r, f)
+                        z.write(full, os.path.relpath(full, _REPO))
+        os.replace(zpath + ".tmp", zpath)
+    try:
+        sc.addPyFile(zpath)
+    except Exception:  # already registered in this context
+        pass
+    done.add(id(sc))
+    _ensure_pkg._done = done
+
+
+def _wrap(fn: Callable) -> Callable:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_pkg(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full clip curation DAG (decode → langid+perplexity →
     rules → scrub → keep/drop) over a deterministic seeded clip batch,
     rolled up to per-language keep rates with mean quality scores."""
+    _ensure_pkg(spark)
     from pyspark.sql import functions as F
 
     from curator_spark import stages
@@ -43,7 +92,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from curator_spark.ops import dedup, multimodal, relational, similarity, text
 
-    return {
+    qs = {
         # relational / engine-core operators (SURVEY.md §2)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_revenue": relational.q3_top_revenue,
@@ -87,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_features": multimodal.audio_decode_features,  # rows-only
         "clip_keep_summary": multimodal.clip_keep_summary,          # rows-only
     }
+    return {name: _wrap(fn) for name, fn in qs.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -36,6 +36,16 @@ def build_session(
     parquet+manifest catalog in :mod:`curator_spark.catalog` (same commit
     semantics, no external jars — the sandbox image has none).
     """
+    # Python WORKERS inherit PYTHONPATH from the environment, not the
+    # driver's sys.path — a driver that found this package via
+    # sys.path.insert from another cwd would spawn workers that cannot
+    # unpickle curator_spark UDFs. Export the package root before the JVM
+    # (and its worker factory) starts. No-op under spark-submit --py-files.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + pp if pp else "")
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
