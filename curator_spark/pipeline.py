@@ -97,6 +97,20 @@ class Pipeline:
         )
         return {r[0] for r in rows}
 
+    def _audit_keys(self, fingerprint: str) -> set[int]:
+        """Partition keys already recorded in the audit log for this
+        fingerprint (crash-resume dedup; read once per run)."""
+        if not self.catalog.exists(AUDIT_TABLE):
+            return set()
+        return {
+            r[0]
+            for r in self.catalog.read(AUDIT_TABLE)
+            .filter(F.col("run_fingerprint") == fingerprint)
+            .select("partition_key")
+            .distinct()
+            .collect()
+        }
+
     # -- main entry --------------------------------------------------------
 
     def run(self, input_path: str, failpoint_after_groups: int | None = None) -> RunResult:
@@ -111,6 +125,7 @@ class Pipeline:
         fingerprint = cfg.fingerprint(dir_snapshot_id(input_path))
         self.last_fingerprint = fingerprint
         done = self.committed_keys(fingerprint)
+        self._audit_done = self._audit_keys(fingerprint)
         res = RunResult(fingerprint=fingerprint)
         res.timings["resume_scan"] = time.monotonic() - t0
 
@@ -245,19 +260,13 @@ class Pipeline:
         Idempotent: a crash between this append and the checkpoint commit
         re-runs the group, so keys already present for this fingerprint are
         skipped rather than appended twice (audit consumers sum rows_in/
-        rows_out — duplicates would break the reconciliation)."""
-        if self.catalog.exists(AUDIT_TABLE):
-            existing = {
-                r[0]
-                for r in self.catalog.read(AUDIT_TABLE)
-                .filter(F.col("run_fingerprint") == fingerprint)
-                .select("partition_key")
-                .distinct()
-                .collect()
-            }
-            keys = [k for k in keys if int(k) not in existing]
-            if not keys:
-                return
+        rows_out — duplicates would break the reconciliation). The
+        already-recorded set is read once per run (``_audit_done``), not
+        per group."""
+        keys = [k for k in keys if int(k) not in self._audit_done]
+        if not keys:
+            return
+        self._audit_done.update(int(k) for k in keys)
         if self.catalog.exists(_run_table(fingerprint)):
             out = self.catalog.read(_run_table(fingerprint)).filter(F.col("part_key").isin(list(keys)))
         else:  # every key in this group was empty
