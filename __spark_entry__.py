@@ -256,7 +256,7 @@ SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
 FROM events GROUP BY hour, event_type ORDER BY hour, event_type
 """,
         "json_extract_props": """
-SELECT event_type, COUNT(*) AS n, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 WHERE json_extract_string(props, '$.k') IS NOT NULL
 GROUP BY event_type ORDER BY event_type
@@ -427,7 +427,7 @@ SELECT doc_id, md5(text) AS digest,
 FROM w ORDER BY doc_id
 """,
         "lang_distribution": """
-SELECT lang, COUNT(*) AS n_docs, SUM(CAST(n_chars AS BIGINT)) AS sum_chars
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang ORDER BY lang
 """,
     }
