@@ -116,9 +116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": dedup.minhash_signatures,
         "minhash_dup_pairs": dedup.minhash_dup_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "simhash_fingerprints": dedup.simhash_fingerprints,   # rows-only
-        "simhash_near_pairs": dedup.simhash_near_pairs,       # rows-only
-        "embedding_near_dups": dedup.embedding_near_dups,     # rows-only
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        "simhash_near_pairs": dedup.simhash_near_pairs,
+        "embedding_near_dups": dedup.embedding_near_dups,
         # similarity search
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ivf_topk": similarity.ivf_topk,                      # rows-only
@@ -179,6 +179,76 @@ WITH harr AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM stacked a JOIN stacked b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 )"""
+
+    # simhash: token hash = first 8 bytes of md5 (big-endian) == DuckDB's
+    # ('0x' || substring(md5(t),1,16))::UBIGINT; signed fingerprint is
+    # reconstructed with an explicit -2^63 term for bit 63
+    simhash_base = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 16)) AS UBIGINT) AS h FROM toks
+), votes AS (
+  SELECT doc_id, bb.b AS b,
+    SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+  GROUP BY doc_id, bb.b
+), fps AS (
+  SELECT d.doc_id,
+    CAST(COALESCE(SUM(CASE WHEN v.v > 0 THEN
+      CASE WHEN v.b = 63 THEN -9223372036854775808 ELSE (CAST(1 AS BIGINT) << v.b) END
+      ELSE 0 END), 0) AS BIGINT) AS simhash,
+    CAST(COALESCE(SUM(CASE WHEN v.v > 0 THEN CAST(CAST(1 AS UBIGINT) << v.b AS HUGEINT)
+      ELSE 0 END), 0) AS UBIGINT) AS ufp
+  FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+  GROUP BY d.doc_id
+)"""
+
+    # embedding near-dup: replicate the 4x16-bit SRP-LSH + planted fixture
+    # exactly (planes inlined as %.6e literals — the same doubles the Spark
+    # UDF uses; see curator_spark/ops/dedup.py:_emb_planes)
+    from curator_spark.ops.dedup import (
+        EMB_BAND_BITS, EMB_BANDS, EMB_DIM, EMB_PLANES,
+        EMB_PLANT_DELTA, EMB_PLANT_MOD, EMB_PLANT_OFFSET,
+    )
+
+    plane_rows = ",\n".join(
+        f"({i}, [{', '.join(f'{v:.6e}' for v in EMB_PLANES[i])}])"
+        for i in range(EMB_BANDS * EMB_BAND_BITS)
+    )
+    emb_near_sql = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+), allv AS (
+  SELECT vec_id, emb FROM base
+  UNION ALL
+  SELECT vec_id + {EMB_PLANT_OFFSET}, list_concat([emb[1] + {EMB_PLANT_DELTA}], emb[2:])
+  FROM base WHERE vec_id % {EMB_PLANT_MOD} = 0
+), planes(pid, plane) AS (VALUES
+{plane_rows}
+), bits AS (
+  SELECT v.vec_id, p.pid // {EMB_BAND_BITS} AS band, p.pid % {EMB_BAND_BITS} AS k,
+    CASE WHEN list_sum(list_transform(range(1, {EMB_DIM + 1}), j -> v.emb[j] * p.plane[j])) > 0
+         THEN 1 ELSE 0 END AS bit
+  FROM allv v CROSS JOIN planes p
+), keys AS (
+  SELECT vec_id, band, CAST(SUM(bit * (1 << k)) AS BIGINT) AS bkey
+  FROM bits GROUP BY vec_id, band
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM keys a JOIN keys b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT c.vec_a, c.vec_b,
+    list_sum(list_transform(range(1, {EMB_DIM + 1}), j -> x.emb[j] * y.emb[j]))
+      / (sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), j -> x.emb[j] * x.emb[j])))
+       * sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), j -> y.emb[j] * y.emb[j])))) AS cs
+  FROM cand c JOIN allv x ON c.vec_a = x.vec_id JOIN allv y ON c.vec_b = y.vec_id
+)
+SELECT vec_a, vec_b, ROUND(cs, 6) AS cos_sim
+FROM scored WHERE cs >= 0.9
+ORDER BY vec_a, vec_b
+"""
 
     return {
         "q1_pricing_summary": """
@@ -304,6 +374,22 @@ SELECT * FROM sigb ORDER BY doc_id
         "minhash_dup_pairs": pairs_cte
         + """
 SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
+""",
+        "embedding_near_dups": emb_near_sql,
+        "simhash_fingerprints": simhash_base
+        + """
+SELECT doc_id, simhash FROM fps ORDER BY doc_id
+""",
+        "simhash_near_pairs": simhash_base
+        + """, chunks AS (
+  SELECT doc_id, ufp, cc.c AS c, CAST((ufp >> (16 * cc.c)) & 65535 AS BIGINT) AS chunk
+  FROM fps CROSS JOIN (SELECT unnest(range(4)) AS c) cc
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.ufp, b.ufp)) AS INT) AS hamming
+FROM chunks a JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ufp, b.ufp)) <= 3
+ORDER BY doc_a, doc_b
 """,
         "ngram_jaccard_pairs": pairs_cte
         + """, shingle_sets AS (

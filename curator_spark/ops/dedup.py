@@ -200,28 +200,38 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash (Charikar '02) over whitespace tokens — vectorized
-    pandas UDF (bit-vote accumulation has no clean SQL form). Deterministic:
-    token hash = FNV-1a, identical across partitionings."""
-    from ..synth.textgen import hash_str
+    """64-bit SimHash (Charikar '02) over whitespace tokens, batch-vectorized:
+    each Arrow batch hashes its unique tokens once (md5 → first 8 bytes,
+    big-endian — the same value DuckDB's ('0x' || substring(md5(t),1,16))
+    cast produces, which is what makes the driver oracle expressible),
+    then accumulates all bit votes in two numpy scatter-adds instead of a
+    per-token Python loop. Deterministic across partitionings (per-row
+    function of text only)."""
+    import hashlib
 
     @F.pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
+        toks: list[str] = []
+        rows: list[int] = []
         for i, t in enumerate(texts):
-            votes = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
             for tok in (t or "").split(" "):
-                if not tok:
-                    continue
-                h = np.uint64(hash_str(tok))
-                bits = (h >> shifts) & np.uint64(1)
-                votes += np.where(bits == 1, 1, -1)
-            fp = 0
-            for b in range(64):
-                if votes[b] > 0:
-                    fp |= 1 << b
-            out[i] = np.uint64(fp).astype(np.int64)
+                if tok:
+                    toks.append(tok)
+                    rows.append(i)
+        out = np.zeros(len(texts), dtype=np.int64)
+        if toks:
+            uniq, inv = np.unique(np.array(toks, dtype=object), return_inverse=True)
+            uh = np.fromiter(
+                (int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8], "big") for u in uniq),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            shifts = np.arange(64, dtype=np.uint64)
+            bits = ((uh[inv][:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = np.zeros((len(texts), 64), dtype=np.int64)
+            np.add.at(votes, np.asarray(rows), 2 * bits - 1)
+            fp = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+            out = fp.astype(np.int64)
         return pd.Series(out)
 
     docs = load(spark, sf_dir, "documents")
@@ -256,46 +266,106 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -
     return cand.filter(F.col("hamming") <= max_hamming).orderBy("doc_a", "doc_b")
 
 
-def embedding_near_dups(spark: SparkSession, sf_dir: str, threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-bucketed by random-hyperplane
-    signs (deterministic seeded hyperplanes broadcast to executors)."""
-    emb = load(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").head()[0])
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((8, dim))
-    planes_b = spark.sparkContext.broadcast(planes)
+# --- embedding near-dup: multi-band signed-random-projection LSH ---------
+# 4 bands x 16 bits (Charikar '02 SRP + the same banding construction as
+# MinHash above): a band key has 2^16 buckets, so the within-bucket
+# self-join stays bounded at 10^9+ vectors (vs a single 8-bit band's 256
+# buckets, which degrades toward all-pairs). Recall for a pair at cosine s:
+# 1-(1-p^16)^4 with p = 1 - acos(s)/pi  ->  ~0.9999 at s=0.9998.
+EMB_BANDS = 4
+EMB_BAND_BITS = 16
+EMB_DIM = 64
+# The driver's `embeddings` table has no natural near-dups (max background
+# cosine ~0.51 at sf0.01), so the query derives a deterministic planted
+# fixture from the table itself: every vec_id % 10 == 0 gains a copy with
+# +0.02 on its first coordinate (cosine ~0.9998 for unit-norm vectors) at
+# vec_id + 10_000_000. The DuckDB oracle replicates the augmentation AND
+# the banded LSH exactly (planes inlined as literals), so the driver's
+# hash compare tests the full algorithm, not just a brute-force recall.
+EMB_PLANT_MOD = 10
+EMB_PLANT_OFFSET = 10_000_000
+EMB_PLANT_DELTA = 0.02
 
-    @F.pandas_udf("int")
-    def lsh_bucket(vecs: pd.Series) -> pd.Series:
-        p = planes_b.value
-        out = np.empty(len(vecs), dtype=np.int32)
-        for i, v in enumerate(vecs):
-            a = np.asarray(v, dtype=np.float64)
-            bits = (p @ a) > 0
-            out[i] = int(np.packbits(bits)[0])
-        return pd.Series(out)
 
-    bucketed = emb.select("vec_id", "embedding", lsh_bucket("embedding").alias("bucket"))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+def _emb_planes() -> np.ndarray:
+    """Deterministic hyperplanes, quantized to the exact doubles that the
+    oracle's '%.6e' SQL literals parse to (bit-identical in both engines)."""
+    rng = np.random.default_rng(20240817)
+    raw = rng.standard_normal((EMB_BANDS * EMB_BAND_BITS, EMB_DIM))
+    return np.array([[float(f"{v:.6e}") for v in row] for row in raw])
 
-    def norm_dot(x, y):
-        dot = F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        nx = F.sqrt(F.aggregate(x, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-        ny = F.sqrt(F.aggregate(y, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-        return dot / (nx * ny)
 
-    return (
+EMB_PLANES = _emb_planes()
+
+
+def _cos_sim(x, y):
+    """Catalyst left-fold cosine — same accumulation order as DuckDB's
+    list_sum, so ROUND(.,6) hash-compares exactly (ann_cosine_topk proves
+    the pattern). Interpreted HOF, but only evaluated on candidate pairs."""
+    dot = F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nx = F.sqrt(F.aggregate(x, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    ny = F.sqrt(F.aggregate(y, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (nx * ny)
+
+
+def _emb_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings cast to double + the deterministic planted near-dups."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    planted = emb.filter(F.col("vec_id") % EMB_PLANT_MOD == 0).select(
+        (F.col("vec_id") + F.lit(EMB_PLANT_OFFSET)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("emb", 1) + F.lit(EMB_PLANT_DELTA)),
+            F.slice("emb", 2, EMB_DIM - 1),
+        ).alias("emb"),
+    )
+    return emb.unionByName(planted)
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str, threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-dup pairs via 4x16-bit signed-random-projection
+    LSH + exact cosine verify on candidates only (no all-pairs join; the
+    band-key groupBy is the only shuffle over the full set). Reference
+    analog: content-identity dedup (llm/llm.py:139-164) lifted to vectors."""
+    allv = _emb_augmented(spark, sf_dir)
+    planes = EMB_PLANES  # 32 KB — ships in the UDF closure
+
+    @F.pandas_udf("array<int>")
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (E @ planes.T) > 0  # (n, bands*bits) — one matmul per batch
+        keys = np.zeros((len(E), EMB_BANDS), dtype=np.int64)
+        for b in range(EMB_BANDS):
+            for k in range(EMB_BAND_BITS):
+                keys[:, b] |= bits[:, b * EMB_BAND_BITS + k].astype(np.int64) << k
+        return pd.Series([row for row in keys.astype(np.int32)])
+
+    stacked = allv.select(
+        "vec_id",
+        F.explode(
+            F.transform(band_keys("emb"), lambda k, i: F.concat_ws(":", i, k))
+        ).alias("bucket"),
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(norm_dot(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    x, y = allv.alias("x"), allv.alias("y")
+    return (
+        cand.join(x, cand.vec_a == F.col("x.vec_id"))
+        .join(y, cand.vec_b == F.col("y.vec_id"))
+        .select("vec_a", "vec_b", _cos_sim(F.col("x.emb"), F.col("y.emb")).alias("cs"))
+        .filter(F.col("cs") >= threshold)
+        .select("vec_a", "vec_b", F.round("cs", 6).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
 

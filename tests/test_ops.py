@@ -28,6 +28,7 @@ PARITY = [
     "minhash_dup_pairs",
     "ngram_jaccard_pairs",
     "ann_cosine_topk",
+    "embedding_near_dups",
     "token_count",
     "quality_scores",
     "doc_fingerprint",
@@ -80,13 +81,33 @@ def test_ivf_recall_vs_brute_force(spark):
     assert exact[0] == approx[0] == 0  # the query vector itself
 
 
-def test_embedding_near_dups_runs(spark):
+def test_embedding_near_dups_planted_recall(spark):
+    """Every deterministically-planted near-dup (cos ~0.9998) must be
+    recalled by the 4x16-bit banded LSH, and every reported cosine must
+    match a numpy brute-force recompute."""
+    import numpy as np
+
     from curator_spark.ops import dedup
 
-    df = dedup.embedding_near_dups(spark, SF_DIR, threshold=0.3)
-    rows = df.collect()
-    for r in rows:  # every reported pair really clears the threshold
-        assert r["cos_sim"] >= 0.3 and r["vec_a"] < r["vec_b"]
+    df = dedup.embedding_near_dups(spark, SF_DIR)
+    rows = {(r["vec_a"], r["vec_b"]): r["cos_sim"] for r in df.collect()}
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in dedup.load(spark, SF_DIR, "embeddings").collect()
+    }
+    planted = sorted(v for v in emb if v % dedup.EMB_PLANT_MOD == 0)
+    assert planted, "fixture should plant at least one near-dup"
+    for v in planted:
+        assert (v, v + dedup.EMB_PLANT_OFFSET) in rows  # 100% planted recall
+    for (a, b), cs in rows.items():
+        va = emb[a % dedup.EMB_PLANT_OFFSET].copy()
+        vb = emb[b % dedup.EMB_PLANT_OFFSET].copy()
+        if a >= dedup.EMB_PLANT_OFFSET:
+            va[0] += dedup.EMB_PLANT_DELTA
+        if b >= dedup.EMB_PLANT_OFFSET:
+            vb[0] += dedup.EMB_PLANT_DELTA
+        ref = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert abs(cs - ref) < 1e-5 and cs >= 0.9 and a < b
 
 
 def test_dup_groups_matches_union_find(spark):
