@@ -65,36 +65,95 @@ def _minhash_coeffs() -> list[tuple[int, int]]:
 MINHASH_COEFFS = _minhash_coeffs()
 
 
-def _minhash_pandas(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """doc_id + mh0..mh{N-1} via one vectorized Python pass.
+def _minhash_batch(texts, k: int = SHINGLE_K) -> np.ndarray:
+    """(n_rows, N_HASHES) int64 signatures for one Arrow batch.
 
     Semantically: x = first 8 hex chars of md5(utf8(shingle)) as int;
     mh_j = min over shingles of (a_j*x + b_j) mod 2^32 — exactly what the
     DuckDB oracle SQL in __spark_entry__ expresses (hash-compared by the
-    driver). Implemented with hashlib+numpy instead of Catalyst
-    higher-order functions: HOF lambdas evaluate interpreted (~30µs per
-    array element, no CSE), which cost ~150 CPU-seconds at sf0.1."""
+    driver).
+
+    Production path: shingle windows are extracted vectorized over one
+    concatenated byte buffer and md5 runs ONCE PER UNIQUE SHINGLE in the
+    batch (natural-language corpora have tiny k-gram vocabularies:
+    2k unique of 1.5M total at sf0.1), then per-doc minima come from
+    np.minimum.reduceat. Same md5 semantics as the oracle, ~100x fewer
+    digest calls than hashing every occurrence. Non-ASCII rows (where byte
+    windows differ from the char windows md5 is defined over) fall back to
+    a per-row loop."""
     import hashlib
 
-    coeffs_a = np.array([a for a, _ in MINHASH_COEFFS], dtype=np.int64)[:, None]
-    coeffs_b = np.array([b for _, b in MINHASH_COEFFS], dtype=np.int64)[:, None]
+    coeffs_a = np.array([a for a, _ in MINHASH_COEFFS], dtype=np.int64)
+    coeffs_b = np.array([b for _, b in MINHASH_COEFFS], dtype=np.int64)
+    n_rows = len(texts)
+    out = np.empty((n_rows, N_HASHES), dtype=np.int64)
+    bufs: list[bytes | None] = []
+    slow: list[tuple[int, str]] = []
+    for i, t in enumerate(texts):
+        s = t if isinstance(t, str) else ""
+        b = s.encode("utf-8")
+        if len(b) != len(s):
+            slow.append((i, s))
+            bufs.append(None)
+        else:
+            bufs.append(b)
+    fast = [i for i, b in enumerate(bufs) if b is not None]
+    if fast:
+        lens = np.array([len(bufs[i]) for i in fast], dtype=np.int64)
+        counts = np.maximum(lens - (k - 1), 1)
+        offs = np.zeros(len(fast), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        starts = np.zeros(len(fast), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        big = np.frombuffer(b"".join(bufs[i] for i in fast), dtype=np.uint8)
+        # pack every k-byte window into a (len<<40)-tagged uint64 key
+        n_win = max(len(big) - k + 1, 0)
+        pk = np.zeros(n_win, dtype=np.uint64)
+        for j in range(k):
+            pk = pk * np.uint64(256) + big[j : j + n_win]
+        pk |= np.uint64(k) << np.uint64(40)
+        keys = np.empty(int(counts.sum()), dtype=np.uint64)
+        for j in range(len(fast)):
+            if lens[j] >= k:
+                keys[starts[j] : starts[j] + counts[j]] = pk[offs[j] : offs[j] + counts[j]]
+            else:  # short doc: its single shingle is the whole text
+                v = int.from_bytes(bufs[fast[j]], "big") if lens[j] else 0
+                keys[starts[j]] = np.uint64(v | (int(lens[j]) << 40))
+        uniq, inv = np.unique(keys, return_inverse=True)
+        uh = np.empty(len(uniq), dtype=np.int64)
+        mask = (1 << 40) - 1
+        for u_idx, u in enumerate(uniq):
+            nb = int(u) >> 40
+            raw = (int(u) & mask).to_bytes(nb, "big")
+            uh[u_idx] = int.from_bytes(hashlib.md5(raw).digest()[:4], "big")
+        xs = uh[inv]
+        fast_arr = np.asarray(fast)
+        for j in range(N_HASHES):
+            out[fast_arr, j] = np.minimum.reduceat((coeffs_a[j] * xs + coeffs_b[j]) % M32, starts)
+    for i, s in slow:
+        n = max(len(s) - (k - 1), 1)
+        xs = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s[p : p + k].encode("utf-8")).digest()[:4], "big")
+                for p in range(n)
+            ),
+            dtype=np.int64,
+            count=n,
+        )
+        out[i] = ((coeffs_a[:, None] * xs[None, :] + coeffs_b[:, None]) % M32).min(axis=1)
+    return out
+
+
+def _minhash_pandas(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """doc_id + mh0..mh{N-1}: one vectorized pandas pass (see
+    _minhash_batch). Catalyst higher-order functions are not an option:
+    HOF lambdas evaluate interpreted (~30µs per array element, no CSE),
+    which cost ~150 CPU-seconds at sf0.1."""
     schema = "doc_id long, " + ", ".join(f"mh{j} long" for j in range(N_HASHES))
 
     def _sig(it):
         for pdf in it:
-            out = np.empty((len(pdf), N_HASHES), dtype=np.int64)
-            for r, text in enumerate(pdf["text"]):
-                t = text if isinstance(text, str) else ""
-                n = max(len(t) - (k - 1), 1)
-                xs = np.fromiter(
-                    (
-                        int.from_bytes(hashlib.md5(t[i : i + k].encode("utf-8")).digest()[:4], "big")
-                        for i in range(n)
-                    ),
-                    dtype=np.int64,
-                    count=n,
-                )
-                out[r] = ((coeffs_a * xs[None, :] + coeffs_b) % M32).min(axis=1)
+            out = _minhash_batch(list(pdf["text"]), k)
             res = pd.DataFrame(out, columns=[f"mh{j}" for j in range(N_HASHES)])
             res.insert(0, "doc_id", list(pdf["doc_id"]))
             yield res
