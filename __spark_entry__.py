@@ -90,7 +90,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from curator_spark.ops import dedup, multimodal, relational, similarity, text
+    from curator_spark.ops import dedup, multimodal, relational, similarity, text, usermap
 
     qs = {
         # relational / engine-core operators (SURVEY.md §2)
@@ -132,6 +132,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_docs": text.langid_docs,              # rows-only
         "doc_quality_filter": text.doc_quality_filter,
         "doc_perplexity": text.doc_perplexity,        # rows-only
+        # user-defined map surface (M7/M8/T2): retry+quarantine lifecycle,
+        # per-row params override, subprocess code executor
+        "vector_map_retry": usermap.vector_map_retry,
+        "row_params_filter": usermap.row_params_filter,
+        "code_exec_rows": usermap.code_exec_rows,
         # multimodal (binary column + batched decode UDF)
         "audio_decode_features": multimodal.audio_decode_features,  # rows-only
         "clip_keep_summary": multimodal.clip_keep_summary,          # rows-only
@@ -376,6 +381,29 @@ SELECT * FROM sigb ORDER BY doc_id
 SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
 """,
         "embedding_near_dups": emb_near_sql,
+        "vector_map_retry": """
+SELECT event_id AS row_key,
+  CASE WHEN event_id % 97 = 0 THEN NULL ELSE value * 2 END AS doubled,
+  CASE WHEN event_id % 97 = 0 THEN 'ValueError: poisoned row' END AS _error
+FROM events ORDER BY row_key
+""",
+        "row_params_filter": """
+WITH w AS (
+  SELECT doc_id AS row_key,
+    CASE doc_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 80 ELSE 40 END AS min_words_eff,
+    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS INT) AS n_words
+  FROM documents
+)
+SELECT row_key, CAST(min_words_eff AS INT) AS min_words_eff, n_words,
+  n_words >= min_words_eff AS keep
+FROM w ORDER BY row_key
+""",
+        "code_exec_rows": """
+SELECT event_id AS row_key,
+  CAST(event_id * 3 AS VARCHAR) || chr(10) AS stdout,
+  CAST(CASE WHEN event_id % 5 = 0 THEN 3 ELSE 0 END AS INT) AS exit_code
+FROM events ORDER BY event_id LIMIT 50
+""",
         "simhash_fingerprints": simhash_base
         + """
 SELECT doc_id, simhash FROM fps ORDER BY doc_id

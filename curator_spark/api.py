@@ -71,15 +71,23 @@ class VectorMap:
     out_schema: str
     key: str = "row_key"
     retries: int = 2
+    # M8 per-row params override (≙ prompt_formatter.py:101-112): stage
+    # defaults merged under a per-row map column; the user fn sees one
+    # effective dict per row in ``_params``.
+    defaults: tuple = ()  # dict-like ((k, v), ...) — frozen dataclass needs hashable
+    params_col: str | None = None
 
     @property
     def fingerprint(self) -> str:
-        return fingerprint_fn(self.fn)
+        return fingerprint_fn(self.fn) + hashlib.blake2b(
+            repr((self.defaults, self.params_col)).encode(), digest_size=8
+        ).hexdigest()
 
     def __call__(self, df: DataFrame) -> DataFrame:
         from pyspark.sql.types import StructType
 
         fn, key, retries = self.fn, self.key, self.retries
+        defaults, params_col = dict(self.defaults), self.params_col
         schema = f"{self.out_schema}, _error string"
         # real DDL parse — a naive comma split would mangle nested types
         # (map<string,double>, decimal(10,2), struct<...>)
@@ -87,6 +95,17 @@ class VectorMap:
 
         def _apply(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
+                if defaults or params_col:
+                    row_ps = pdf[params_col] if params_col and params_col in pdf else [None] * len(pdf)
+                    # Arrow renders map<k,v> as a list/ndarray of (k, v)
+                    # pairs; dict() accepts those and plain dicts; NULL
+                    # maps arrive as None (or NaN) → no override
+                    def _merge(p):
+                        if p is None or (isinstance(p, float) and p != p):
+                            return dict(defaults)
+                        return {**defaults, **dict(p)}
+
+                    pdf = pdf.assign(_params=[_merge(p) for p in row_ps])
                 yield _run_batch(pdf, fn, key, out_cols, retries)
 
         return df.mapInPandas(_apply, schema=schema)
@@ -132,6 +151,38 @@ def ok(df: DataFrame) -> DataFrame:
 def failed(df: DataFrame) -> DataFrame:
     """Quarantined rows for inspection/retry (≙ error sample A5)."""
     return df.filter(df["_error"].isNotNull())
+
+
+def run_with_retries(stage: VectorMap, df: DataFrame, max_passes: int = 2) -> DataFrame:
+    """Run ``stage`` and then re-run ONLY its quarantined rows, up to
+    ``max_passes`` total attempts, merging recovered rows over their
+    quarantined versions — the reference's rewrite-the-response-file-minus-
+    failures retry sub-DAG (``base_request_processor.py:508-537``).
+
+    Each pass is a full Spark sub-job on the failed subset (selected with a
+    semi-join on ``stage.key``); rows still failing after the last pass
+    keep their ``_error``. The early-exit probe is one small count() per
+    pass — bounded by ``max_passes``, exactly like the reference's bounded
+    resubmission loop.
+
+    Each pass's output is snapshotted (eager localCheckpoint) before rows
+    are routed on ``_error``: transiently-failing stages are exactly the
+    point of this function, and a lazy plan would RE-EXECUTE the earlier
+    pass at consumption time — after the transient condition cleared —
+    flipping quarantined rows to success and duplicating them against
+    their retried copies."""
+    out = stage(df).localCheckpoint(eager=True)
+    for _ in range(max(0, max_passes - 1)):
+        bad_keys = out.filter(out["_error"].isNotNull()).select(stage.key)
+        if bad_keys.count() == 0:
+            break
+        retried = stage(df.join(bad_keys, stage.key, "left_semi"))
+        out = (
+            out.filter(out["_error"].isNull())
+            .unionByName(retried)
+            .localCheckpoint(eager=True)
+        )
+    return out
 
 
 def code_exec_stage(

@@ -162,7 +162,37 @@ class Pipeline:
             # Without one of these two pruned paths, G commit groups re-scan
             # the full table G times (1.6 PB of reads for a 100 TB table at
             # G=16).
-            base = raw
+            #
+            # The layout must cover range(n_partitions) exactly: a table
+            # laid out with a DIFFERENT partition count (or null keys)
+            # would leave rows no commit group ever selects — silently
+            # dropped while the run reports complete. One column-pruned
+            # agg validates; on mismatch we recompute part_key (one
+            # shuffle) instead of trusting the layout.
+            s = raw.agg(
+                F.min("part_key").alias("lo"),
+                F.max("part_key").alias("hi"),
+                F.sum(F.col("part_key").isNull().cast("long")).alias("nulls"),
+            ).collect()[0]
+            if (s["nulls"] or 0) > 0 or s["lo"] is None or s["lo"] < 0 or s["hi"] >= cfg.n_partitions:
+                if "clip_id" not in raw.columns:
+                    raise ValueError(
+                        f"input part_key layout [{s['lo']}, {s['hi']}] (nulls={s['nulls']}) "
+                        f"does not fit n_partitions={cfg.n_partitions} and no clip_id "
+                        "column exists to recompute it"
+                    )
+                import warnings
+
+                warnings.warn(
+                    f"input part_key layout [{s['lo']}, {s['hi']}] (nulls={s['nulls']}) does not "
+                    f"fit n_partitions={cfg.n_partitions}; recomputing part_key from clip_id",
+                    stacklevel=2,
+                )
+                base = raw.drop("part_key").withColumn(
+                    "part_key", F.pmod(F.xxhash64("clip_id"), F.lit(cfg.n_partitions)).cast("int")
+                )
+            else:
+                base = raw
         else:
             base = raw.withColumn(
                 "part_key", F.pmod(F.xxhash64("clip_id"), F.lit(cfg.n_partitions)).cast("int")

@@ -88,6 +88,74 @@ def test_vector_map_nested_ddl_quarantine(spark):
     assert bad.head()["_error"].startswith("RuntimeError")
 
 
+def test_run_with_retries_recovers_transient_failures(spark, tmp_path):
+    """T2/F2 retry sub-DAG: rows that fail transiently (first attempt only)
+    are quarantined by pass 1 and recovered by pass 2; the merged output
+    has no _error rows and correct values (≙ rewrite-response-file-minus-
+    failures, base_request_processor.py:508-537)."""
+    from curator_spark.api import run_with_retries
+
+    marker_dir = str(tmp_path)
+
+    def flaky(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Rows with row_key % 7 == 0 fail until their singleton bisect
+        attempt has happened (marker written only at len==1, so the row is
+        deterministically quarantined in pass 1 and recovers in pass 2)."""
+        import os
+
+        bad = [
+            int(k)
+            for k in pdf["row_key"]
+            if int(k) % 7 == 0 and not os.path.exists(os.path.join(marker_dir, f"seen_{int(k)}"))
+        ]
+        if bad:
+            if len(pdf) == 1:
+                open(os.path.join(marker_dir, f"seen_{bad[0]}"), "w").close()
+            raise ValueError(f"transient {bad}")
+        return pdf.assign(y=pdf["x"] + 5)[["row_key", "y"]]
+
+    stage = VectorMap(name="flaky", fn=flaky, out_schema="row_key long, y long", retries=1)
+    first = stage(_mk_df(spark, 30)).persist()
+    assert sorted(r["row_key"] for r in failed(first).collect()) == [0, 7, 14, 21, 28]
+    first.unpersist()
+    # fresh markers for the measured run: wipe and go through the sub-DAG
+    import os, shutil  # noqa: E401
+
+    shutil.rmtree(marker_dir)
+    os.makedirs(marker_dir)
+    out = run_with_retries(stage, _mk_df(spark, 30), max_passes=3).persist()
+    rows = out.orderBy("row_key").collect()
+    out.unpersist()
+    assert all(r["_error"] is None for r in rows)
+    assert [r["y"] for r in rows] == [i * 10 + 5 for i in range(30)]
+
+
+def test_vector_map_per_row_params_override(spark):
+    """M8: per-row params map merged over stage defaults
+    (≙ prompt_formatter.py:101-112)."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"row_key": [0, 1, 2], "x": [5, 5, 5]})
+    ).withColumn(
+        "params",
+        F.when(F.col("row_key") == 1, F.create_map(F.lit("mult"), F.lit(10))),
+    )
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["row_key"]].copy()
+        out["y"] = [int(x) * int(p["mult"]) for x, p in zip(pdf["x"], pdf["_params"])]
+        return out
+
+    stage = VectorMap(
+        name="scale",
+        fn=scale,
+        out_schema="row_key long, y long",
+        defaults=(("mult", 2),),
+        params_col="params",
+    )
+    got = {r["row_key"]: r["y"] for r in ok(stage(df)).collect()}
+    assert got == {0: 10, 1: 50, 2: 10}  # row 1 overrides mult=10
+
+
 def test_code_exec_stage(spark):
     """M7: per-row sandboxed code execution via subprocess pool."""
     from curator_spark.api import code_exec_stage

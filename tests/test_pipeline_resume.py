@@ -153,6 +153,34 @@ def test_prepartitioned_input_prunes_and_matches(spark, workdir):
     assert a == b
 
 
+def test_mismatched_part_key_layout_recomputed_not_dropped(spark, workdir):
+    """An input laid out with a DIFFERENT partition count than the current
+    config (part_key values outside range(n_partitions)) must not silently
+    drop the out-of-range rows: the pipeline validates the layout and
+    recomputes part_key from clip_id, labeling every row."""
+    inp = os.path.join(workdir, "clips_flat")
+    clips.write_clips(spark, N, inp)
+    cfg = PipelineConfig(n_partitions=16, commit_batches=4)
+
+    # lay out with 64 keys — 3/4 of them outside range(16)
+    part_inp = os.path.join(workdir, "clips_by_wrong_key")
+    (
+        spark.read.parquet(inp)
+        .withColumn("part_key", F.pmod(F.xxhash64("clip_id"), F.lit(64)).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("part_key")
+        .parquet(part_inp)
+    )
+
+    cat = ParquetCatalog(spark, os.path.join(workdir, "wh_wrong"))
+    with pytest.warns(UserWarning, match="recomputing part_key"):
+        res = Pipeline(spark, cat, cfg).run(part_inp)
+    assert res.scan_mode == "column"
+    out = cat.read("clips_labeled")
+    assert out.count() == N  # every row labeled, none dropped
+    assert out.select(F.max("part_key")).head()[0] < cfg.n_partitions
+
+
 def test_corrupt_audio_quarantined_not_fatal(spark, workdir):
     """Malformed audio payloads (truncated WAV chunks, garbage, unknown
     codec) must be quarantined — keep=false with an audio reason, counted
