@@ -32,21 +32,32 @@ def _ensure_pkg(spark: SparkSession) -> None:
     done = getattr(_ensure_pkg, "_done", set())
     if id(sc) in done:
         return
+    import hashlib
+    import tempfile
+
     pkg_dir = os.path.join(_REPO, "curator_spark")
-    zpath = os.path.join("/tmp", "curator_spark_auto.zip")
+    # repo-path + uid in the name: two checkouts (or two users) must not
+    # share a zip keyed only by mtime — the newer build would ship the
+    # WRONG package version to the other driver's workers
+    tag = hashlib.blake2b(_REPO.encode(), digest_size=6).hexdigest()
+    zpath = os.path.join("/tmp", f"curator_spark_auto_{tag}_{os.getuid()}.zip")
     if not os.path.exists(zpath) or os.path.getmtime(zpath) < max(
         os.path.getmtime(os.path.join(r, f))
         for r, _d, fs in os.walk(pkg_dir)
         for f in fs
         if f.endswith(".py")
     ):
-        with zipfile.ZipFile(zpath + ".tmp", "w") as z:
+        # unique tempfile → atomic replace: concurrent drivers never see a
+        # half-written zip
+        fd, tmp = tempfile.mkstemp(suffix=".zip", dir="/tmp")
+        os.close(fd)
+        with zipfile.ZipFile(tmp, "w") as z:
             for r, _d, fs in os.walk(pkg_dir):
                 for f in fs:
                     if f.endswith(".py"):
                         full = os.path.join(r, f)
                         z.write(full, os.path.relpath(full, _REPO))
-        os.replace(zpath + ".tmp", zpath)
+        os.replace(tmp, zpath)
     try:
         sc.addPyFile(zpath)
     except Exception:  # already registered in this context

@@ -200,6 +200,14 @@ def code_exec_stage(
     executor scaling / container images on a real cluster).
 
     Input columns: ``row_key``, ``code string``, ``stdin string``.
+
+    **Execution semantics: at-least-once.** Spark may re-run a task after
+    executor loss, and a poisoned row in a batch triggers bisect re-runs
+    of its batch-mates (``_run_batch``) — so a row's program can execute
+    up to ``retries + log2(batch)`` times. Programs must be idempotent
+    (pure compute, or external effects keyed on ``row_key``); this is the
+    same contract the reference's retried request processors impose on
+    user code.
     """
     import subprocess
     import sys

@@ -18,6 +18,8 @@ Scale design (10^9+ docs):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -178,15 +180,33 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_STACKED_CACHE: dict[tuple[int, str], DataFrame] = {}
+_STACKED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    # applicationId (not id(spark)): a garbage-collected session's id()
+    # can be reused by a NEW session, which would then receive a persisted
+    # DataFrame bound to the dead one. The snapshot id invalidates the
+    # cache when the files under sf_dir change.
+    from ..catalog import dir_snapshot_id
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isfile(docs):
+        st = os.stat(docs)
+        snap = f"{st.st_size}:{st.st_mtime_ns}"
+    elif os.path.isdir(docs):
+        snap = dir_snapshot_id(docs)
+    else:
+        snap = "absent"
+    return (spark.sparkContext.applicationId, f"{sf_dir}|{snap}")
 
 
 def _stacked_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, bucket) rows, persisted once per (session, sf_dir): both
+    """(doc_id, bucket) rows, persisted once per (application, sf_dir): both
     sides of the pair self-join and every downstream op (jaccard verify,
     dup_groups) reuse ONE cached copy instead of leaking a new persisted
     DataFrame per call."""
-    ck = (id(spark), sf_dir)
+    ck = _cache_key(spark, sf_dir)
     if ck in _STACKED_CACHE:
         return _STACKED_CACHE[ck]
     sigs = minhash_signatures(spark, sf_dir)
@@ -202,12 +222,13 @@ def _stacked_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def clear_session_cache(spark: SparkSession) -> None:
-    """Unpersist and drop this session's cached bucket tables (benchmarks
-    call this between repeats so each run does full work)."""
+    """Unpersist and drop this application's cached bucket tables
+    (benchmarks call this between repeats so each run does full work)."""
+    app = spark.sparkContext.applicationId
     for (sid, _), df in list(_STACKED_CACHE.items()):
-        if sid == id(spark):
+        if sid == app:
             df.unpersist()
-    for k in [k for k in _STACKED_CACHE if k[0] == id(spark)]:
+    for k in [k for k in _STACKED_CACHE if k[0] == app]:
         del _STACKED_CACHE[k]
 
 

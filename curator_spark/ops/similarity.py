@@ -32,11 +32,20 @@ def _cosine(x: Column, y: Column) -> Column:
     return dot / (nx * ny)
 
 
-def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
-    row = (
-        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id).select("embedding").head()
+def query_vectors(spark: SparkSession, sf_dir: str, vec_ids: tuple[int, ...]) -> dict[int, list[float]]:
+    """All requested vectors in ONE Spark job (an isin filter), not one
+    driver round-trip per id."""
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id").isin([int(i) for i in vec_ids]))
+        .select("vec_id", "embedding")
+        .collect()
     )
-    return list(row[0])
+    return {int(r[0]): list(r[1]) for r in rows}
+
+
+def query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    return query_vectors(spark, sf_dir, (vec_id,))[vec_id]
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
@@ -75,11 +84,21 @@ def ivf_topk(
     table, so a probe reads n_probe partitions instead of the full table
     (partition pruning does the work — no custom index server)."""
     emb = load(spark, sf_dir, "embeddings")
-    # orderBy before limit: a bare limit() has no row-order guarantee, so
-    # the "deterministic" centroids would depend on scheduler/partition
-    # order — breaking the determinism contract with the driver
+    # seeded hash sample: deterministic (pure function of vec_id),
+    # unbiased (xxhash64 decorrelates from any id ordering), and bounded
+    # (~2048-4096 rows collected regardless of table size). A bare
+    # limit() has no row-order guarantee and an orderBy().limit() trains
+    # on the lowest ids — non-representative at scale.
+    n = emb.count()
+    rate = max(1, int(n) // 2048)
     sample = np.asarray(
-        [r[1] for r in emb.select("vec_id", "embedding").orderBy("vec_id").limit(2048).collect()],
+        [
+            r[1]
+            for r in emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(rate)) == 0)
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")  # stable row order into the seeded k-means init
+            .collect()
+        ],
         dtype=np.float64,
     )
     cent = _train_centroids(sample, n_cells)
@@ -87,12 +106,14 @@ def ivf_topk(
 
     @F.pandas_udf("int")
     def cell_of(vecs: pd.Series) -> pd.Series:
-        c = cent_b.value
-        out = np.empty(len(vecs), dtype=np.int32)
-        for i, v in enumerate(vecs):
-            a = np.asarray(v, dtype=np.float64)
-            out[i] = int(((c - a) ** 2).sum(axis=1).argmin())
-        return pd.Series(out)
+        c = cent_b.value  # (n_cells, d)
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.int32)
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # argmin over squared distance via one matmul per batch:
+        # ||e-c||^2 = ||e||^2 - 2 e·c + ||c||^2 (||e||^2 constant per row)
+        d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (E @ c.T)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
 
     qvec = query_vector(spark, sf_dir, 0)  # fetched once, reused below
     qv = np.asarray(qvec, dtype=np.float64)
@@ -117,9 +138,9 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``CENTROID_IDS``), rolled up per cluster. Fully SQL-expressible —
     sequential-fold double math matches the DuckDB oracle bit-exactly."""
     emb = load(spark, sf_dir, "embeddings")
+    cvecs = query_vectors(spark, sf_dir, CENTROID_IDS)  # one job for all four
     cents = [
-        F.array(*[F.lit(float(np.float32(v))) for v in query_vector(spark, sf_dir, cid)])
-        for cid in CENTROID_IDS
+        F.array(*[F.lit(float(np.float32(v))) for v in cvecs[cid]]) for cid in CENTROID_IDS
     ]
 
     def dist2(x: Column, c: Column) -> Column:

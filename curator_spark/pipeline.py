@@ -49,6 +49,7 @@ from .config import PipelineConfig
 OUTPUT_TABLE = "clips_labeled"
 CHECKPOINT_TABLE = "checkpoints"
 AUDIT_TABLE = "audit"
+RUNS_TABLE = "runs"
 
 
 def _run_table(fingerprint: str) -> str:
@@ -120,8 +121,11 @@ class Pipeline:
         harness's analog of the reference's SIGALRM kill
         (``tests/integrations/test_all.py:36-49``).
         """
+        from datetime import datetime, timezone
+
         cfg = self.cfg
         t0 = time.monotonic()
+        started_at = datetime.now(timezone.utc)
         fingerprint = cfg.fingerprint(dir_snapshot_id(input_path))
         self.last_fingerprint = fingerprint
         done = self.committed_keys(fingerprint)
@@ -133,6 +137,9 @@ class Pipeline:
         if done >= all_keys:  # job-level cache hit (≙ F5 short-circuit)
             res.cached = True
             res.partitions_skipped = len(all_keys)
+            # covers resume-after-crash completing via checkpoints alone:
+            # the runs row is deduped, so a normal cache hit appends nothing
+            self._commit_run_row(fingerprint, input_path, started_at, res)
             return res
 
         raw = self.spark.read.parquet(input_path)
@@ -256,7 +263,46 @@ class Pipeline:
             groups_done += 1
             if failpoint_after_groups is not None and groups_done >= failpoint_after_groups:
                 raise RuntimeError(f"failpoint: aborted after {groups_done} group commits")
+        self._commit_run_row(fingerprint, input_path, started_at, res)
         return res
+
+    # -- runs catalog ------------------------------------------------------
+
+    def _commit_run_row(self, fingerprint: str, input_path: str, started_at, res: RunResult) -> None:
+        """One queryable row per completed run fingerprint (≙ the
+        reference's ``runs`` metadata DB, ``db.py:59-131``): fingerprint →
+        canonical config JSON + input + timestamps. Deduped — a resume or
+        cache-hit of the same fingerprint keeps the original row."""
+        import pandas as pd
+
+        if self.catalog.exists(RUNS_TABLE):
+            seen = (
+                self.catalog.read(RUNS_TABLE)
+                .filter(F.col("run_fingerprint") == fingerprint)
+                .head(1)
+            )
+            if seen:
+                return
+        pdf = pd.DataFrame(
+            {
+                "run_fingerprint": [fingerprint],
+                "config_json": [self.cfg.canonical_json()],
+                "input_path": [input_path],
+                "started_at": [started_at],
+                "partitions_run": pd.array([res.partitions_run], dtype="int32"),
+                "partitions_skipped": pd.array([res.partitions_skipped], dtype="int32"),
+            }
+        )
+        df = (
+            self.spark.createDataFrame(pdf)
+            .withColumn("finished_at", F.current_timestamp())
+            .coalesce(1)  # driver-sized log append (see _commit_checkpoints)
+        )
+        self.catalog.append(df, RUNS_TABLE)
+
+    def runs(self) -> DataFrame:
+        """Enumerate past runs (fingerprint, config, timestamps)."""
+        return self.catalog.read(RUNS_TABLE)
 
     # -- commits -----------------------------------------------------------
 

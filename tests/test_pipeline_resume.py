@@ -153,6 +153,29 @@ def test_prepartitioned_input_prunes_and_matches(spark, workdir):
     assert a == b
 
 
+def test_runs_table_enumerates_and_dedupes(env):
+    """≙ the reference's runs metadata DB (db.py:59-131): one queryable row
+    per run fingerprint; re-running (cache hit) appends nothing; a config
+    change creates a second, distinct row."""
+    spark, inp, cfg, cat = env
+    p1 = Pipeline(spark, cat, cfg)
+    p1.run(inp)
+    fp1 = p1.last_fingerprint
+    p1.run(inp)  # cache hit — must dedupe
+    from curator_spark.config import RuleThresholds
+
+    cfg2 = PipelineConfig(
+        n_partitions=16, commit_batches=4, rules=RuleThresholds(len_min=21)
+    )
+    p2 = Pipeline(spark, cat, cfg2)
+    p2.run(inp)
+    rows = {r["run_fingerprint"]: r for r in p1.runs().collect()}
+    assert set(rows) == {fp1, p2.last_fingerprint} and len(rows) == 2
+    assert rows[fp1]["config_json"] == cfg.canonical_json()
+    assert rows[p2.last_fingerprint]["config_json"] == cfg2.canonical_json()
+    assert rows[fp1]["input_path"] == inp and rows[fp1]["finished_at"] is not None
+
+
 def test_mismatched_part_key_layout_recomputed_not_dropped(spark, workdir):
     """An input laid out with a DIFFERENT partition count than the current
     config (part_key values outside range(n_partitions)) must not silently

@@ -135,6 +135,13 @@ def main() -> None:
         "pass": eff >= 0.8,
         "ladder": {str(lv): results[lv] for lv in levels},
     }
+    # the saturation regime must be visible in the machine-readable result,
+    # not only the ladder: 8→32 measures the same job ABOVE the single-VM
+    # memory-bandwidth wall (expected to fail 0.8 on one box; a real
+    # cluster adds bandwidth per executor — see Methodology below)
+    if 8 in results and 32 in results:
+        eff_sat = (results[8]["wall_sec"] / results[32]["wall_sec"]) / 4
+        summary["scaling_efficiency_8_to_32_single_vm"] = round(eff_sat, 3)
     print(json.dumps(summary))
 
     ladder_rows = "\n".join(
