@@ -134,7 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ivf_topk": similarity.ivf_topk,                      # rows-only
         "kmeans_assign": similarity.kmeans_assign,
-        "dup_groups": dedup.dup_groups,                       # rows-only (iterative)
+        "dup_groups": dedup.dup_groups,
         # text analysis
         "token_count": text.token_count,
         "quality_scores": text.quality_scores,
@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_exec_rows": usermap.code_exec_rows,
         # multimodal (binary column + batched decode UDF)
         "audio_decode_features": multimodal.audio_decode_features,  # rows-only
+        "image_decode_features": multimodal.image_decode_features,  # rows-only
         "clip_keep_summary": multimodal.clip_keep_summary,          # rows-only
     }
     return {name: _wrap(fn) for name, fn in qs.items()}
@@ -195,6 +196,27 @@ WITH harr AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM stacked a JOIN stacked b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 )"""
+
+    # dup_groups: connected components over the SAME LSH pair CTE, as a
+    # recursive transitive closure + MIN-per-source — exact at oracle scale
+    # (the Spark side's HashMin label propagation computes the same fixpoint
+    # distributively; exactness vs union-find is also pytest-asserted)
+    dup_groups_sql = (
+        pairs_cte.replace("WITH harr AS", "WITH RECURSIVE harr AS", 1)
+        + """, edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS doc_id FROM edges
+), reach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT CAST(MIN(dst) AS BIGINT) AS group_id, src AS doc_id
+FROM reach GROUP BY src ORDER BY group_id, doc_id
+"""
+    )
 
     # simhash: token hash = first 8 bytes of md5 (big-endian) == DuckDB's
     # ('0x' || substring(md5(t),1,16))::UBIGINT; signed fingerprint is
@@ -392,6 +414,7 @@ SELECT * FROM sigb ORDER BY doc_id
 SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
 """,
         "embedding_near_dups": emb_near_sql,
+        "dup_groups": dup_groups_sql,
         "vector_map_retry": """
 SELECT event_id AS row_key,
   CASE WHEN event_id % 97 = 0 THEN NULL ELSE value * 2 END AS doubled,

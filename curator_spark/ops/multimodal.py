@@ -40,6 +40,101 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IMAGES_SCHEMA = "image_id long, fmt string, width int, height int, data binary"
+IMAGE_FEATURES_SCHEMA = (
+    "image_id long, fmt string, mean_lum double, contrast double, entropy double, "
+    "edge_strength double, aspect double, thumb_bytes long, decode_ok boolean"
+)
+
+
+def generate_images(spark: SparkSession, n: int, n_partitions: int = 4) -> DataFrame:
+    """Distributed synthetic image table (pure function of image_id —
+    same driver-free seeding pattern as synth/clips.py)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..synth import imagegen
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame([imagegen.make_image(int(i)) for i in pdf["id"]])
+
+    return spark.range(0, n, 1, n_partitions).mapInPandas(_gen, schema=IMAGES_SCHEMA)
+
+
+def image_decode_stage(df: DataFrame) -> DataFrame:
+    """Batched decode + feature extraction for the image payload — the
+    same binary-column pattern as the audio decode stage (decode once per
+    Arrow batch, pixels dropped before anything shuffles, malformed or
+    external-codec rows quarantined with ``decode_ok = false`` instead of
+    failing the task). At table scale this sits behind the identical
+    manifest-scan path the audio pipeline uses (manifest.py) so the bytes
+    never cross the JVM→Python socket."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..scoring import image as img
+
+    def _decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    f = img.decode_features(bytes(r.data), r.fmt, int(r.width), int(r.height))
+                    rows.append(
+                        {
+                            "image_id": int(r.image_id),
+                            "fmt": r.fmt,
+                            **{k: f[k] for k in ("mean_lum", "contrast", "entropy", "edge_strength", "aspect")},
+                            "thumb_bytes": int(f["thumb_bytes"]),
+                            "decode_ok": True,
+                        }
+                    )
+                except (ValueError, NotImplementedError):
+                    rows.append(
+                        {
+                            "image_id": int(r.image_id),
+                            "fmt": r.fmt,
+                            "mean_lum": None,
+                            "contrast": None,
+                            "entropy": None,
+                            "edge_strength": None,
+                            "aspect": None,
+                            "thumb_bytes": None,
+                            "decode_ok": False,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.split()[0] for f in IMAGE_FEATURES_SCHEMA.split(", ")])
+
+    return df.mapInPandas(_decode, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second media modality under the driver gate (rows-only — pixel math
+    has no SQL form; parity vs the pure-numpy oracle and partitioning
+    invariance live in tests/test_image.py). Proves the binary-column
+    pattern extends beyond audio: real header-parsing decode (PPM P6 +
+    raw RGB), feature extraction, resize, quarantine-not-fail."""
+    imgs = generate_images(spark, 200)
+    return (
+        image_decode_stage(imgs)
+        .select(
+            "image_id",
+            "fmt",
+            F.round("mean_lum", 6).alias("mean_lum"),
+            F.round("contrast", 6).alias("contrast"),
+            F.round("entropy", 6).alias("entropy"),
+            F.round("edge_strength", 6).alias("edge_strength"),
+            F.round("aspect", 6).alias("aspect"),
+            "thumb_bytes",
+            "decode_ok",
+        )
+        .orderBy("image_id")
+    )
+
+
 def clip_keep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete north-rule DAG (decode -> langid+ppl -> rules -> scrub
     -> keep/drop) over a deterministic seeded clip batch, rolled up per

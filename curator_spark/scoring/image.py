@@ -1,0 +1,94 @@
+"""Image decode + feature extraction — the shared pure-numpy core.
+
+The image twin of :mod:`curator_spark.scoring.audio`: used identically by
+the Spark ``mapInPandas`` stage and the pure-Python test oracle, so
+decoded-pixel parity holds by construction. Reference analog: the image
+branch of the media prompt types (``types/prompt.py:12-117`` — bytes +
+metadata, decoded lazily, size-checked).
+
+Supported here without external libs:
+- ``ppm``      — binary PPM P6 (public format), header parsed + validated
+- ``rgb8_raw`` — raw interleaved RGB8, validated against width/height
+
+JPEG/PNG/WebP would plug into the same ``decode(blob, fmt, w, h)``
+dispatch via Pillow/libvips; those libs are not in this image, so such
+formats raise (clearly-marked stub), and the batched stage quarantines
+the row (``decode_ok = false``) instead of failing the task.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def decode(blob: bytes, fmt: str, width: int, height: int) -> np.ndarray:
+    """bytes → (h, w, 3) uint8. Pure function of the row; raises on
+    malformed payloads or metadata mismatch."""
+    if fmt == "ppm":
+        if not blob.startswith(b"P6"):
+            raise ValueError("not a P6 PPM")
+        parts = blob.split(b"\n", 3)
+        if len(parts) < 4:
+            raise ValueError("truncated PPM header")
+        w, h = (int(x) for x in parts[1].split())
+        maxval = int(parts[2])
+        if maxval != 255:
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        if (w, h) != (width, height):
+            raise ValueError(f"dims mismatch: ppm={w}x{h} meta={width}x{height}")
+        px = np.frombuffer(parts[3], dtype=np.uint8)
+        if px.size != w * h * 3:
+            raise ValueError("PPM payload size mismatch")
+        return px.reshape(h, w, 3)
+    if fmt == "rgb8_raw":
+        px = np.frombuffer(blob, dtype=np.uint8)
+        if px.size != width * height * 3:
+            raise ValueError("raw payload size mismatch")
+        return px.reshape(height, width, 3)
+    # STUB: real deployments dispatch to Pillow/libvips here.
+    raise NotImplementedError(f"format {fmt!r} needs an external decoder")
+
+
+def features(px: np.ndarray) -> dict[str, float]:
+    """Per-image features. All float64; identical math in oracle and UDF."""
+    lum = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    mean_lum = float(lum.mean())
+    contrast = float(lum.std())
+    hist = np.bincount((lum // 16).astype(np.int64).ravel(), minlength=16)[:16]
+    p = hist / max(1, lum.size)
+    nz = p[p > 0]
+    entropy = float(-(nz * np.log2(nz)).sum())
+    # edge strength: mean absolute first difference in both axes
+    ex = np.abs(np.diff(lum, axis=1)).mean() if lum.shape[1] > 1 else 0.0
+    ey = np.abs(np.diff(lum, axis=0)).mean() if lum.shape[0] > 1 else 0.0
+    return {
+        "mean_lum": mean_lum,
+        "contrast": contrast,
+        "entropy": entropy,
+        "edge_strength": float((ex + ey) / 2.0),
+        "aspect": float(px.shape[1] / px.shape[0]),
+    }
+
+
+def thumbnail(px: np.ndarray, max_side: int = 8) -> np.ndarray:
+    """Deterministic nearest-neighbor downsample (the resize path real
+    pipelines run before feature models). Pure index arithmetic — no
+    interpolation library needed."""
+    h, w, _ = px.shape
+    scale = max(1.0, max(h, w) / max_side)
+    # round, not floor: truncation distorts aspect badly at thumb sizes
+    # (16x45 → 2x8 instead of 3x8)
+    th, tw = max(1, round(h / scale)), max(1, round(w / scale))
+    ys = (np.arange(th) * (h / th)).astype(np.int64)
+    xs = (np.arange(tw) * (w / tw)).astype(np.int64)
+    return px[ys][:, xs]
+
+
+def decode_features(blob: bytes, fmt: str, width: int, height: int) -> dict[str, float]:
+    """decode → features + thumbnail size → drop pixels. One call per row
+    inside an Arrow batch; the decoded array never persists past it."""
+    px = decode(blob, fmt, width, height)
+    out = features(px)
+    th = thumbnail(px)
+    out["thumb_bytes"] = float(th.nbytes)
+    return out
