@@ -170,15 +170,26 @@ def run_with_retries(stage: VectorMap, df: DataFrame, max_passes: int = 2) -> Da
     point of this function, and a lazy plan would RE-EXECUTE the earlier
     pass at consumption time — after the transient condition cleared —
     flipping quarantined rows to success and duplicating them against
-    their retried copies."""
+    their retried copies.
+
+    Contract: ``stage.key`` must be unique and non-null per INPUT row
+    (the same lineage contract VectorMap itself imposes) — rows are routed
+    by key, so a duplicated key would retry-and-duplicate its siblings.
+    Quarantined rows with a null key cannot be matched back to an input
+    row; they are kept quarantined in the output rather than retried."""
     out = stage(df).localCheckpoint(eager=True)
     for _ in range(max(0, max_passes - 1)):
-        bad_keys = out.filter(out["_error"].isNotNull()).select(stage.key)
+        bad_keys = (
+            out.filter(out["_error"].isNotNull() & out[stage.key].isNotNull())
+            .select(stage.key)
+            .distinct()
+        )
         if bad_keys.count() == 0:
             break
         retried = stage(df.join(bad_keys, stage.key, "left_semi"))
         out = (
-            out.filter(out["_error"].isNull())
+            # keep: successes + null-key quarantines (unretryable)
+            out.filter(out["_error"].isNull() | out[stage.key].isNull())
             .unionByName(retried)
             .localCheckpoint(eager=True)
         )

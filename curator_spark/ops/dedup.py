@@ -180,10 +180,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_STACKED_CACHE: dict[tuple[str, str], DataFrame] = {}
+_STACKED_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     # applicationId (not id(spark)): a garbage-collected session's id()
     # can be reused by a NEW session, which would then receive a persisted
     # DataFrame bound to the dead one. The snapshot id invalidates the
@@ -198,17 +198,21 @@ def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         snap = dir_snapshot_id(docs)
     else:
         snap = "absent"
-    return (spark.sparkContext.applicationId, f"{sf_dir}|{snap}")
+    return (spark.sparkContext.applicationId, sf_dir, snap)
 
 
 def _stacked_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, bucket) rows, persisted once per (application, sf_dir): both
-    sides of the pair self-join and every downstream op (jaccard verify,
-    dup_groups) reuse ONE cached copy instead of leaking a new persisted
-    DataFrame per call."""
+    """(doc_id, bucket) rows, persisted once per (application, sf_dir,
+    data snapshot): both sides of the pair self-join and every downstream
+    op (jaccard verify, dup_groups) reuse ONE cached copy instead of
+    leaking a new persisted DataFrame per call."""
     ck = _cache_key(spark, sf_dir)
     if ck in _STACKED_CACHE:
         return _STACKED_CACHE[ck]
+    # snapshot changed → the old entry for this (app, dir) is stale;
+    # unpersist it rather than leaking its blocks for the app's lifetime
+    for old in [k for k in _STACKED_CACHE if k[:2] == ck[:2]]:
+        _STACKED_CACHE.pop(old).unpersist()
     sigs = minhash_signatures(spark, sf_dir)
     n_bands = N_HASHES // BAND_SIZE
     stacked = sigs.select(
@@ -307,10 +311,21 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 count=len(uniq),
             )
             shifts = np.arange(64, dtype=np.uint64)
-            bits = ((uh[inv][:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-            votes = np.zeros((len(texts), 64), dtype=np.int64)
-            np.add.at(votes, np.asarray(rows), 2 * bits - 1)
-            fp = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+            # expand bits for the UNIQUE vocabulary only (vocab x 64 int8)
+            # and accumulate occurrence votes in bounded chunks — an
+            # (occurrences x 64) int64 expansion would be a multi-GB
+            # transient at default 10k-row Arrow batches
+            bits_u = ((uh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8)
+            ones = np.zeros((len(texts), 64), dtype=np.int64)
+            rows_a = np.asarray(rows)
+            step = 1 << 16
+            for s in range(0, len(inv), step):
+                np.add.at(ones, rows_a[s : s + step], bits_u[inv[s : s + step]])
+            n_tok = np.bincount(rows_a, minlength=len(texts))
+            # majority vote: votes > 0 ⇔ 2*ones > n_tokens
+            fp = ((2 * ones > n_tok[:, None]).astype(np.uint64) << shifts[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
             out = fp.astype(np.int64)
         return pd.Series(out)
 
@@ -328,7 +343,15 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -
         "simhash",
         F.explode(
             F.array(*[
-                F.concat_ws(":", F.lit(str(c)), F.shiftrightunsigned("simhash", 16 * c) % (1 << 16))
+                # bitwiseAND, not %: signed remainder of a negative
+                # fingerprint (bit 63 set, c=0) is negative, which would
+                # give sign-dependent block keys and miss cross-sign pairs
+                # the (ufp >> s) & 65535 oracle finds
+                F.concat_ws(
+                    ":",
+                    F.lit(str(c)),
+                    F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)),
+                )
                 for c in range(4)
             ])
         ).alias("block"),
@@ -397,6 +420,15 @@ def _emb_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
+    # planted ids must not collide with natural ids — one cheap
+    # parquet-stats max() job guards it (silent id aliasing would fan out
+    # the verify joins and corrupt pair rows)
+    top = emb.agg(F.max("vec_id")).head()[0]
+    if top is not None and top >= EMB_PLANT_OFFSET:
+        raise ValueError(
+            f"embeddings vec_id max {top} >= EMB_PLANT_OFFSET {EMB_PLANT_OFFSET}; "
+            "raise the offset before planting near-dups"
+        )
     planted = emb.filter(F.col("vec_id") % EMB_PLANT_MOD == 0).select(
         (F.col("vec_id") + F.lit(EMB_PLANT_OFFSET)).alias("vec_id"),
         F.concat(
@@ -420,7 +452,13 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str, threshold: float = 0.9
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         E = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (E @ planes.T) > 0  # (n, bands*bits) — one matmul per batch
+        # one matmul per batch. BLAS accumulation order differs from the
+        # oracle's sequential list_sum, so a dot within ~1e-13 of zero
+        # could flip a sign bit between engines; with |dot| ~ N(0,1) for
+        # unit vectors vs gaussian planes that is P ~ 1e-13 per (vec,
+        # plane) — ~1e-8 across sf0.1 — an accepted, documented risk (the
+        # exact-cosine verify stage stays order-matched via the fold).
+        bits = (E @ planes.T) > 0  # (n, bands*bits)
         keys = np.zeros((len(E), EMB_BANDS), dtype=np.int64)
         for b in range(EMB_BANDS):
             for k in range(EMB_BAND_BITS):
@@ -459,8 +497,9 @@ def dup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFra
     every round each node takes the min label among itself and its
     neighbors; converges in O(component diameter) rounds. Each round is
     one shuffle (edge join + min agg); the driver stops at fixpoint via a
-    cheap changed-count. Rows-only driver oracle (iterative — no single
-    SQL form); exactness vs a union-find is asserted in tests/test_ops.py.
+    cheap changed-count. Driver oracle: a DuckDB recursive transitive
+    closure over the same LSH pair CTE (exact at oracle scale); exactness
+    vs a union-find is also asserted in tests/test_ops.py.
     """
     edges = minhash_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
     # symmetric adjacency, cached: reused every iteration

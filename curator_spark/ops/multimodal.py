@@ -82,7 +82,9 @@ def image_decode_stage(df: DataFrame) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 try:
-                    f = img.decode_features(bytes(r.data), r.fmt, int(r.width), int(r.height))
+                    # TypeError (null bytes/dims) quarantines like any other
+                    # malformed row — the stage must never fail the task
+                    f = img.decode_features(bytes(r.data), str(r.fmt), int(r.width), int(r.height))
                     rows.append(
                         {
                             "image_id": int(r.image_id),
@@ -92,7 +94,7 @@ def image_decode_stage(df: DataFrame) -> DataFrame:
                             "decode_ok": True,
                         }
                     )
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, TypeError):
                     rows.append(
                         {
                             "image_id": int(r.image_id),

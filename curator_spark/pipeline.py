@@ -174,8 +174,11 @@ class Pipeline:
             # laid out with a DIFFERENT partition count (or null keys)
             # would leave rows no commit group ever selects — silently
             # dropped while the run reports complete. One column-pruned
-            # agg validates; on mismatch we recompute part_key (one
-            # shuffle) instead of trusting the layout.
+            # agg validates; on mismatch we recompute part_key from
+            # clip_id. NOTE: the recomputed column cannot partition-prune,
+            # so the fallback pays the generic computed-key cost (each
+            # commit group scans the table) — correctness over speed; the
+            # warning tells the operator to re-layout the input.
             s = raw.agg(
                 F.min("part_key").alias("lo"),
                 F.max("part_key").alias("hi"),

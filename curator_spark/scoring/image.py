@@ -24,6 +24,10 @@ import numpy as np
 def decode(blob: bytes, fmt: str, width: int, height: int) -> np.ndarray:
     """bytes → (h, w, 3) uint8. Pure function of the row; raises on
     malformed payloads or metadata mismatch."""
+    if width is None or height is None or width <= 0 or height <= 0:
+        raise ValueError(f"invalid dims {width}x{height}")
+    if blob is None:
+        raise ValueError("null payload")
     if fmt == "ppm":
         if not blob.startswith(b"P6"):
             raise ValueError("not a P6 PPM")

@@ -69,13 +69,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -
         if unknown:
             print(f"FAIL unknown query names: {unknown}")
             return 1
-    # rows-only ops: minimum expected row counts at sf0.01 so a silent
-    # empty-result regression fails loudly (embedding_near_dups is
-    # legitimately 0 — the testdata has no cosine>=0.95 pairs)
+    # rows-only ops (no oracle_sql entry): minimum expected row counts at
+    # sf0.01 so a silent empty-result regression fails loudly
     rows_only_min = {
-        "simhash_fingerprints": 1, "simhash_near_pairs": 1,
-        "embedding_near_dups": 0, "ivf_topk": 1, "dup_groups": 1,
-        "langid_docs": 1, "audio_decode_features": 1, "clip_keep_summary": 1,
+        "ivf_topk": 1, "langid_docs": 1, "doc_perplexity": 1,
+        "audio_decode_features": 1, "image_decode_features": 1,
+        "clip_keep_summary": 1,
     }
     for name, fn in qs.items():
         if only and name not in only:
