@@ -89,6 +89,74 @@ def stream_pipeline(
     return writer.start()
 
 
+def stream_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "stream_dedup",
+    max_files_per_trigger: int = 1,
+):
+    """Custom stateful operator: exactly-once streaming dedup across
+    micro-batches via ``applyInPandasWithState`` — the streaming face of
+    the exact-dedup family (content digest ≙ the reference's cache
+    identity, ``llm/llm.py:139-164``, held as per-key stream state the way
+    its status trackers persist counters across poll cycles,
+    ``batch_status_tracker.py:365-417``).
+
+    Each digest group keeps (seen, dup_count) state: the first arrival
+    (min clip_id within its batch) is emitted once; every later arrival —
+    same batch or any later micro-batch — only bumps the duplicate
+    counter. State is per-digest and lives in the state store (RocksDB on
+    a real cluster), so memory is bounded by DISTINCT payloads, not rows;
+    a production deployment with unbounded key churn would add a state
+    TTL via ``GroupStateTimeout`` — deliberately not set here so dedup is
+    exact over the whole stream. Results land in the in-memory table
+    ``query_name``."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = (
+        spark.readStream.schema(CLIPS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    keyed = src.withColumn("digest", F.md5("transcript"))
+
+    def _dedup(key, pdfs, state):
+        first = None
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                cand = pdf.sort_values("clip_id").iloc[:1]
+                if first is None or cand["clip_id"].iloc[0] < first["clip_id"].iloc[0]:
+                    first = cand
+        if state.exists:
+            (_seen, dup_count) = state.get
+            state.update((True, int(dup_count) + n))
+        else:
+            state.update((True, n - (0 if first is None else 1)))
+            if first is not None:
+                yield pd.DataFrame(
+                    {"digest": [key[0]], "canonical_id": [first["clip_id"].iloc[0]]}
+                )
+
+    dedup = keyed.groupBy("digest").applyInPandasWithState(
+        _dedup,
+        outputStructType="digest string, canonical_id string",
+        stateStructType="seen boolean, dup_count long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        dedup.writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_hourly_metrics(
     spark: SparkSession,
     labeled_dir: str,

