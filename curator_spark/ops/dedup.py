@@ -283,51 +283,57 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5
     )
 
 
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash (Charikar '02) over whitespace tokens, batch-vectorized:
-    each Arrow batch hashes its unique tokens once (md5 → first 8 bytes,
-    big-endian — the same value DuckDB's ('0x' || substring(md5(t),1,16))
-    cast produces, which is what makes the driver oracle expressible),
-    then accumulates all bit votes in two numpy scatter-adds instead of a
-    per-token Python loop. Deterministic across partitionings (per-row
-    function of text only)."""
+def _simhash_batch(texts) -> np.ndarray:
+    """(n,) int64 SimHash fingerprints for one batch of texts.
+
+    Token hash = first 8 bytes of md5 (big-endian) — the same value
+    DuckDB's ('0x' || substring(md5(t),1,16)) cast produces, which is what
+    makes the driver oracle expressible. Unique tokens are hashed once per
+    batch; bit votes accumulate via chunked scatter-adds — an
+    (occurrences x 64) int64 expansion would be a multi-GB transient at
+    default 10k-row Arrow batches, so bits are expanded for the unique
+    vocabulary only (vocab x 64 int8)."""
     import hashlib
+
+    toks: list[str] = []
+    rows: list[int] = []
+    for i, t in enumerate(texts):
+        for tok in (t or "").split(" "):
+            if tok:
+                toks.append(tok)
+                rows.append(i)
+    out = np.zeros(len(texts), dtype=np.int64)
+    if toks:
+        uniq, inv = np.unique(np.array(toks, dtype=object), return_inverse=True)
+        uh = np.fromiter(
+            (int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8], "big") for u in uniq),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        shifts = np.arange(64, dtype=np.uint64)
+        bits_u = ((uh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8)
+        ones = np.zeros((len(texts), 64), dtype=np.int64)
+        rows_a = np.asarray(rows)
+        step = 1 << 16
+        for s in range(0, len(inv), step):
+            np.add.at(ones, rows_a[s : s + step], bits_u[inv[s : s + step]])
+        n_tok = np.bincount(rows_a, minlength=len(texts))
+        # majority vote: votes > 0 ⇔ 2*ones > n_tokens
+        fp = ((2 * ones > n_tok[:, None]).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out = fp.astype(np.int64)
+    return out
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash (Charikar '02) over whitespace tokens, batch-vectorized
+    (see _simhash_batch). Deterministic across partitionings (per-row
+    function of text only)."""
 
     @F.pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:
-        toks: list[str] = []
-        rows: list[int] = []
-        for i, t in enumerate(texts):
-            for tok in (t or "").split(" "):
-                if tok:
-                    toks.append(tok)
-                    rows.append(i)
-        out = np.zeros(len(texts), dtype=np.int64)
-        if toks:
-            uniq, inv = np.unique(np.array(toks, dtype=object), return_inverse=True)
-            uh = np.fromiter(
-                (int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8], "big") for u in uniq),
-                dtype=np.uint64,
-                count=len(uniq),
-            )
-            shifts = np.arange(64, dtype=np.uint64)
-            # expand bits for the UNIQUE vocabulary only (vocab x 64 int8)
-            # and accumulate occurrence votes in bounded chunks — an
-            # (occurrences x 64) int64 expansion would be a multi-GB
-            # transient at default 10k-row Arrow batches
-            bits_u = ((uh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8)
-            ones = np.zeros((len(texts), 64), dtype=np.int64)
-            rows_a = np.asarray(rows)
-            step = 1 << 16
-            for s in range(0, len(inv), step):
-                np.add.at(ones, rows_a[s : s + step], bits_u[inv[s : s + step]])
-            n_tok = np.bincount(rows_a, minlength=len(texts))
-            # majority vote: votes > 0 ⇔ 2*ones > n_tokens
-            fp = ((2 * ones > n_tok[:, None]).astype(np.uint64) << shifts[None, :]).sum(
-                axis=1, dtype=np.uint64
-            )
-            out = fp.astype(np.int64)
-        return pd.Series(out)
+        return pd.Series(_simhash_batch(list(texts)))
 
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash("text").alias("simhash")).orderBy("doc_id")

@@ -67,3 +67,66 @@ def test_scrub_total_and_deterministic(t):
     s2, h2 = scrub.scrub(t)
     assert s1 == s2 and h1 == h2
     assert all(v >= 0 for v in h1.values())
+
+
+def _minhash_naive(text: str, k: int = 5) -> np.ndarray:
+    """The definitional per-row md5 MinHash (mirrors the DuckDB oracle)."""
+    import hashlib
+
+    from curator_spark.ops.dedup import M32, MINHASH_COEFFS
+
+    t = text if isinstance(text, str) else ""
+    n = max(len(t) - (k - 1), 1)
+    xs = np.array(
+        [
+            int.from_bytes(hashlib.md5(t[i : i + k].encode("utf-8")).digest()[:4], "big")
+            for i in range(n)
+        ],
+        dtype=np.int64,
+    )
+    a = np.array([a for a, _ in MINHASH_COEFFS], dtype=np.int64)[:, None]
+    b = np.array([b for _, b in MINHASH_COEFFS], dtype=np.int64)[:, None]
+    return ((a * xs[None, :] + b) % M32).min(axis=1)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=12))
+def test_minhash_fast_batch_equals_naive(texts):
+    """The vectorized unique-shingle byte-window path must be bit-equal to
+    the definitional per-row md5 loop for ANY input: unicode (non-ASCII
+    fallback), empty strings, and strings shorter than the shingle width."""
+    from curator_spark.ops.dedup import _minhash_batch
+
+    got = _minhash_batch(texts)
+    for i, t in enumerate(texts):
+        assert np.array_equal(got[i], _minhash_naive(t)), repr(t)
+
+
+def _simhash_naive(text: str) -> int:
+    """Definitional per-token SimHash with the md5-derived 64-bit hash."""
+    import hashlib
+
+    votes = np.zeros(64, dtype=np.int64)
+    for tok in (text or "").split(" "):
+        if not tok:
+            continue
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    fp = 0
+    for b in range(64):
+        if votes[b] > 0:
+            fp |= 1 << b
+    return int(np.uint64(fp).astype(np.int64))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=10))
+def test_simhash_vectorized_equals_naive(texts):
+    """The chunked scatter-add majority vote must match the definitional
+    per-token loop (ties at votes == 0 -> bit 0, empty docs -> fp 0)."""
+    from curator_spark.ops.dedup import _simhash_batch
+
+    got = _simhash_batch(texts)
+    for i, t in enumerate(texts):
+        assert int(got[i]) == _simhash_naive(t), repr(t)
