@@ -229,11 +229,8 @@ def clear_session_cache(spark: SparkSession) -> None:
     """Unpersist and drop this application's cached bucket tables
     (benchmarks call this between repeats so each run does full work)."""
     app = spark.sparkContext.applicationId
-    for (sid, _), df in list(_STACKED_CACHE.items()):
-        if sid == app:
-            df.unpersist()
     for k in [k for k in _STACKED_CACHE if k[0] == app]:
-        del _STACKED_CACHE[k]
+        _STACKED_CACHE.pop(k).unpersist()
 
 
 def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -167,3 +167,15 @@ def test_salted_skew_join_parity(spark):
     w = {r["name"]: (r["n"], r["sv"]) for r in want.collect()}
     assert g == w
     assert g["d7"][0] == n // 2 + (n // 2) // 50  # the hot key really is hot
+
+
+def test_clear_session_cache_drops_persisted_buckets(spark):
+    """bench.py calls this between repeats — a signature change in the
+    cache key must not break the unpersist sweep."""
+    from curator_spark.ops import dedup
+
+    dedup.minhash_dup_pairs(spark, SF_DIR).count()
+    app = spark.sparkContext.applicationId
+    assert any(k[0] == app for k in dedup._STACKED_CACHE)
+    dedup.clear_session_cache(spark)
+    assert not any(k[0] == app for k in dedup._STACKED_CACHE)
