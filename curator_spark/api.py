@@ -183,16 +183,19 @@ def run_with_retries(stage: VectorMap, df: DataFrame, max_passes: int = 2) -> Da
             out.filter(out["_error"].isNotNull() & out[stage.key].isNotNull())
             .select(stage.key)
             .distinct()
+            .persist()  # consumed twice: the count() probe and the semi-join
         )
         if bad_keys.count() == 0:
+            bad_keys.unpersist()
             break
         retried = stage(df.join(bad_keys, stage.key, "left_semi"))
         out = (
             # keep: successes + null-key quarantines (unretryable)
             out.filter(out["_error"].isNull() | out[stage.key].isNull())
             .unionByName(retried)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True)  # materializes before unpersist
         )
+        bad_keys.unpersist()
     return out
 
 

@@ -418,20 +418,28 @@ def _cos_sim(x, y):
     return dot / (nx * ny)
 
 
+_EMB_GUARD_OK: set[tuple[str, str, str]] = set()
+
+
 def _emb_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings cast to double + the deterministic planted near-dups."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    # planted ids must not collide with natural ids — one cheap
-    # parquet-stats max() job guards it (silent id aliasing would fan out
-    # the verify joins and corrupt pair rows)
-    top = emb.agg(F.max("vec_id")).head()[0]
-    if top is not None and top >= EMB_PLANT_OFFSET:
-        raise ValueError(
-            f"embeddings vec_id max {top} >= EMB_PLANT_OFFSET {EMB_PLANT_OFFSET}; "
-            "raise the offset before planting near-dups"
-        )
+    # planted ids must not collide with natural ids (silent id aliasing
+    # would fan out the verify joins and corrupt pair rows). The guard is
+    # one vec_id-column max() job — cheap next to the LSH job that scans
+    # the same table, but not free, so it runs once per (app, dir,
+    # snapshot) rather than on every call.
+    gk = _cache_key(spark, sf_dir)
+    if gk not in _EMB_GUARD_OK:
+        top = emb.agg(F.max("vec_id")).head()[0]
+        if top is not None and top >= EMB_PLANT_OFFSET:
+            raise ValueError(
+                f"embeddings vec_id max {top} >= EMB_PLANT_OFFSET {EMB_PLANT_OFFSET}; "
+                "raise the offset before planting near-dups"
+            )
+        _EMB_GUARD_OK.add(gk)
     planted = emb.filter(F.col("vec_id") % EMB_PLANT_MOD == 0).select(
         (F.col("vec_id") + F.lit(EMB_PLANT_OFFSET)).alias("vec_id"),
         F.concat(

@@ -81,14 +81,19 @@ def image_decode_stage(df: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
+                # id/fmt read defensively BEFORE the try: the except path
+                # must never raise on them or the quarantine guarantee
+                # fails exactly where it matters
+                rid = None if pd.isna(r.image_id) else int(r.image_id)
+                rfmt = None if pd.isna(r.fmt) else str(r.fmt)
                 try:
                     # TypeError (null bytes/dims) quarantines like any other
                     # malformed row — the stage must never fail the task
-                    f = img.decode_features(bytes(r.data), str(r.fmt), int(r.width), int(r.height))
+                    f = img.decode_features(bytes(r.data), rfmt, int(r.width), int(r.height))
                     rows.append(
                         {
-                            "image_id": int(r.image_id),
-                            "fmt": r.fmt,
+                            "image_id": rid,
+                            "fmt": rfmt,
                             **{k: f[k] for k in ("mean_lum", "contrast", "entropy", "edge_strength", "aspect")},
                             "thumb_bytes": int(f["thumb_bytes"]),
                             "decode_ok": True,
@@ -97,8 +102,8 @@ def image_decode_stage(df: DataFrame) -> DataFrame:
                 except (ValueError, NotImplementedError, TypeError):
                     rows.append(
                         {
-                            "image_id": int(r.image_id),
-                            "fmt": r.fmt,
+                            "image_id": rid,
+                            "fmt": rfmt,
                             "mean_lum": None,
                             "contrast": None,
                             "entropy": None,

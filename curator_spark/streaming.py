@@ -103,15 +103,19 @@ def stream_exact_dedup(
     its status trackers persist counters across poll cycles,
     ``batch_status_tracker.py:365-417``).
 
-    Each digest group keeps (seen, dup_count) state: the first arrival
-    (min clip_id within its batch) is emitted once; every later arrival —
-    same batch or any later micro-batch — only bumps the duplicate
-    counter. State is per-digest and lives in the state store (RocksDB on
-    a real cluster), so memory is bounded by DISTINCT payloads, not rows;
-    a production deployment with unbounded key churn would add a state
-    TTL via ``GroupStateTimeout`` — deliberately not set here so dedup is
-    exact over the whole stream. Results land in the in-memory table
-    ``query_name``."""
+    Each digest group keeps a duplicate counter as state (existence of the
+    state row itself marks the digest as seen): the first arrival (min
+    clip_id within its batch) is emitted once; every later arrival — same
+    batch or any later micro-batch — only bumps the counter. State is
+    per-digest and lives in the state store (RocksDB on a real cluster),
+    so memory is bounded by DISTINCT payloads, not rows; a production
+    deployment with unbounded key churn would add a state TTL via
+    ``GroupStateTimeout`` and emit the final counts on timeout —
+    deliberately not set here so dedup is exact over the whole stream.
+    Null transcripts hash to a NUL-byte sentinel (no real transcript can
+    collide with it) so they dedupe among themselves under a non-null key
+    instead of collapsing into Spark's null group. Results land in the
+    in-memory table ``query_name``."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -120,7 +124,7 @@ def stream_exact_dedup(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
-    keyed = src.withColumn("digest", F.md5("transcript"))
+    keyed = src.withColumn("digest", F.md5(F.coalesce("transcript", F.lit("\x00null"))))
 
     def _dedup(key, pdfs, state):
         first = None
@@ -132,10 +136,10 @@ def stream_exact_dedup(
                 if first is None or cand["clip_id"].iloc[0] < first["clip_id"].iloc[0]:
                     first = cand
         if state.exists:
-            (_seen, dup_count) = state.get
-            state.update((True, int(dup_count) + n))
+            (dup_count,) = state.get
+            state.update((int(dup_count) + n,))
         else:
-            state.update((True, n - (0 if first is None else 1)))
+            state.update((n - (0 if first is None else 1),))
             if first is not None:
                 yield pd.DataFrame(
                     {"digest": [key[0]], "canonical_id": [first["clip_id"].iloc[0]]}
@@ -144,7 +148,7 @@ def stream_exact_dedup(
     dedup = keyed.groupBy("digest").applyInPandasWithState(
         _dedup,
         outputStructType="digest string, canonical_id string",
-        stateStructType="seen boolean, dup_count long",
+        stateStructType="dup_count long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
