@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_near_pairs": dedup.simhash_near_pairs,
         "embedding_near_dups": dedup.embedding_near_dups,
+        "embedding_dup_groups": dedup.embedding_dup_groups,
         # similarity search
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ivf_topk": similarity.ivf_topk,                      # rows-only
@@ -255,8 +256,8 @@ WITH toks AS (
         f"({i}, [{', '.join(f'{v:.6e}' for v in EMB_PLANES[i])}])"
         for i in range(EMB_BANDS * EMB_BAND_BITS)
     )
-    emb_near_sql = f"""
-WITH base AS (
+    emb_core = f"""
+WITH RECURSIVE base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
 ), allv AS (
   SELECT vec_id, emb FROM base
@@ -282,11 +283,34 @@ WITH base AS (
       / (sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), j -> x.emb[j] * x.emb[j])))
        * sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), j -> y.emb[j] * y.emb[j])))) AS cs
   FROM cand c JOIN allv x ON c.vec_a = x.vec_id JOIN allv y ON c.vec_b = y.vec_id
-)
+)"""
+    emb_near_sql = (
+        emb_core
+        + """
 SELECT vec_a, vec_b, ROUND(cs, 6) AS cos_sim
 FROM scored WHERE cs >= 0.9
 ORDER BY vec_a, vec_b
 """
+    )
+    # vector components: recursive transitive closure over the verified
+    # near-dup edges (the RECURSIVE keyword on the shared WITH list is
+    # harmless for the non-recursive CTEs above)
+    emb_groups_sql = (
+        emb_core
+        + """, vedges AS (
+  SELECT vec_a AS a, vec_b AS b FROM scored WHERE cs >= 0.9
+  UNION ALL SELECT vec_b, vec_a FROM scored WHERE cs >= 0.9
+), vnodes AS (
+  SELECT DISTINCT a AS vec_id FROM vedges
+), vreach AS (
+  SELECT vec_id AS src, vec_id AS dst FROM vnodes
+  UNION
+  SELECT r.src, e.b FROM vreach r JOIN vedges e ON r.dst = e.a
+)
+SELECT CAST(MIN(dst) AS BIGINT) AS group_id, src AS vec_id
+FROM vreach GROUP BY src ORDER BY group_id, vec_id
+"""
+    )
 
     return {
         "q1_pricing_summary": """
@@ -414,6 +438,7 @@ SELECT * FROM sigb ORDER BY doc_id
 SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
 """,
         "embedding_near_dups": emb_near_sql,
+        "embedding_dup_groups": emb_groups_sql,
         "dup_groups": dup_groups_sql,
         "vector_map_retry": """
 SELECT event_id AS row_key,

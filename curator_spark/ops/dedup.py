@@ -499,35 +499,31 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str, threshold: float = 0.9
     )
 
 
-def dup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFrame:
-    """Connected components over the MinHash-LSH candidate graph →
-    (group_id, doc_id) with group_id = the component's min doc_id — the
-    canonical-document assignment an actual dedup pipeline emits.
+def _min_label_components(
+    edges: DataFrame, a: str, b: str, node: str, max_iters: int, what: str
+) -> DataFrame:
+    """HashMin / Pregel-style connected components over an undirected edge
+    list → (group_id, <node>) with group_id = the component's min id.
 
-    Iterative min-label propagation (HashMin / Pregel-style, public):
-    every round each node takes the min label among itself and its
-    neighbors; converges in O(component diameter) rounds. Each round is
-    one shuffle (edge join + min agg); the driver stops at fixpoint via a
-    cheap changed-count. Driver oracle: a DuckDB recursive transitive
-    closure over the same LSH pair CTE (exact at oracle scale); exactness
-    vs a union-find is also asserted in tests/test_ops.py.
-    """
-    edges = minhash_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    Iterative min-label propagation (public): every round each node takes
+    the min label among itself and its neighbors; converges in
+    O(component diameter) rounds. Each round is one shuffle (edge join +
+    min agg); the driver stops at fixpoint via a cheap changed-count."""
     # symmetric adjacency, cached: reused every iteration
-    adj = edges.union(edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
-    adj = adj.persist()
-    nodes = adj.select(F.col("doc_a").alias("doc_id")).distinct()
-    labels = nodes.withColumn("label", F.col("doc_id"))
+    adj = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    adj = adj.union(adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
+    nodes = adj.select(F.col("src").alias(node)).distinct()
+    labels = nodes.withColumn("label", F.col(node))
     for _ in range(max_iters):
         neigh = (
-            adj.join(labels, adj.doc_b == labels.doc_id)
-            .groupBy(F.col("doc_a").alias("doc_id"))
+            adj.join(labels, adj.dst == labels[node])
+            .groupBy(F.col("src").alias(node))
             .agg(F.min("label").alias("nlabel"))
         )
         new_labels = (
-            labels.join(neigh, "doc_id", "left")
+            labels.join(neigh, node, "left")
             .select(
-                "doc_id",
+                node,
                 F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
             )
             # truncate lineage each round: without this the plan tree grows
@@ -537,7 +533,7 @@ def dup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFra
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
+            .join(labels.alias("o"), node)
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
@@ -547,9 +543,30 @@ def dup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFra
     else:
         adj.unpersist()
         raise RuntimeError(
-            f"dup_groups did not converge in {max_iters} rounds "
+            f"{what} did not converge in {max_iters} rounds "
             "(component diameter exceeds max_iters) — raising instead of "
             "returning silently split groups"
         )
     adj.unpersist()
-    return labels.select(F.col("label").alias("group_id"), "doc_id").orderBy("group_id", "doc_id")
+    return labels.select(F.col("label").alias("group_id"), node).orderBy("group_id", node)
+
+
+def dup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate graph →
+    (group_id, doc_id) — the canonical-document assignment an actual dedup
+    pipeline emits. Driver oracle: a DuckDB recursive transitive closure
+    over the same LSH pair CTE (exact at oracle scale); exactness vs a
+    union-find is also asserted in tests/test_ops.py."""
+    edges = minhash_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _min_label_components(edges, "doc_a", "doc_b", "doc_id", max_iters, "dup_groups")
+
+
+def embedding_dup_groups(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.9, max_iters: int = 20
+) -> DataFrame:
+    """The vector twin of dup_groups: SRP-LSH candidates → exact cosine
+    verify → connected components → (group_id, vec_id) canonical-vector
+    assignment. Composes the embedding dedup DAG exactly like the text
+    pipeline composes LSH → Jaccard → components."""
+    edges = embedding_near_dups(spark, sf_dir, threshold).select("vec_a", "vec_b")
+    return _min_label_components(edges, "vec_a", "vec_b", "vec_id", max_iters, "embedding_dup_groups")
