@@ -130,3 +130,26 @@ def test_simhash_vectorized_equals_naive(texts):
     got = _simhash_batch(texts)
     for i, t in enumerate(texts):
         assert int(got[i]) == _simhash_naive(t), repr(t)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.binary(max_size=400),
+    st.sampled_from(["ppm", "rgb8_raw", "png", ""]),
+    st.integers(min_value=-2, max_value=40),
+    st.integers(min_value=-2, max_value=40),
+)
+def test_image_decode_total_under_quarantine(blob, fmt, w, h):
+    """Arbitrary bytes/dims under any format tag must either decode or
+    raise one of the quarantined types — never anything else, and never
+    return a malformed array (the image stage's quarantine contract)."""
+    from curator_spark.scoring import image as img
+
+    try:
+        px = img.decode(blob, fmt, w, h)
+    except (ValueError, NotImplementedError, TypeError):
+        return
+    assert px.shape == (h, w, 3)
+    f = img.features(px)
+    assert set(f) == {"mean_lum", "contrast", "entropy", "edge_strength", "aspect"}
+    assert all(np.isfinite(v) for v in f.values())
