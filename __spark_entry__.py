@@ -122,6 +122,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_validate_filter": relational.json_validate_filter,
         "dim_broadcast_join": relational.dim_broadcast_join,
         "moving_avg_value": relational.moving_avg_value,
+        "events_sessionize": relational.events_sessionize,
+        "value_percentiles": relational.value_percentiles,
+        "events_rollup": relational.events_rollup,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
@@ -141,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": text.quality_scores,
         "doc_fingerprint": text.doc_fingerprint,
         "lang_distribution": text.lang_distribution,
+        "dup_ngram_fraction": text.dup_ngram_fraction,
         "langid_docs": text.langid_docs,              # rows-only
         "doc_quality_filter": text.doc_quality_filter,
         "doc_perplexity": text.doc_perplexity,        # rows-only
@@ -440,6 +444,46 @@ SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
         "embedding_near_dups": emb_near_sql,
         "embedding_dup_groups": emb_groups_sql,
         "dup_groups": dup_groups_sql,
+        "events_sessionize": """
+WITH s AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no FROM s
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no, COUNT(*) AS n_events,
+  MIN(ts) AS session_start, MAX(ts) AS session_end,
+  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM t GROUP BY user_id, session_no ORDER BY user_id, session_no
+""",
+        "value_percentiles": """
+SELECT event_type,
+  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+  ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "events_rollup": """
+SELECT COALESCE(event_type, '<all>') AS event_type,
+  CAST(GROUPING(event_type) AS INT) AS is_total,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY ROLLUP(event_type) ORDER BY is_total, event_type
+""",
+        "dup_ngram_fraction": """
+WITH g AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(length(text)-4,1)+1),
+                 i -> substring(text, CAST(i AS INT), 5))) AS gram
+  FROM documents
+), pg AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram
+)
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+  ROUND(CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE) / SUM(cnt), 6) AS dup_gram_frac
+FROM pg GROUP BY doc_id ORDER BY doc_id
+""",
         "vector_map_retry": """
 SELECT event_id AS row_key,
   CASE WHEN event_id % 97 = 0 THEN NULL ELSE value * 2 END AS doubled,

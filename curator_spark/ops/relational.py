@@ -258,3 +258,75 @@ def moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "moving_avg")
         .orderBy("user_id", "event_id")
     )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str, gap_min: int = 30) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_min`` minutes (the standard public
+    construction: lag → boundary flag → running sum). Per-session rollup.
+    One shuffle on user_id; the window sort rides the same partitioning."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    by_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(by_user)
+    new_sess = (
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > gap_min * 60)
+    ).cast("int")
+    sess = ev.select(
+        "user_id", "ts", "event_id", "value",
+        F.sum(new_sess).over(by_user).alias("session_no"),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of value per event_type —
+    corpus-statistics shape (duration/length distributions drive the
+    quality-rule thresholds). Spark `percentile` and DuckDB
+    `quantile_cont` share the interpolation, so the oracle is exact."""
+    ev = load(spark, sf_dir, "events")
+    pct = F.percentile(F.col("value"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.col("p")[0], 6).alias("p50"),
+            F.round(F.col("p")[1], 6).alias("p90"),
+            F.round(F.col("p")[2], 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup (event_type → grand total) with grouping ids — the
+    multi-granularity audit summary shape. Map-side partial aggregation
+    handles all grouping sets in one shuffle."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(
+            F.grouping("event_type").cast("int").alias("is_total"),  # must be IN the agg
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            "is_total",
+            "n",
+            "sum_value",
+        )
+        .orderBy("is_total", "event_type")
+    )

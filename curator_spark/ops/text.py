@@ -189,3 +189,31 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         _score, schema="doc_id long, pred_lang string, ppl double"
     ).orderBy("doc_id")
+
+
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Gopher-style repetition rule: fraction of a document's character
+    k-gram OCCURRENCES that belong to k-grams appearing more than once in
+    that document. Explode → per-(doc, gram) counts → ratio: exact,
+    shuffle-based, and scale-safe (narrow per-doc cardinality), unlike an
+    interpreted per-row HOF scan."""
+    docs = load(spark, sf_dir, "documents")
+    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1)))
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.transform(idx, lambda i: F.substring(F.col("text"), i, k))).alias("gram"),
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("cnt"))
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("n_dup_occ"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.round(F.col("n_dup_occ") / F.col("n_grams"), 6).alias("dup_gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
