@@ -96,6 +96,10 @@ def main() -> None:
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "token_count": text.token_count,
+        # round-2 families: vector near-dup (banded SRP-LSH + verify) and
+        # the Gopher repetition rule
+        "embedding_near_dups": dedup.embedding_near_dups,
+        "dup_ngram_fraction": text.dup_ngram_fraction,
     }
     for name, fn in bench_queries.items():
         best = None
