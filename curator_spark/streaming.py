@@ -95,6 +95,7 @@ def stream_exact_dedup(
     checkpoint_dir: str,
     query_name: str = "stream_dedup",
     max_files_per_trigger: int = 1,
+    output_dir: str | None = None,
 ):
     """Custom stateful operator: exactly-once streaming dedup across
     micro-batches via ``applyInPandasWithState`` — the streaming face of
@@ -114,8 +115,14 @@ def stream_exact_dedup(
     deliberately not set here so dedup is exact over the whole stream.
     Null transcripts hash to a NUL-byte sentinel (no real transcript can
     collide with it) so they dedupe among themselves under a non-null key
-    instead of collapsing into Spark's null group. Results land in the
-    in-memory table ``query_name``."""
+    instead of collapsing into Spark's null group.
+
+    Sink: with ``output_dir`` set, each micro-batch appends parquet under
+    a batch_id-keyed subdir (idempotent replay, and — unlike the memory
+    sink — the query RESTARTS from its checkpoint, recovering the state
+    store, so dedup stays exact across stop/start). Without it, results
+    land in the in-memory table ``query_name`` (interactive/testing;
+    memory sinks cannot recover a checkpoint)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -152,8 +159,23 @@ def stream_exact_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    if output_dir is None:
+        return (
+            dedup.writeStream.format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # batch_id-keyed overwrite: replay after a crash rewrites the same
+        # subdir instead of appending duplicates (same recipe as
+        # stream_pipeline)
+        batch_df.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+
     return (
-        dedup.writeStream.format("memory")
+        dedup.writeStream.foreachBatch(_sink)
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -131,3 +131,36 @@ def test_stream_exact_dedup_state_across_microbatches(spark, workdir):
     # on which file was batch 0
     for dg, cid in merged.items():
         assert cid in set(all_rows[all_rows["digest"] == dg]["clip_id"])
+
+
+def test_stream_exact_dedup_state_survives_restart(spark, workdir):
+    """The state store must recover across query RESTARTS (same
+    checkpoint): digests emitted before a stop are not re-emitted when new
+    files arrive after a restart — the exactly-once contract the batch
+    pipeline gets from its checkpoint table, in streaming form."""
+    import pandas as pd
+
+    inp = os.path.join(workdir, "landing2")
+    ckpt = os.path.join(workdir, "ck_dedup2")
+    base = clips.clips_pandas(30)
+    os.makedirs(inp, exist_ok=True)
+
+    def land(file_no: int) -> None:
+        pdf = base.copy()
+        pdf["clip_id"] = [f"clip_{file_no * 30 + i:012d}" for i in range(30)]
+        spark.createDataFrame(pdf, schema=streaming.CLIPS_SCHEMA).coalesce(1).write.mode(
+            "append" if file_no else "overwrite"
+        ).parquet(inp)
+
+    out = os.path.join(workdir, "dedup_out")
+    land(0)
+    q = streaming.stream_exact_dedup(spark, inp, ckpt, output_dir=out)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 30  # every digest new in run 1
+
+    land(1)  # 30 duplicates of run 1's transcripts
+    q2 = streaming.stream_exact_dedup(spark, inp, ckpt, output_dir=out)
+    q2.awaitTermination(120)
+    final = spark.read.parquet(out).toPandas()
+    # restart recovered the seen-set: nothing re-emitted for known digests
+    assert len(final) == 30 and final["digest"].is_unique
