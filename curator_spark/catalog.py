@@ -35,7 +35,11 @@ def dir_snapshot_id(path: str) -> str:
     changes the fingerprint (size alone would silently serve stale
     cached results)."""
     h = hashlib.blake2b(digest_size=16)
-    for root, _dirs, files in sorted(os.walk(path)):
+    for root, dirs, files in sorted(os.walk(path)):
+        # prune hidden DIRECTORIES too (Spark's reader semantics): a
+        # crashed writer's _temporary subtree must not change the
+        # fingerprint of data the reader ignores
+        dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
         for f in sorted(files):
             if f.startswith(("_", ".")):
                 continue
@@ -57,9 +61,12 @@ class ParquetCatalog:
         return os.path.join(self.root, table)
 
     def exists(self, table: str) -> bool:
+        # any parquet part file or hive-style partition subdir counts —
+        # hardcoding part_key= would report tables partitioned by other
+        # columns (e.g. the run_fp= output subtrees) as missing
         p = self.path(table)
         return os.path.isdir(p) and any(
-            f.endswith(".parquet") or f.startswith("part_key=") or f.startswith("part-")
+            f.endswith(".parquet") or f.startswith("part-") or ("=" in f and not f.startswith("."))
             for f in os.listdir(p)
         )
 

@@ -55,8 +55,14 @@ class Manifest:
 
 
 def list_parquet_files(input_path: str) -> list[str]:
+    """Parquet data files under ``input_path``, with Spark's hidden-path
+    semantics: files AND whole directories starting with ``_``/``.`` are
+    excluded (a crashed writer's ``_temporary/.../part-0.parquet`` must
+    not be decoded by manifest mode when the column path would ignore
+    it)."""
     files = []
-    for root, _dirs, names in os.walk(input_path):
+    for root, dirs, names in os.walk(input_path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for n in sorted(names):
             if n.endswith(".parquet") and not n.startswith(("_", ".")):
                 files.append(os.path.join(root, n))
@@ -83,7 +89,15 @@ def build_manifest(input_path: str, n_partitions: int) -> Manifest:
     for path in list_parquet_files(input_path):
         meta = pq.ParquetFile(path).metadata
         rgs = [(rg, meta.row_group(rg).num_rows) for rg in range(meta.num_row_groups)]
-        nbytes = sum(meta.row_group(rg).total_byte_size for rg in range(meta.num_row_groups))
+        # COMPRESSED bytes (column-chunk sums): read cost tracks on-disk
+        # size; row_group.total_byte_size is the uncompressed size, which
+        # diverges under mixed codecs/compressibility and would reintroduce
+        # the straggler skew LPT exists to remove
+        nbytes = sum(
+            meta.row_group(rg).column(c).total_compressed_size
+            for rg in range(meta.num_row_groups)
+            for c in range(meta.row_group(rg).num_columns)
+        )
         per_file.append((path, rgs, nbytes))
 
     # LPT: heaviest file first, onto the currently lightest key. Heap of
@@ -142,8 +156,13 @@ def decode_score_splits(spark: SparkSession, splits: pd.DataFrame) -> DataFrame:
         import pyarrow.parquet as pq
 
         for mpdf in it:
+            # one open + footer parse per FILE, not per row group (on
+            # object storage every ParquetFile() is extra ranged GETs)
+            handle_path, handle = None, None
             for path, rg, key in zip(mpdf["path"], mpdf["row_group"], mpdf["part_key"]):
-                tab = pq.ParquetFile(path).read_row_group(int(rg), columns=columns)
+                if path != handle_path:
+                    handle_path, handle = path, pq.ParquetFile(path)
+                tab = handle.read_row_group(int(rg), columns=columns)
                 pdf = tab.to_pandas()
                 pdf["part_key"] = pd.array([int(key)] * len(pdf), dtype="int32")
                 yield stages.score_clip_pdf(pdf, out_cols)

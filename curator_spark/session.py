@@ -50,6 +50,9 @@ def build_session(
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else cpus
+        # local[N,maxFailures] / local-cluster[n,c,m] carry extra
+        # comma-separated fields — only the first is the thread count
+        n = n.split(",", 1)[0]
         shuffle_partitions = (os.cpu_count() or 8) if n == "*" else int(n)
 
     b = (

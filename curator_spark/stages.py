@@ -47,21 +47,28 @@ def decode_stage(df: DataFrame) -> DataFrame:
     schema = f"{schema}, {_DECODE_ADDED}"
 
     def _decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .scoring import audio as audio_scoring
-
         for pdf in it:
-            feats = [
-                audio_scoring.decode_features(b, c, int(sr), int(d))
-                for b, c, sr, d in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["dur_ms"])
-            ]
-            out = pdf[out_cols].copy()
-            out["rms_db"] = np.array([f["rms_db"] for f in feats], dtype=np.float64)
-            out["silence_ratio"] = np.array([f["silence_ratio"] for f in feats], dtype=np.float64)
-            out["clip_ratio"] = np.array([f["clip_ratio"] for f in feats], dtype=np.float64)
-            out["decode_ok"] = [not np.isnan(f["rms_db"]) for f in feats]
-            yield out
+            yield _with_decode_features(pdf, pdf[out_cols].copy())
 
     return df.mapInPandas(_decode, schema=schema)
+
+
+def _with_decode_features(pdf: pd.DataFrame, out: pd.DataFrame) -> pd.DataFrame:
+    """Append the decode feature columns to ``out`` — the ONE definition
+    shared by the standalone decode stage and the fused decode+score path
+    (a copy in each would silently desync the physical paths tests assert
+    are identical)."""
+    from .scoring import audio as audio_scoring
+
+    feats = [
+        audio_scoring.decode_features(b, c, int(sr), int(d))
+        for b, c, sr, d in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["dur_ms"])
+    ]
+    out["rms_db"] = np.array([f["rms_db"] for f in feats], dtype=np.float64)
+    out["silence_ratio"] = np.array([f["silence_ratio"] for f in feats], dtype=np.float64)
+    out["clip_ratio"] = np.array([f["clip_ratio"] for f in feats], dtype=np.float64)
+    out["decode_ok"] = [not np.isnan(f["rms_db"]) for f in feats]
+    return out
 
 
 # ----------------------------------------------------------------- score
@@ -78,10 +85,11 @@ def score_stage(df: DataFrame) -> DataFrame:
         from .scoring import langid, lm
 
         for pdf in it:
-            texts = pdf["transcript"].tolist()
+            texts = [t if isinstance(t, str) else "" for t in pdf["transcript"]]
             langs, confs = langid.score_batch(texts)
             ppls = lm.ppl_batch(texts, langs)
             out = pdf.copy()
+            out["transcript"] = texts  # nulls normalized (see score_clip_pdf)
             out["lang"] = langs
             out["lang_conf"] = confs
             out["ppl"] = ppls
@@ -123,21 +131,18 @@ def score_clip_pdf(pdf: pd.DataFrame, out_cols: list[str]) -> pd.DataFrame:
     by the column-scan stage above and the manifest scan
     (:mod:`curator_spark.manifest`), so both physical paths produce
     bit-identical scores."""
-    from .scoring import audio as audio_scoring
     from .scoring import langid, lm
 
-    feats = [
-        audio_scoring.decode_features(b, c, int(sr), int(d))
-        for b, c, sr, d in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["dur_ms"])
-    ]
-    texts = pdf["transcript"].tolist()
+    # null transcripts normalize to "" here (and in the Catalyst suffix):
+    # scoring models and the scrub/rules chain are total over strings, and
+    # a NULL would otherwise poison Catalyst arithmetic downstream
+    # (size(split(NULL)) = -1 → negative scrub_hits, NULL keep)
+    texts = [t if isinstance(t, str) else "" for t in pdf["transcript"]]
     langs, confs = langid.score_batch(texts)
     ppls = lm.ppl_batch(texts, langs)
     out = pdf[out_cols].copy()
-    out["rms_db"] = np.array([f["rms_db"] for f in feats], dtype=np.float64)
-    out["silence_ratio"] = np.array([f["silence_ratio"] for f in feats], dtype=np.float64)
-    out["clip_ratio"] = np.array([f["clip_ratio"] for f in feats], dtype=np.float64)
-    out["decode_ok"] = [not np.isnan(f["rms_db"]) for f in feats]
+    out["transcript"] = texts
+    out = _with_decode_features(pdf, out)
     out["lang"] = langs
     out["lang_conf"] = confs
     out["ppl"] = ppls
@@ -147,9 +152,20 @@ def score_clip_pdf(pdf: pd.DataFrame, out_cols: list[str]) -> pd.DataFrame:
 # ----------------------------------------------------------------- scrub
 
 
+def _java_unicode(pattern: str) -> str:
+    """Prefix for Java-side use only: (?U) (UNICODE_CHARACTER_CLASS) makes
+    Java's \\s/\\d/\\w/\\b match Unicode like Python's str patterns do by
+    default — without it a transcript containing e.g. '\\xa0' or Unicode
+    digits scores differently in the pipeline than in the oracle. Python
+    re rejects the uppercase flag, so the shared SCRUB_PATTERNS strings
+    stay flagless and the prefix is applied at the Java call sites."""
+    return f"(?U){pattern}"
+
+
 def _count_and_replace(col: Column, pattern: str, rep: str) -> tuple[Column, Column]:
     """(hits, replaced). Java split(limit=-1) keeps trailing empties, so
     size(split)-1 == match count — same as Python ``subn``."""
+    pattern = _java_unicode(pattern)
     hits = F.size(F.split(col, pattern, -1)) - F.lit(1)
     return hits, F.regexp_replace(col, pattern, rep)
 
@@ -196,8 +212,8 @@ def _stop_hits() -> Column:
 def rules_stage(df: DataFrame) -> DataFrame:
     """+ rule feature columns (all built-in SQL functions)."""
     n_words = F.size(_words())
-    nonspace = F.length(F.regexp_replace(F.col("transcript"), r"\s", ""))
-    symbols = F.length(F.regexp_replace(F.col("transcript"), r"[A-Za-z0-9\s]", ""))
+    nonspace = F.length(F.regexp_replace(F.col("transcript"), _java_unicode(r"\s"), ""))
+    symbols = F.length(F.regexp_replace(F.col("transcript"), _java_unicode(r"[A-Za-z0-9\s]"), ""))
     return (
         df.withColumn("n_chars", F.length("transcript"))
         .withColumn("n_words", n_words)
@@ -250,7 +266,11 @@ def decide_stage(df: DataFrame, t: RuleThresholds) -> DataFrame:
 
 def catalyst_suffix(df: DataFrame, t: RuleThresholds) -> DataFrame:
     """scrub → rules → decide — the pure-Catalyst tail, shared by the
-    column-scan, manifest-scan, and streaming paths."""
+    column-scan, manifest-scan, and streaming paths. Normalizes NULL
+    transcripts to '' first (callers that bypass the scoring stages would
+    otherwise feed NULL into split/size arithmetic → negative scrub_hits
+    and NULL keep with no recorded reason)."""
+    df = df.withColumn("transcript", F.coalesce("transcript", F.lit("")))
     return decide_stage(rules_stage(scrub_stage(df)), t)
 
 

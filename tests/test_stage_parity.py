@@ -165,3 +165,49 @@ def test_manifest_lpt_balances_skewed_files(spark, tmp_path):
                if per_file[path] == max(per_file.values())}.pop()
     assert man.splits.groupby("part_key")["path"].nunique()[big_key] == 1
     assert sum(man.rows_per_key.values()) == 400
+
+
+def test_unicode_and_null_transcripts_match_oracle(spark):
+    """Java (?U) regex classes must agree with Python's Unicode-default
+    classes on realistic non-ASCII transcripts (NBSP, accents, unicode
+    digits), and NULL transcripts must normalize to '' (dropped with
+    recorded reasons, zero scrub_hits) instead of poisoning Catalyst
+    arithmetic."""
+    import pandas as pd
+
+    base = clips.clips_pandas(6)
+    texts = [
+        "café bücher straße the and of to is a café again and again the end",
+        "nbsp separated words the of and to a longer transcript body here",
+        "digits ٣٤٥ mixed with ssn 123-45-6789 the and of to a filler",
+        "email x@y.com plus   weird spaces  the and of to a filler text",
+        None,
+        "plain ascii control transcript the and of to a perfectly normal row",
+    ]
+    pdf = base.copy()
+    pdf["transcript"] = texts
+    cfg = PipelineConfig()
+    df = spark.createDataFrame(pdf, schema=streaming_schema())
+    got = (
+        stages.apply_all(df, cfg.rules)
+        .toPandas()
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    for i, r in got.iterrows():
+        row = dict(pdf.iloc[i])
+        row["transcript"] = row["transcript"] if isinstance(row["transcript"], str) else ""
+        want = oracle.label_row(row, cfg)
+        assert r["scrubbed_transcript"] == want["scrubbed_transcript"], texts[i]
+        assert r["scrub_hits"] == want["scrub_hits"] and r["tox_hits"] == want["tox_hits"]
+        assert r["keep"] == want["keep"] and list(r["reasons"]) == list(want["reasons"])
+    # the null row: normalized, not poisoned
+    null_row = got.iloc[4]
+    assert null_row["scrub_hits"] == 0 and null_row["keep"] is not None
+    assert "len_min" in list(null_row["reasons"])
+
+
+def streaming_schema():
+    from curator_spark.streaming import CLIPS_SCHEMA
+
+    return CLIPS_SCHEMA
