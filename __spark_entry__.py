@@ -281,12 +281,16 @@ WITH RECURSIVE base AS (
 ), cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM keys a JOIN keys b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
-), scored AS (
+), scored0 AS (
   SELECT c.vec_a, c.vec_b,
-    list_sum(list_transform(range(1, {EMB_DIM + 1}), j -> x.emb[j] * y.emb[j]))
-      / (sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), j -> x.emb[j] * x.emb[j])))
-       * sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), j -> y.emb[j] * y.emb[j])))) AS cs
+    list_sum(list_transform(range(1, {EMB_DIM + 1}), j -> x.emb[j] * y.emb[j])) AS dot,
+    sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), j -> x.emb[j] * x.emb[j]))) AS nx,
+    sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), j -> y.emb[j] * y.emb[j]))) AS ny
   FROM cand c JOIN allv x ON c.vec_a = x.vec_id JOIN allv y ON c.vec_b = y.vec_id
+), scored AS (
+  SELECT vec_a, vec_b,
+    CASE WHEN nx > 0 AND ny > 0 THEN dot / (nx * ny) ELSE 0.0 END AS cs
+  FROM scored0
 )"""
     emb_near_sql = (
         emb_core
@@ -540,15 +544,18 @@ WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
 ORDER BY doc_a, doc_b
 """,
         "ann_cosine_topk": """
-WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)
-SELECT vec_id,
-  round(
+WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+n AS (
+  SELECT vec_id,
     list_sum(list_transform(range(1, len(e.embedding)+1),
-      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.q[i] AS DOUBLE)))
-    / ( sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-      * sqrt(list_sum(list_transform(qv.q,        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) ),
-  6) AS cos_sim
-FROM embeddings e, qv
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.q[i] AS DOUBLE))) AS dot,
+    sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nx,
+    sqrt(list_sum(list_transform(qv.q,        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS ny
+  FROM embeddings e, qv
+)
+SELECT vec_id,
+  round(CASE WHEN nx > 0 AND ny > 0 THEN dot / (nx * ny) ELSE 0.0 END, 6) AS cos_sim
+FROM n
 ORDER BY cos_sim DESC, vec_id
 LIMIT 10
 """,

@@ -34,6 +34,14 @@ def dir_snapshot_id(path: str) -> str:
     rewritten with different contents but an identical byte count still
     changes the fingerprint (size alone would silently serve stale
     cached results)."""
+    if not os.path.isdir(path):
+        # a non-walkable path (missing dir, or an object-store URI this
+        # local stand-in cannot list) must NOT hash to the same constant
+        # for every such input — two different s3:// tables would share a
+        # run fingerprint and serve each other's cached output. Include
+        # the path itself; real remote tables get identity from
+        # IcebergCatalog.snapshot_id instead.
+        return hashlib.blake2b(f"nonlocal:{path}".encode(), digest_size=16).hexdigest()
     h = hashlib.blake2b(digest_size=16)
     for root, dirs, files in sorted(os.walk(path)):
         # prune hidden DIRECTORIES too (Spark's reader semantics): a

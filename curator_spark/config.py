@@ -62,7 +62,14 @@ class PipelineConfig:
         return json.dumps(asdict(self), sort_keys=True, separators=(",", ":"))
 
     def fingerprint(self, input_snapshot_id: str) -> str:
+        """Cache/resume identity. scan_mode is EXCLUDED: it is a purely
+        physical knob (manifest vs column scans produce bit-identical
+        labels — asserted by tests), and hashing it would discard all
+        completed work when an operator retries a crashed run with a
+        different scan strategy."""
         h = hashlib.blake2b(digest_size=16)
         h.update(input_snapshot_id.encode())
-        h.update(self.canonical_json().encode())
+        logical = asdict(self)
+        logical.pop("scan_mode", None)
+        h.update(json.dumps(logical, sort_keys=True, separators=(",", ":")).encode())
         return h.hexdigest()

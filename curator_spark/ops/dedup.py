@@ -415,7 +415,8 @@ def _cos_sim(x, y):
     )
     nx = F.sqrt(F.aggregate(x, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
     ny = F.sqrt(F.aggregate(y, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    return dot / (nx * ny)
+    # zero-norm guard (see similarity._cosine): NaN sorts greatest in Spark
+    return F.when((nx > 0) & (ny > 0), dot / (nx * ny)).otherwise(F.lit(0.0))
 
 
 _EMB_GUARD_OK: set[tuple[str, str, str]] = set()

@@ -29,7 +29,9 @@ def _cosine(x: Column, y: Column) -> Column:
     )
     nx = F.sqrt(F.aggregate(x, F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")))
     ny = F.sqrt(F.aggregate(y, F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")))
-    return dot / (nx * ny)
+    # zero-norm guard: 0/0 = NaN and Spark sorts NaN GREATEST, so a single
+    # all-zeros embedding would otherwise rank #1 in every desc top-k
+    return F.when((nx > 0) & (ny > 0), dot / (nx * ny)).otherwise(F.lit(0.0))
 
 
 def query_vectors(spark: SparkSession, sf_dir: str, vec_ids: tuple[int, ...]) -> dict[int, list[float]]:
@@ -60,7 +62,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
 
 
 def _train_centroids(vecs: np.ndarray, n_cells: int, iters: int = 5) -> np.ndarray:
-    """Deterministic Lloyd iterations from seeded init (public k-means)."""
+    """Deterministic Lloyd iterations from seeded init (public k-means).
+    A sample smaller than n_cells degrades to len(sample) cells (the probe
+    then simply covers a larger fraction) instead of raising."""
+    n_cells = max(1, min(n_cells, len(vecs)))
     rng = np.random.default_rng(42)
     cent = vecs[rng.choice(len(vecs), size=n_cells, replace=False)].astype(np.float64)
     for _ in range(iters):
@@ -101,6 +106,8 @@ def ivf_topk(
         ],
         dtype=np.float64,
     )
+    if sample.size == 0:  # empty table: nothing to probe, empty result
+        return emb.select("vec_id", F.lit(0.0).alias("cos_sim")).limit(0)
     cent = _train_centroids(sample, n_cells)
     cent_b = spark.sparkContext.broadcast(cent)
 

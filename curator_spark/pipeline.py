@@ -52,6 +52,14 @@ AUDIT_TABLE = "audit"
 RUNS_TABLE = "runs"
 
 
+def hash_part_key(n_partitions: int):
+    """THE partitioning expression (salting strategy — see module
+    docstring). One definition: the recompute-fallback, the no-part_key
+    branch, and the streaming path must never drift apart, or resume keys
+    split across incompatible layouts."""
+    return F.pmod(F.xxhash64("clip_id"), F.lit(n_partitions)).cast("int")
+
+
 def _run_table(fingerprint: str) -> str:
     """Run-scoped output subdir (hive-style, so reading the table root
     still works and exposes ``run_fp``). Isolates each fingerprint's
@@ -198,15 +206,11 @@ class Pipeline:
                     f"fit n_partitions={cfg.n_partitions}; recomputing part_key from clip_id",
                     stacklevel=2,
                 )
-                base = raw.drop("part_key").withColumn(
-                    "part_key", F.pmod(F.xxhash64("clip_id"), F.lit(cfg.n_partitions)).cast("int")
-                )
+                base = raw.drop("part_key").withColumn("part_key", hash_part_key(cfg.n_partitions))
             else:
                 base = raw
         else:
-            base = raw.withColumn(
-                "part_key", F.pmod(F.xxhash64("clip_id"), F.lit(cfg.n_partitions)).cast("int")
-            )
+            base = raw.withColumn("part_key", hash_part_key(cfg.n_partitions))
 
         groups_done = 0
         for g in range(cfg.commit_batches):

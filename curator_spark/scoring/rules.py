@@ -19,8 +19,17 @@ import re
 from ..config import RuleThresholds
 from ..synth import textgen
 
-_NON_ALNUM = re.compile(r"[A-Za-z0-9\s]")
-_WS = re.compile(r"\s")
+# EXPLICIT whitespace class = Python str-pattern \s, enumerated: Java's
+# (?U)\s uses the Unicode White_Space property, which EXCLUDES the
+# separator controls U+001C-U+001F that Python includes — an implicit \s
+# on either side would diverge on those. Both engines read this class
+# identically. (Single source: stages.py imports these.)
+WS_INNER = "\\t-\\r\\x1c-\\x20\\x85\\xa0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000"
+WS_CLASS = f"[{WS_INNER}]"
+NON_ALNUM_CLASS = f"[A-Za-z0-9{WS_INNER}]"
+
+_NON_ALNUM = re.compile(NON_ALNUM_CLASS)
+_WS = re.compile(WS_CLASS)
 
 
 def text_features(transcript: str, lang: str) -> dict[str, float]:

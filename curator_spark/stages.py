@@ -211,9 +211,13 @@ def _stop_hits() -> Column:
 
 def rules_stage(df: DataFrame) -> DataFrame:
     """+ rule feature columns (all built-in SQL functions)."""
+    from .scoring.rules import NON_ALNUM_CLASS, WS_CLASS
+
     n_words = F.size(_words())
-    nonspace = F.length(F.regexp_replace(F.col("transcript"), _java_unicode(r"\s"), ""))
-    symbols = F.length(F.regexp_replace(F.col("transcript"), _java_unicode(r"[A-Za-z0-9\s]"), ""))
+    # explicit classes (not \s): Java's (?U)\s and Python's \s disagree on
+    # U+001C-U+001F; the enumerated class is identical in both engines
+    nonspace = F.length(F.regexp_replace(F.col("transcript"), WS_CLASS, ""))
+    symbols = F.length(F.regexp_replace(F.col("transcript"), NON_ALNUM_CLASS, ""))
     return (
         df.withColumn("n_chars", F.length("transcript"))
         .withColumn("n_words", n_words)

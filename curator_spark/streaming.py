@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import pipeline as pipeline_mod
 from . import stages
 from .config import PipelineConfig
 
@@ -63,10 +64,7 @@ def stream_pipeline(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         labeled = stages.apply_all(
-            batch_df.withColumn(
-                "part_key",
-                F.pmod(F.xxhash64("clip_id"), F.lit(cfg.n_partitions)).cast("int"),
-            ),
+            batch_df.withColumn("part_key", pipeline_mod.hash_part_key(cfg.n_partitions)),
             cfg.rules,
         ).withColumn("ingest_ts", F.current_timestamp())  # arrival-time lineage
         # idempotent replay: foreachBatch is at-least-once (a crash between

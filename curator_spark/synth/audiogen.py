@@ -60,7 +60,12 @@ def wav_to_pcm(data: bytes) -> tuple[np.ndarray, int]:
         cid, size = struct.unpack_from("<4sI", data, pos)
         pos += 8
         if cid == b"fmt ":
-            _fmt, _ch, sr = struct.unpack_from("<HHI", data, pos)[:3]
+            fmt, ch, sr = struct.unpack_from("<HHI", data, pos)[:3]
+            # only PCM16 mono is decodable here: reinterpreting float32 or
+            # multi-channel data as int16 mono would emit garbage features
+            # with decode_ok=True instead of quarantining the row
+            if fmt != 1 or ch != 1:
+                raise ValueError(f"unsupported WAV layout: format={fmt} channels={ch}")
         elif cid == b"data":
             raw = data[pos : pos + size]
             pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
