@@ -48,16 +48,23 @@ def _ensure_pkg(spark: SparkSession) -> None:
         if f.endswith(".py")
     ):
         # unique tempfile → atomic replace: concurrent drivers never see a
-        # half-written zip
+        # half-written zip; failures unlink the temp instead of leaking it
         fd, tmp = tempfile.mkstemp(suffix=".zip", dir="/tmp")
         os.close(fd)
-        with zipfile.ZipFile(tmp, "w") as z:
-            for r, _d, fs in os.walk(pkg_dir):
-                for f in fs:
-                    if f.endswith(".py"):
-                        full = os.path.join(r, f)
-                        z.write(full, os.path.relpath(full, _REPO))
-        os.replace(tmp, zpath)
+        try:
+            with zipfile.ZipFile(tmp, "w") as z:
+                for r, _d, fs in os.walk(pkg_dir):
+                    for f in fs:
+                        if f.endswith(".py"):
+                            full = os.path.join(r, f)
+                            z.write(full, os.path.relpath(full, _REPO))
+            os.chmod(tmp, 0o644)  # mkstemp's 0600 would hide it from other readers
+            os.replace(tmp, zpath)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            finally:
+                raise
     try:
         sc.addPyFile(zpath)
     except Exception:  # already registered in this context

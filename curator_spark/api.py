@@ -95,6 +95,14 @@ class VectorMap:
 
         def _apply(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
+                if params_col and params_col not in pdf.columns:
+                    # surfacing a wiring bug beats silently running every
+                    # row on pure defaults (a typo'd column name would
+                    # otherwise drop all per-row overrides unnoticed)
+                    raise KeyError(
+                        f"VectorMap params_col {params_col!r} not in input columns "
+                        f"{list(pdf.columns)}"
+                    )
                 if defaults or params_col:
                     row_ps = pdf[params_col] if params_col and params_col in pdf else [None] * len(pdf)
                     # Arrow renders map<k,v> as a list/ndarray of (k, v)
@@ -140,7 +148,23 @@ def _run_batch(
     mid = len(pdf) // 2  # bisect: only truly-poisoned rows get quarantined
     left = _run_batch(pdf.iloc[:mid], fn, key, out_cols, 1)
     right = _run_batch(pdf.iloc[mid:], fn, key, out_cols, 1)
-    return pd.concat([left, right], ignore_index=True)
+    # all-NA quarantine halves vs typed success halves: the intermediate
+    # pandas dtype after concat is irrelevant — mapInPandas converts with
+    # the DECLARED Spark schema either way — so the pandas 3.x empty/all-NA
+    # concat change cannot alter results. Align dtypes where NA permits it
+    # and silence the FutureWarning for the rest (int siblings).
+    import warnings
+
+    for a, b in ((left, right), (right, left)):
+        for col in a.columns:
+            if a[col].isna().all() and not b[col].isna().all():
+                try:
+                    a[col] = a[col].astype(b[col].dtype)
+                except (TypeError, ValueError):
+                    pass
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", FutureWarning)
+        return pd.concat([left, right], ignore_index=True)
 
 
 def ok(df: DataFrame) -> DataFrame:

@@ -89,12 +89,16 @@ def _minhash_batch(texts, k: int = SHINGLE_K) -> np.ndarray:
     coeffs_b = np.array([b for _, b in MINHASH_COEFFS], dtype=np.int64)
     n_rows = len(texts)
     out = np.empty((n_rows, N_HASHES), dtype=np.int64)
+    # the packed-window fast path tags the shingle LENGTH at bit 40, so it
+    # is only sound for k-byte windows that fit below it; a larger k would
+    # silently collide distinct shingles — route it to the slow path
+    pack_ok = k * 8 <= 40
     bufs: list[bytes | None] = []
     slow: list[tuple[int, str]] = []
     for i, t in enumerate(texts):
         s = t if isinstance(t, str) else ""
         b = s.encode("utf-8")
-        if len(b) != len(s):
+        if not pack_ok or len(b) != len(s):
             slow.append((i, s))
             bufs.append(None)
         else:
@@ -183,21 +187,24 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STACKED_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def _cache_key(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+def _cache_key(
+    spark: SparkSession, sf_dir: str, table: str = "documents.parquet"
+) -> tuple[str, str, str]:
     # applicationId (not id(spark)): a garbage-collected session's id()
     # can be reused by a NEW session, which would then receive a persisted
     # DataFrame bound to the dead one. The snapshot id invalidates the
-    # cache when the files under sf_dir change.
+    # cache when the files of the GUARDED table change (the embedding
+    # caches snapshot embeddings.parquet, not documents.parquet).
     from ..catalog import dir_snapshot_id
 
-    docs = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isfile(docs):
-        st = os.stat(docs)
-        snap = f"{st.st_size}:{st.st_mtime_ns}"
-    elif os.path.isdir(docs):
-        snap = dir_snapshot_id(docs)
+    t = os.path.join(sf_dir, table)
+    if os.path.isfile(t):
+        st = os.stat(t)
+        snap = f"{table}:{st.st_size}:{st.st_mtime_ns}"
+    elif os.path.isdir(t):
+        snap = f"{table}:{dir_snapshot_id(t)}"
     else:
-        snap = "absent"
+        snap = f"{table}:absent"
     return (spark.sparkContext.applicationId, sf_dir, snap)
 
 
@@ -231,6 +238,8 @@ def clear_session_cache(spark: SparkSession) -> None:
     app = spark.sparkContext.applicationId
     for k in [k for k in _STACKED_CACHE if k[0] == app]:
         _STACKED_CACHE.pop(k).unpersist()
+    for k in [k for k in _EMB_AUG_CACHE if k[0] == app]:
+        _EMB_AUG_CACHE.pop(k).unpersist()
 
 
 def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,28 +428,42 @@ def _cos_sim(x, y):
     return F.when((nx > 0) & (ny > 0), dot / (nx * ny)).otherwise(F.lit(0.0))
 
 
-_EMB_GUARD_OK: set[tuple[str, str, str]] = set()
+_EMB_AUG_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _emb_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings cast to double + the deterministic planted near-dups."""
+    """embeddings cast to double + the deterministic planted near-dups —
+    validated and PERSISTED once per (app, dir, embeddings-snapshot): the
+    near-dup query consumes it three times (bucketing + both verify-join
+    sides) and embedding_dup_groups again, so an unpersisted plan would
+    re-scan the table per branch."""
+    gk = _cache_key(spark, sf_dir, table="embeddings.parquet")
+    if gk in _EMB_AUG_CACHE:
+        return _EMB_AUG_CACHE[gk]
+    for old in [k for k in _EMB_AUG_CACHE if k[:2] == gk[:2]]:
+        _EMB_AUG_CACHE.pop(old).unpersist()
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
+    # one validation job (vec_id max + dim), amortized by the cache:
     # planted ids must not collide with natural ids (silent id aliasing
-    # would fan out the verify joins and corrupt pair rows). The guard is
-    # one vec_id-column max() job — cheap next to the LSH job that scans
-    # the same table, but not free, so it runs once per (app, dir,
-    # snapshot) rather than on every call.
-    gk = _cache_key(spark, sf_dir)
-    if gk not in _EMB_GUARD_OK:
-        top = emb.agg(F.max("vec_id")).head()[0]
-        if top is not None and top >= EMB_PLANT_OFFSET:
-            raise ValueError(
-                f"embeddings vec_id max {top} >= EMB_PLANT_OFFSET {EMB_PLANT_OFFSET}; "
-                "raise the offset before planting near-dups"
-            )
-        _EMB_GUARD_OK.add(gk)
+    # would fan out the verify joins and corrupt pair rows), and the
+    # fixed hyperplanes/slice only make sense for EMB_DIM-wide vectors —
+    # fail loudly rather than truncating a wider table.
+    top, dim_min, dim_max = emb.agg(
+        F.max("vec_id"), F.min(F.size("emb")), F.max(F.size("emb"))
+    ).head()
+    if top is not None and top >= EMB_PLANT_OFFSET:
+        raise ValueError(
+            f"embeddings vec_id max {top} >= EMB_PLANT_OFFSET {EMB_PLANT_OFFSET}; "
+            "raise the offset before planting near-dups"
+        )
+    if top is not None and (dim_min != EMB_DIM or dim_max != EMB_DIM):
+        raise ValueError(
+            f"embedding dims [{dim_min}, {dim_max}] != EMB_DIM {EMB_DIM}: the SRP "
+            "hyperplanes and the planted-dup slice are generated for EMB_DIM — "
+            "regenerate EMB_PLANES for this table's dimensionality"
+        )
     planted = emb.filter(F.col("vec_id") % EMB_PLANT_MOD == 0).select(
         (F.col("vec_id") + F.lit(EMB_PLANT_OFFSET)).alias("vec_id"),
         F.concat(
@@ -448,7 +471,9 @@ def _emb_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("emb", 2, EMB_DIM - 1),
         ).alias("emb"),
     )
-    return emb.unionByName(planted)
+    allv = emb.unionByName(planted).persist()
+    _EMB_AUG_CACHE[gk] = allv
+    return allv
 
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str, threshold: float = 0.9) -> DataFrame:

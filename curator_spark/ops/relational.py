@@ -270,9 +270,17 @@ def events_sessionize(spark: SparkSession, sf_dir: str, gap_min: int = 30) -> Da
     ev = load(spark, sf_dir, "events")
     by_user = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(by_user)
+    # fractional-second gap (timestamp → double epoch): unix_timestamp()
+    # TRUNCATES to whole seconds while the DuckDB oracle's epoch() keeps
+    # microseconds — a 1800.5s gap would disagree at the boundary. The
+    # parquet column is TIMESTAMP_NTZ, which cannot cast to double
+    # directly; via TIMESTAMP (session tz is pinned UTC) the difference is
+    # tz-invariant anyway.
+    def _epoch(c):
+        return c.cast("timestamp").cast("double")
+
     new_sess = (
-        prev_ts.isNull()
-        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > gap_min * 60)
+        prev_ts.isNull() | (_epoch(F.col("ts")) - _epoch(prev_ts) > gap_min * 60)
     ).cast("int")
     sess = ev.select(
         "user_id", "ts", "event_id", "value",
