@@ -139,8 +139,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_near_pairs": dedup.simhash_near_pairs,
-        "embedding_near_dups": dedup.embedding_near_dups,
-        "embedding_dup_groups": dedup.embedding_dup_groups,
+        # fixture-gated: the pure operators take planted=False; the driver
+        # table has no natural near-dups, so the gate queries plant the
+        # deterministic fixture (the oracle plants identically in SQL)
+        "embedding_near_dups": dedup.embedding_near_dups_fixture,
+        "embedding_dup_groups": dedup.embedding_dup_groups_fixture,
         # similarity search
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ivf_topk": similarity.ivf_topk,                      # rows-only

@@ -98,7 +98,7 @@ def main() -> None:
         "token_count": text.token_count,
         # round-2 families: vector near-dup (banded SRP-LSH + verify) and
         # the Gopher repetition rule
-        "embedding_near_dups": dedup.embedding_near_dups,
+        "embedding_near_dups": dedup.embedding_near_dups_fixture,
         "dup_ngram_fraction": text.dup_ngram_fraction,
     }
     for name, fn in bench_queries.items():

@@ -88,6 +88,15 @@ class VectorMap:
 
         fn, key, retries = self.fn, self.key, self.retries
         defaults, params_col = dict(self.defaults), self.params_col
+        if params_col and params_col not in df.columns:
+            # validated on the DRIVER, before any job launches: a typo'd
+            # column name is a wiring bug — surfacing it as a clean
+            # AnalysisException-style error beats a whole-job
+            # PythonException after task retries (and silently running
+            # every row on pure defaults would be worse still)
+            raise KeyError(
+                f"VectorMap params_col {params_col!r} not in input columns {df.columns}"
+            )
         schema = f"{self.out_schema}, _error string"
         # real DDL parse — a naive comma split would mangle nested types
         # (map<string,double>, decimal(10,2), struct<...>)
@@ -95,16 +104,8 @@ class VectorMap:
 
         def _apply(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in it:
-                if params_col and params_col not in pdf.columns:
-                    # surfacing a wiring bug beats silently running every
-                    # row on pure defaults (a typo'd column name would
-                    # otherwise drop all per-row overrides unnoticed)
-                    raise KeyError(
-                        f"VectorMap params_col {params_col!r} not in input columns "
-                        f"{list(pdf.columns)}"
-                    )
                 if defaults or params_col:
-                    row_ps = pdf[params_col] if params_col and params_col in pdf else [None] * len(pdf)
+                    row_ps = pdf[params_col] if params_col else [None] * len(pdf)
                     # Arrow renders map<k,v> as a list/ndarray of (k, v)
                     # pairs; dict() accepts those and plain dicts; NULL
                     # maps arrive as None (or NaN) → no override

@@ -391,12 +391,17 @@ EMB_BANDS = 4
 EMB_BAND_BITS = 16
 EMB_DIM = 64
 # The driver's `embeddings` table has no natural near-dups (max background
-# cosine ~0.51 at sf0.01), so the query derives a deterministic planted
-# fixture from the table itself: every vec_id % 10 == 0 gains a copy with
-# +0.02 on its first coordinate (cosine ~0.9998 for unit-norm vectors) at
-# vec_id + 10_000_000. The DuckDB oracle replicates the augmentation AND
-# the banded LSH exactly (planes inlined as literals), so the driver's
-# hash compare tests the full algorithm, not just a brute-force recall.
+# cosine ~0.51 at sf0.01), so the *_fixture gate queries derive a
+# deterministic planted fixture from the table itself: every vec_id % 10
+# == 0 gains a copy with +0.02 on its first coordinate (cosine ~0.9998 for
+# unit-norm vectors) at vec_id + 10_000_000. The DuckDB oracle replicates
+# the augmentation AND the banded LSH exactly (planes inlined as
+# literals), so the driver's hash compare tests the full algorithm, not
+# just a brute-force recall. The OPERATORS themselves are pure functions
+# of the embeddings table (planted=False default): a real caller never
+# sees fabricated vec_ids — only the explicitly-named fixture entry points
+# plant (the reference's semantic-dedup analog is likewise pure over its
+# input).
 EMB_PLANT_MOD = 10
 EMB_PLANT_OFFSET = 10_000_000
 EMB_PLANT_DELTA = 0.02
@@ -428,60 +433,69 @@ def _cos_sim(x, y):
     return F.when((nx > 0) & (ny > 0), dot / (nx * ny)).otherwise(F.lit(0.0))
 
 
-_EMB_AUG_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_EMB_AUG_CACHE: dict[tuple[str, str, str, bool], DataFrame] = {}
 
 
-def _emb_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings cast to double + the deterministic planted near-dups —
-    validated and PERSISTED once per (app, dir, embeddings-snapshot): the
-    near-dup query consumes it three times (bucketing + both verify-join
-    sides) and embedding_dup_groups again, so an unpersisted plan would
-    re-scan the table per branch."""
-    gk = _cache_key(spark, sf_dir, table="embeddings.parquet")
+def _emb_vectors(spark: SparkSession, sf_dir: str, planted: bool) -> DataFrame:
+    """embeddings cast to double (+ the deterministic planted near-dup
+    fixture iff ``planted``) — validated and PERSISTED once per (app, dir,
+    embeddings-snapshot, planted): the near-dup query consumes it three
+    times (bucketing + both verify-join sides) and embedding_dup_groups
+    again, so an unpersisted plan would re-scan the table per branch."""
+    gk = _cache_key(spark, sf_dir, table="embeddings.parquet") + (planted,)
     if gk in _EMB_AUG_CACHE:
         return _EMB_AUG_CACHE[gk]
-    for old in [k for k in _EMB_AUG_CACHE if k[:2] == gk[:2]]:
+    # evict only the STALE-snapshot entry of this (app, dir, planted)
+    # variant — the other planted variant may still be live and valid
+    for old in [k for k in _EMB_AUG_CACHE if k[:2] == gk[:2] and k[3] == gk[3] and k != gk]:
         _EMB_AUG_CACHE.pop(old).unpersist()
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    # one validation job (vec_id max + dim), amortized by the cache:
-    # planted ids must not collide with natural ids (silent id aliasing
-    # would fan out the verify joins and corrupt pair rows), and the
-    # fixed hyperplanes/slice only make sense for EMB_DIM-wide vectors —
-    # fail loudly rather than truncating a wider table.
+    # one validation job (vec_id max + dim), amortized by the cache: the
+    # fixed hyperplanes only make sense for EMB_DIM-wide vectors — fail
+    # loudly rather than truncating a wider table; when planting, fixture
+    # ids must also not collide with natural ids (silent id aliasing would
+    # fan out the verify joins and corrupt pair rows).
     top, dim_min, dim_max = emb.agg(
         F.max("vec_id"), F.min(F.size("emb")), F.max(F.size("emb"))
     ).head()
-    if top is not None and top >= EMB_PLANT_OFFSET:
-        raise ValueError(
-            f"embeddings vec_id max {top} >= EMB_PLANT_OFFSET {EMB_PLANT_OFFSET}; "
-            "raise the offset before planting near-dups"
-        )
     if top is not None and (dim_min != EMB_DIM or dim_max != EMB_DIM):
         raise ValueError(
             f"embedding dims [{dim_min}, {dim_max}] != EMB_DIM {EMB_DIM}: the SRP "
-            "hyperplanes and the planted-dup slice are generated for EMB_DIM — "
-            "regenerate EMB_PLANES for this table's dimensionality"
+            "hyperplanes are generated for EMB_DIM — regenerate EMB_PLANES "
+            "for this table's dimensionality"
         )
-    planted = emb.filter(F.col("vec_id") % EMB_PLANT_MOD == 0).select(
-        (F.col("vec_id") + F.lit(EMB_PLANT_OFFSET)).alias("vec_id"),
-        F.concat(
-            F.array(F.element_at("emb", 1) + F.lit(EMB_PLANT_DELTA)),
-            F.slice("emb", 2, EMB_DIM - 1),
-        ).alias("emb"),
-    )
-    allv = emb.unionByName(planted).persist()
+    allv = emb
+    if planted:
+        if top is not None and top >= EMB_PLANT_OFFSET:
+            raise ValueError(
+                f"embeddings vec_id max {top} >= EMB_PLANT_OFFSET {EMB_PLANT_OFFSET}; "
+                "raise the offset before planting near-dups"
+            )
+        fixture = emb.filter(F.col("vec_id") % EMB_PLANT_MOD == 0).select(
+            (F.col("vec_id") + F.lit(EMB_PLANT_OFFSET)).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at("emb", 1) + F.lit(EMB_PLANT_DELTA)),
+                F.slice("emb", 2, EMB_DIM - 1),
+            ).alias("emb"),
+        )
+        allv = emb.unionByName(fixture)
+    allv = allv.persist()
     _EMB_AUG_CACHE[gk] = allv
     return allv
 
 
-def embedding_near_dups(spark: SparkSession, sf_dir: str, threshold: float = 0.9) -> DataFrame:
+def embedding_near_dups(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.9, planted: bool = False
+) -> DataFrame:
     """Embedding-cosine near-dup pairs via 4x16-bit signed-random-projection
     LSH + exact cosine verify on candidates only (no all-pairs join; the
-    band-key groupBy is the only shuffle over the full set). Reference
-    analog: content-identity dedup (llm/llm.py:139-164) lifted to vectors."""
-    allv = _emb_augmented(spark, sf_dir)
+    band-key groupBy is the only shuffle over the full set). Pure over the
+    embeddings table unless ``planted`` (the benchmark fixture gate; see
+    :func:`embedding_near_dups_fixture`). Reference analog:
+    content-identity dedup (llm/llm.py:139-164) lifted to vectors."""
+    allv = _emb_vectors(spark, sf_dir, planted)
     planes = EMB_PLANES  # 32 KB — ships in the UDF closure
 
     @F.pandas_udf("array<int>")
@@ -533,8 +547,12 @@ def _min_label_components(
 
     Iterative min-label propagation (public): every round each node takes
     the min label among itself and its neighbors; converges in
-    O(component diameter) rounds. Each round is one shuffle (edge join +
-    min agg); the driver stops at fixpoint via a cheap changed-count."""
+    O(component diameter) rounds. Each round is ONE job — the eager
+    localCheckpoint that truncates lineage also materializes an observed
+    changed-count metric (CollectMetrics rides the same action), so the
+    fixpoint probe costs no extra join or count job."""
+    from pyspark.sql import Observation
+
     # symmetric adjacency, cached: reused every iteration
     adj = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     adj = adj.union(adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).persist()
@@ -546,23 +564,25 @@ def _min_label_components(
             .groupBy(F.col("src").alias(node))
             .agg(F.min("label").alias("nlabel"))
         )
+        obs = Observation()
         new_labels = (
             labels.join(neigh, node, "left")
             .select(
                 node,
                 F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+                # a node's label changed iff a neighbor brought a smaller one
+                F.coalesce(F.col("nlabel") < F.col("label"), F.lit(False))
+                .cast("long")
+                .alias("_chg"),
             )
+            .observe(obs, F.sum("_chg").alias("changed"))
+            .drop("_chg")
             # truncate lineage each round: without this the plan tree grows
             # linearly with iterations (re-derives every prior round on any
             # recompute — fatal for long chains at scale)
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), node)
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = int(obs.get["changed"] or 0)
         labels = new_labels
         if changed == 0:
             break
@@ -588,11 +608,32 @@ def dup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFra
 
 
 def embedding_dup_groups(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.9, max_iters: int = 20
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.9,
+    max_iters: int = 20,
+    planted: bool = False,
 ) -> DataFrame:
     """The vector twin of dup_groups: SRP-LSH candidates → exact cosine
     verify → connected components → (group_id, vec_id) canonical-vector
     assignment. Composes the embedding dedup DAG exactly like the text
-    pipeline composes LSH → Jaccard → components."""
-    edges = embedding_near_dups(spark, sf_dir, threshold).select("vec_a", "vec_b")
+    pipeline composes LSH → Jaccard → components. Pure over the embeddings
+    table unless ``planted`` (benchmark fixture gate)."""
+    edges = embedding_near_dups(spark, sf_dir, threshold, planted=planted).select(
+        "vec_a", "vec_b"
+    )
     return _min_label_components(edges, "vec_a", "vec_b", "vec_id", max_iters, "embedding_dup_groups")
+
+
+def embedding_near_dups_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver/bench gate query: the PURE :func:`embedding_near_dups` run
+    over the embeddings table augmented with the deterministic planted
+    fixture (the driver's table has no natural near-dups, so an unplanted
+    run returns zero rows and would test nothing). The DuckDB oracle
+    applies the identical augmentation query-side."""
+    return embedding_near_dups(spark, sf_dir, planted=True)
+
+
+def embedding_dup_groups_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-gated twin of :func:`embedding_dup_groups` (see above)."""
+    return embedding_dup_groups(spark, sf_dir, planted=True)

@@ -274,8 +274,19 @@ def events_sessionize(spark: SparkSession, sf_dir: str, gap_min: int = 30) -> Da
     # TRUNCATES to whole seconds while the DuckDB oracle's epoch() keeps
     # microseconds — a 1800.5s gap would disagree at the boundary. The
     # parquet column is TIMESTAMP_NTZ, which cannot cast to double
-    # directly; via TIMESTAMP (session tz is pinned UTC) the difference is
-    # tz-invariant anyway.
+    # directly; the NTZ→TIMESTAMP cast interprets the wall-clock in the
+    # SESSION timezone, so the op requires it pinned to UTC (build_session
+    # does; a foreign session with a DST-observing zone would shift two
+    # timestamps straddling a transition by different offsets, changing
+    # gaps by ±3600s and silently diverging from the oracle's epoch()).
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise ValueError(
+            f"events_sessionize requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): the TIMESTAMP_NTZ→epoch conversion is only "
+            "DST-safe under a fixed-offset zone"
+        )
+
     def _epoch(c):
         return c.cast("timestamp").cast("double")
 

@@ -279,7 +279,14 @@ class Pipeline:
         """One queryable row per completed run fingerprint (≙ the
         reference's ``runs`` metadata DB, ``db.py:59-131``): fingerprint →
         canonical config JSON + input + timestamps. Deduped — a resume or
-        cache-hit of the same fingerprint keeps the original row."""
+        cache-hit of the same fingerprint keeps the original row.
+
+        The read-then-append dedup here is best-effort, not atomic: two
+        drivers completing the same fingerprint concurrently can both pass
+        the exists probe and append. That is tolerated on the READ side —
+        :meth:`runs` collapses to one row per fingerprint — the same
+        duplicates-are-harmless stance the checkpoint table takes
+        (``committed_keys`` reads DISTINCT partition keys)."""
         import pandas as pd
 
         if self.catalog.exists(RUNS_TABLE):
@@ -307,9 +314,29 @@ class Pipeline:
         )
         self.catalog.append(df, RUNS_TABLE)
 
+    RUNS_SCHEMA = (
+        "run_fingerprint string, config_json string, input_path string, "
+        "started_at timestamp, partitions_run int, partitions_skipped int, "
+        "finished_at timestamp"
+    )
+
     def runs(self) -> DataFrame:
-        """Enumerate past runs (fingerprint, config, timestamps)."""
-        return self.catalog.read(RUNS_TABLE)
+        """Enumerate past runs (fingerprint, config, timestamps): one row
+        per fingerprint (earliest ``finished_at`` wins — concurrent
+        completers may have appended twice; see ``_commit_run_row``).
+        An empty typed DataFrame when no run has ever committed, so
+        callers can always ``.filter``/``.join`` without an exists probe."""
+        from pyspark.sql import Window as W
+
+        if not self.catalog.exists(RUNS_TABLE):
+            return self.spark.createDataFrame([], self.RUNS_SCHEMA)
+        df = self.catalog.read(RUNS_TABLE)
+        w = W.partitionBy("run_fingerprint").orderBy("finished_at")
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     # -- commits -----------------------------------------------------------
 

@@ -102,11 +102,24 @@ def stream_exact_dedup(
     its status trackers persist counters across poll cycles,
     ``batch_status_tracker.py:365-417``).
 
-    Each digest group keeps a duplicate counter as state (existence of the
-    state row itself marks the digest as seen): the first arrival (min
-    clip_id within its batch) is emitted once; every later arrival — same
-    batch or any later micro-batch — only bumps the counter. State is
-    per-digest and lives in the state store (RocksDB on a real cluster),
+    Each digest group keeps (dup_count, canonical_id) as state: the first
+    arrival is emitted once; every later arrival — same batch or any later
+    micro-batch — only bumps the counter.
+
+    **Canonical-choice contract (first-seen winner):** ``canonical_id`` is
+    the min clip_id *within the first micro-batch that saw the digest* —
+    so it depends on file landing order, and under append output mode a
+    smaller clip_id arriving in a later batch can never revise it. This is
+    deliberate: it is exactly the semantics of the batch pipeline's
+    resume anti-join (the first committed row wins; a re-ingested
+    duplicate is dropped, not re-canonicalized), and revising would
+    require retracting an already-emitted row, which append-mode sinks
+    cannot do. The chosen canonical is recorded in state, so the decision
+    is durable across restarts and auditable via the state store. Callers
+    needing global-min canonicals over a bounded corpus should use the
+    batch ``dedup_exact`` operator instead.
+
+    State is per-digest and lives in the state store (RocksDB on a real cluster),
     so memory is bounded by DISTINCT payloads, not rows; a production
     deployment with unbounded key churn would add a state TTL via
     ``GroupStateTimeout`` and emit the final counts on timeout —
@@ -141,19 +154,18 @@ def stream_exact_dedup(
                 if first is None or cand["clip_id"].iloc[0] < first["clip_id"].iloc[0]:
                     first = cand
         if state.exists:
-            (dup_count,) = state.get
-            state.update((int(dup_count) + n,))
+            dup_count, canonical = state.get
+            state.update((int(dup_count) + n, canonical))
         else:
-            state.update((n - (0 if first is None else 1),))
+            canonical = None if first is None else str(first["clip_id"].iloc[0])
+            state.update((n - (0 if first is None else 1), canonical))
             if first is not None:
-                yield pd.DataFrame(
-                    {"digest": [key[0]], "canonical_id": [first["clip_id"].iloc[0]]}
-                )
+                yield pd.DataFrame({"digest": [key[0]], "canonical_id": [canonical]})
 
     dedup = keyed.groupBy("digest").applyInPandasWithState(
         _dedup,
         outputStructType="digest string, canonical_id string",
-        stateStructType="dup_count long",
+        stateStructType="dup_count long, canonical_id string",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -81,6 +81,18 @@ def test_ivf_recall_vs_brute_force(spark):
     assert exact[0] == approx[0] == 0  # the query vector itself
 
 
+def test_embedding_near_dups_pure_by_default(spark):
+    """The operator itself must be a pure function of the embeddings table
+    (ADVICE r2): no fabricated fixture ids in its output. This table has
+    no natural near-dups at 0.9, so the pure run finds exactly nothing."""
+    from curator_spark.ops import dedup
+
+    rows = dedup.embedding_near_dups(spark, SF_DIR).collect()
+    assert rows == []
+    groups = dedup.embedding_dup_groups(spark, SF_DIR).collect()
+    assert groups == []
+
+
 def test_embedding_near_dups_planted_recall(spark):
     """Every deterministically-planted near-dup (cos ~0.9998) must be
     recalled by the 4x16-bit banded LSH, and every reported cosine must
@@ -89,7 +101,7 @@ def test_embedding_near_dups_planted_recall(spark):
 
     from curator_spark.ops import dedup
 
-    df = dedup.embedding_near_dups(spark, SF_DIR)
+    df = dedup.embedding_near_dups_fixture(spark, SF_DIR)
     rows = {(r["vec_a"], r["vec_b"]): r["cos_sim"] for r in df.collect()}
     emb = {
         r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
