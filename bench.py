@@ -8,8 +8,18 @@ Headline numbers:
   warehouse every time so nothing is served from checkpoints).
 - representative testdata queries (scan-agg, join, dedup, ANN, text).
 
+Drift robustness (this sandbox VM's throughput swings 2-3x minute to
+minute — verified round 2 by interleaved A/B of identical code): repeats
+are INTERLEAVED round-robin across all workloads (so a slow minute taxes
+every query equally instead of whichever one it landed on), the reported
+per-query time is the MEDIAN of ``REPEATS`` rounds, and a fixed
+calibration workload runs each round — its per-round times ship in
+``extra.calib_sec`` so cross-round comparisons can be normalized against
+machine weather instead of guessed at.
+
 Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
-``SPARK_GRAFT_CPUS`` (default all cores).
+``SPARK_GRAFT_CPUS`` (default all cores), ``SPARK_GRAFT_BENCH_REPEATS``
+(default 3).
 """
 
 from __future__ import annotations
@@ -17,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import time
 
@@ -43,11 +54,27 @@ def ensure_clips(spark, sf: float, cache_root: str = "/tmp/curator_bench") -> st
     return path
 
 
+def calibrate() -> float:
+    """Fixed CPU workload (seeded, allocation-free steady loop) timed per
+    round: a pure VM-weather gauge. ~0.15s at full speed; 2-3x that when
+    the sandbox throttles. Reported, never subtracted — the normalization
+    is the READER'S tool for comparing rounds recorded in different
+    weather."""
+    import numpy as np
+
+    a = np.random.RandomState(0).rand(384, 384)
+    t0 = time.monotonic()
+    for _ in range(60):
+        a @ a
+    return time.monotonic() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     if cpus == "*":  # session layer accepts '*'; arithmetic below needs an int
         cpus = str(os.cpu_count() or 8)
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     sf = sf_of(sf_dir)
 
     from curator_spark.catalog import ParquetCatalog
@@ -55,38 +82,25 @@ def main() -> None:
     from curator_spark.ops import dedup, relational, similarity, text
     from curator_spark.pipeline import Pipeline
     from curator_spark.session import build_session
-    from curator_spark.synth import clips as clips_mod
+    from curator_spark.synth import clips as clips_mod  # noqa: F401 (import check)
+    from curator_spark.warmup import warmup
 
     spark = build_session(master=f"local[{cpus}]", app_name="curator_spark_bench")
 
-    timings: dict[str, float] = {}
-    extra: dict[str, float] = {}
-
-    # --- clip pipeline (the headline) ---
     clips_path = ensure_clips(spark, sf)
     n_clips = int(open(os.path.join(clips_path, "_GENERATED")).read())
     wh = f"/tmp/curator_bench/wh_{os.getpid()}"
-    shutil.rmtree(wh, ignore_errors=True)
     cfg = PipelineConfig(n_partitions=int(cpus) * 2, commit_batches=1)
-    # measure steady-state throughput: pay CPU-ramp + codegen + Python-worker
-    # cold-start outside the window (see curator_spark/warmup.py)
-    from curator_spark.warmup import warmup
-
+    # pay CPU-ramp + codegen + Python-worker cold-start before ANY timing
+    # (see curator_spark/warmup.py and the sandbox notes above)
     warmup(spark, clips_path, cfg.rules)
-    dt = None
-    for attempt in range(2):  # steady state: best of 2 (the sandbox VM
-        shutil.rmtree(wh, ignore_errors=True)  # throttles cold bursts)
-        pipe = Pipeline(spark, ParquetCatalog(spark, wh), cfg)
-        t0 = time.monotonic()
-        pipe.run(clips_path)
-        run_dt = time.monotonic() - t0
-        dt = run_dt if dt is None else min(dt, run_dt)
-    timings["clip_pipeline"] = round(dt, 3)
-    extra["clips_per_sec"] = round(n_clips / dt, 1)
-    extra["n_clips"] = n_clips
-    shutil.rmtree(wh, ignore_errors=True)
 
-    # --- representative operator queries on the testdata tables ---
+    def run_clip_pipeline() -> int:
+        shutil.rmtree(wh, ignore_errors=True)
+        pipe = Pipeline(spark, ParquetCatalog(spark, wh), cfg)
+        pipe.run(clips_path)
+        return n_clips
+
     bench_queries = {
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_revenue": relational.q3_top_revenue,
@@ -101,16 +115,31 @@ def main() -> None:
         "embedding_near_dups": dedup.embedding_near_dups_fixture,
         "dup_ngram_fraction": text.dup_ngram_fraction,
     }
-    for name, fn in bench_queries.items():
-        best = None
-        for _ in range(2):  # steady state: best of 2 (codegen compile +
+
+    samples: dict[str, list[float]] = {n: [] for n in ["clip_pipeline", *bench_queries]}
+    calib: list[float] = []
+    rows_out: dict[str, int] = {}
+    for _ in range(repeats):
+        calib.append(round(calibrate(), 3))
+        t0 = time.monotonic()
+        run_clip_pipeline()
+        samples["clip_pipeline"].append(time.monotonic() - t0)
+        for name, fn in bench_queries.items():
             dedup.clear_session_cache(spark)  # each repeat does FULL work
-            t0 = time.monotonic()  # (VM cold-burst throttle hits run 1)
-            df = fn(spark, sf_dir)
-            n = df.count()
-            run_dt = time.monotonic() - t0
-            best = run_dt if best is None else min(best, run_dt)
-        timings[name] = round(best, 3)
+            t0 = time.monotonic()
+            rows_out[name] = fn(spark, sf_dir).count()
+            samples[name].append(time.monotonic() - t0)
+    shutil.rmtree(wh, ignore_errors=True)
+
+    timings = {n: round(statistics.median(v), 3) for n, v in samples.items()}
+    extra: dict = {
+        "clips_per_sec": round(n_clips / timings["clip_pipeline"], 1),
+        "n_clips": n_clips,
+        "repeats": repeats,
+        "calib_sec": calib,  # per-round VM-weather gauge (see calibrate())
+        "drift_ratio": round(max(calib) / min(calib), 3) if calib else None,
+    }
+    for name, n in rows_out.items():
         extra[f"{name}_rows"] = n
 
     total = round(sum(timings.values()), 3)
