@@ -146,7 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_groups": dedup.embedding_dup_groups_fixture,
         # similarity search
         "ann_cosine_topk": similarity.ann_cosine_topk,
-        "ivf_topk": similarity.ivf_topk,                      # rows-only
+        "ivf_topk": similarity.ivf_topk,
         "kmeans_assign": similarity.kmeans_assign,
         "dup_groups": dedup.dup_groups,
         # text analysis
@@ -330,7 +330,58 @@ FROM vreach GROUP BY src ORDER BY group_id, vec_id
 """
     )
 
-    return {
+    # ivf_topk: training is deterministic, so the oracle replicates it
+    # OUTSIDE Spark (pyarrow read → xxhash64-parity sample → seeded Lloyd,
+    # curator_spark/ops/similarity.py:ivf_oracle_params) and inlines the
+    # '%.6e'-quantized centroids — the same literal trick as EMB_PLANES.
+    # The centroids are a function of the DATA, so the generator reads the
+    # oracle-scale table (the driver compares at sf=0.01; override via
+    # SPARK_GRAFT_ORACLE_SF_DIR). If that table is unreadable the entry is
+    # omitted and the driver falls back to the rows-only check.
+    ivf_sql = None
+    try:
+        from curator_spark.ops.similarity import ivf_oracle_params
+
+        _ivf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        _cent, _probe = ivf_oracle_params(_ivf_dir)
+        _dim = _cent.shape[1]
+        cent_rows = ",\n".join(
+            f"({i}, [{', '.join(f'{v:.6e}' for v in _cent[i])}])" for i in range(len(_cent))
+        )
+        # row_number tie-break (d2 ASC, cid ASC) == numpy argmin's
+        # first-index-wins on exact ties
+        ivf_sql = f"""
+WITH cents(cid, cent) AS (VALUES
+{cent_rows}
+), ranked AS (
+  SELECT e.vec_id, c.cid,
+    row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY list_sum(list_transform(range(1, {_dim + 1}),
+                 j -> (CAST(e.embedding[j] AS DOUBLE) - c.cent[j]) ^ 2)) ASC,
+               c.cid ASC
+    ) AS rn
+  FROM embeddings e CROSS JOIN cents c
+), probed AS (
+  SELECT vec_id FROM ranked
+  WHERE rn = 1 AND cid IN ({", ".join(str(c) for c in _probe)})
+), qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+n AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(range(1, len(e.embedding)+1),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv.q[i] AS DOUBLE))) AS dot,
+    sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nx,
+    sqrt(list_sum(list_transform(qv.q,        x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS ny
+  FROM embeddings e JOIN probed USING (vec_id), qv
+)
+SELECT vec_id,
+  round(CASE WHEN nx > 0 AND ny > 0 THEN dot / (nx * ny) ELSE 0.0 END, 6) AS cos_sim
+FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+    except Exception:
+        pass
+
+    out = {
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
@@ -665,3 +716,6 @@ SELECT lang, COUNT(*) AS n_docs, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS
 FROM documents GROUP BY lang ORDER BY lang
 """,
     }
+    if ivf_sql is not None:
+        out["ivf_topk"] = ivf_sql
+    return out

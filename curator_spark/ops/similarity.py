@@ -61,6 +61,42 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
 
 
+def _quantize6e(arr: np.ndarray) -> np.ndarray:
+    """Quantize to the exact doubles that '%.6e' SQL literals parse to —
+    the same trick EMB_PLANES uses (ops/dedup.py): after this, the Spark
+    UDF and the DuckDB oracle hold bit-identical centroid values."""
+    return np.array([[float(f"{v:.6e}") for v in row] for row in arr])
+
+
+# XXH64 primes (public algorithm, Collet) — Spark's xxhash64(long) is
+# XXH64 over the 8-byte value with seed 42; replicated here so the
+# oracle generator can select the SAME seeded sample Spark selects.
+_XXP1, _XXP2, _XXP3, _XXP4, _XXP5 = (
+    0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5,
+)
+_M64 = (1 << 64) - 1
+
+
+def _xxhash64_long(value: int, seed: int = 42) -> int:
+    """Spark-compatible ``xxhash64`` of one LongType value (signed result).
+    Parity is pytest-asserted against the real Spark expression."""
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _M64
+
+    v = value & _M64
+    h = (seed + _XXP5 + 8) & _M64
+    k1 = rotl((v * _XXP2) & _M64, 31) * _XXP1 & _M64
+    h = (rotl(h ^ k1, 27) * _XXP1 + _XXP4) & _M64
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def _train_centroids(vecs: np.ndarray, n_cells: int, iters: int = 5) -> np.ndarray:
     """Deterministic Lloyd iterations from seeded init (public k-means).
     A sample smaller than n_cells degrades to len(sample) cells (the probe
@@ -87,7 +123,17 @@ def ivf_topk(
 
     At cluster scale the cell id becomes a partition column of the vector
     table, so a probe reads n_probe partitions instead of the full table
-    (partition pruning does the work — no custom index server)."""
+    (partition pruning does the work — no custom index server).
+
+    Oracle story: training is deterministic (seeded hash sample → seeded
+    Lloyd) and the trained centroids are quantized to '%.6e' doubles, so
+    :func:`ivf_oracle_params` can replicate them EXACTLY outside Spark
+    and the whole assign→probe→cosine plan becomes DuckDB-expressible
+    (hash-compared by the driver). Residual cross-engine risk: the cell
+    argmin is computed via one BLAS matmul here vs a sequential fold in
+    SQL — an assignment could flip only if two centroids sit within
+    ~1e-13 of equidistant from a vector, negligible for continuous data
+    (same accepted risk as the SRP band keys, ops/dedup.py)."""
     emb = load(spark, sf_dir, "embeddings")
     # seeded hash sample: deterministic (pure function of vec_id),
     # unbiased (xxhash64 decorrelates from any id ordering), and bounded
@@ -108,7 +154,7 @@ def ivf_topk(
     )
     if sample.size == 0:  # empty table: nothing to probe, empty result
         return emb.select("vec_id", F.lit(0.0).alias("cos_sim")).limit(0)
-    cent = _train_centroids(sample, n_cells)
+    cent = _quantize6e(_train_centroids(sample, n_cells))
     cent_b = spark.sparkContext.broadcast(cent)
 
     @F.pandas_udf("int")
@@ -134,6 +180,37 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
     )
+
+
+def ivf_oracle_params(
+    sf_dir: str, n_cells: int = 16, n_probe: int = 4
+) -> tuple[np.ndarray, list[int]]:
+    """Replicate :func:`ivf_topk`'s deterministic training OUTSIDE Spark
+    (pyarrow read → xxhash64-parity sample → seeded Lloyd → '%.6e'
+    quantization) so the oracle SQL can inline the exact centroid doubles
+    the Spark UDF will use. Returns (centroids, probe_cell_ids)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    n = len(ids)
+    rate = max(1, n // 2048)
+    if rate == 1:
+        sel = np.ones(n, dtype=bool)
+    else:
+        sel = np.array([_xxhash64_long(int(i)) % rate == 0 for i in ids])
+    embs = tbl["embedding"].to_pylist()
+    order = np.argsort(ids[sel], kind="stable")  # Spark samples orderBy(vec_id)
+    sample = np.asarray(
+        [embs[i] for i in np.flatnonzero(sel)[order]], dtype=np.float64
+    )
+    cent = _quantize6e(_train_centroids(sample, n_cells))
+    qv = np.asarray(embs[int(np.flatnonzero(ids == 0)[0])], dtype=np.float64)
+    probe = np.argsort(((cent - qv) ** 2).sum(axis=1))[:n_probe].tolist()
+    return cent, [int(c) for c in probe]
 
 
 CENTROID_IDS = (0, 7, 19, 42)

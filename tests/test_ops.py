@@ -71,6 +71,19 @@ def test_simhash_near_pairs_semantics(spark):
         assert p["doc_a"] < p["doc_b"]
 
 
+def test_ivf_topk_oracle_parity(spark, ddb, monkeypatch):
+    """ivf_topk's full-algorithm oracle (assign→probe→cosine with inlined
+    %.6e centroids) must hash-match at this SF too — the generator is
+    pointed at sf0.001 via SPARK_GRAFT_ORACLE_SF_DIR (the driver default
+    is the sf0.01 oracle table)."""
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
+    sql = entrymod.oracle_sql()["ivf_topk"]
+    got = norm(entrymod.queries()["ivf_topk"](spark, SF_DIR).toPandas())
+    exp = norm(ddb.sql(sql).df())
+    assert len(got) == len(exp)
+    assert value_hash(got) == value_hash(exp)
+
+
 def test_ivf_recall_vs_brute_force(spark):
     from curator_spark.ops import similarity
 
