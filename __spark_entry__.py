@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
+        "minhash_signatures_fast": dedup.minhash_signatures_fast,
         "minhash_dup_pairs": dedup.minhash_dup_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_fingerprints": dedup.simhash_fingerprints,
@@ -172,7 +173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from curator_spark.ops.dedup import M32, MINHASH_COEFFS
+    from curator_spark.ops.dedup import (
+        M32, MINHASH_COEFFS, MINHASH_COEFFS64, PACK_MASK40, PACK_TAG_MD5,
+    )
 
     n_hashes, band, shk = 16, 4, 5
     # one md5 per shingle → 32-bit x; family j is the multiply-mod
@@ -202,10 +205,59 @@ WITH harr AS (
     {band_cols}
   FROM sig
 )"""
+    # the PRODUCTION mix64 family (ops/dedup.py _minhash_batch): x =
+    # _mix47(packed window key) — the packed key is ASCII bytes big-endian
+    # under a length tag at bit 40 (md5-fallback key for non-ASCII
+    # windows); _mix47 is two multiply-high avalanche rounds whose 47-bit
+    # outputs keep every HUGEINT product in range; then mh_j =
+    # ((a_j*x + b_j) mod 2^64) >> 32 (multiply-shift). Exactly
+    # expressible with explicit mod-2^64 arithmetic — digest-free on the
+    # Spark side, hash-compared by the driver like everything else.
+    from curator_spark.ops.dedup import MIX_C1, MIX_C2, MIX_SHIFT
+
+    m64 = str(1 << 64)
+    mh64_cols = ",\n    ".join(
+        f"CAST(MIN(CAST(((CAST({a} AS HUGEINT) * x + {b}) % {m64}) "
+        f"AS UBIGINT) >> 32) AS BIGINT) AS mh{j}"
+        for j, (a, b) in enumerate(MINHASH_COEFFS64)
+    )
+    fast_base = f"""
+WITH win AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(length(text)-{shk - 1},1)+1),
+                 i -> substring(text, CAST(i AS INT), {shk}))) AS w
+  FROM documents
+), xraw AS (
+  SELECT doc_id,
+    CASE WHEN octet_length(encode(w)) = length(w) AND octet_length(encode(w)) * 8 <= 40 THEN
+      (CAST(length(w) AS BIGINT) << 40)
+      + COALESCE(list_sum(list_transform(range(1, length(w)+1),
+          j -> ascii(substring(w, CAST(j AS INT), 1))
+               * (CAST(1 AS BIGINT) << (8*(length(w)-CAST(j AS INT)))))), 0)
+    ELSE CAST((CAST(('0x' || substring(md5(w), 1, 16)) AS UBIGINT)
+               & CAST({PACK_MASK40} AS UBIGINT)) | CAST({PACK_TAG_MD5} AS UBIGINT) AS BIGINT)
+    END AS z
+  FROM win
+), xmix1 AS (
+  SELECT doc_id,
+    CAST(((CAST({MIX_C1} AS HUGEINT) * z) % {m64}) AS UBIGINT) >> {MIX_SHIFT} AS z
+  FROM xraw
+), xs AS (
+  SELECT doc_id,
+    CAST(CAST(((CAST({MIX_C2} AS HUGEINT) * z) % {m64}) AS UBIGINT) >> {MIX_SHIFT} AS BIGINT) AS x
+  FROM xmix1
+), sig AS (
+  SELECT doc_id,
+    {mh64_cols}
+  FROM xs GROUP BY doc_id
+), sigb AS (
+  SELECT doc_id, {sig_concat} AS signature,
+    {band_cols}
+  FROM sig
+)"""
     band_union = " UNION ALL ".join(
         f"SELECT doc_id, '{b}:' || band{b} AS bucket FROM sigb" for b in range(n_hashes // band)
     )
-    pairs_cte = f"""{minhash_base}, stacked AS (
+    pairs_cte = f"""{fast_base}, stacked AS (
   {band_union}
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -217,7 +269,7 @@ WITH harr AS (
     # (the Spark side's HashMin label propagation computes the same fixpoint
     # distributively; exactness vs union-find is also pytest-asserted)
     dup_groups_sql = (
-        pairs_cte.replace("WITH harr AS", "WITH RECURSIVE harr AS", 1)
+        pairs_cte.replace("WITH win AS", "WITH RECURSIVE win AS", 1)
         + """, edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL SELECT doc_b, doc_a FROM pairs
@@ -499,6 +551,10 @@ SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
 FROM documents GROUP BY digest ORDER BY canonical_id
 """,
         "minhash_signatures": minhash_base
+        + """
+SELECT * FROM sigb ORDER BY doc_id
+""",
+        "minhash_signatures_fast": fast_base
         + """
 SELECT * FROM sigb ORDER BY doc_id
 """,

@@ -102,6 +102,43 @@ def test_minhash_fast_batch_equals_naive(texts):
         assert np.array_equal(got[i], _minhash_naive(t)), repr(t)
 
 
+def _minhash_naive_mix64(text: str, k: int = 5) -> np.ndarray:
+    """The definitional per-window mix64 MinHash: pure-Python big-int
+    arithmetic (no numpy wrapping) mirroring the DuckDB oracle's explicit
+    mod-2^64 expressions."""
+    from curator_spark.ops.dedup import (
+        MINHASH_COEFFS64, MIX_C1, MIX_C2, MIX_SHIFT, _pack_window_py,
+    )
+
+    t = text if isinstance(text, str) else ""
+    n = max(len(t) - (k - 1), 1)
+    m64 = 1 << 64
+    out = []
+    for a, b in MINHASH_COEFFS64:
+        best = None
+        for i in range(n):
+            z = _pack_window_py(t[i : i + k])
+            z = ((MIX_C1 * z) % m64) >> MIX_SHIFT
+            z = ((MIX_C2 * z) % m64) >> MIX_SHIFT
+            h = ((a * z + b) % m64) >> 32
+            best = h if best is None else min(best, h)
+        out.append(best)
+    return np.array(out, dtype=np.int64)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=12))
+def test_minhash_mix64_batch_equals_naive(texts):
+    """The wrapped-uint64 vectorized mix64 path must be bit-equal to a
+    pure-Python big-int evaluation of the same family for ANY input,
+    including non-ASCII (md5-fallback keys), empty, and short strings."""
+    from curator_spark.ops.dedup import _minhash_batch
+
+    got = _minhash_batch(texts, family="mix64")
+    for i, t in enumerate(texts):
+        assert np.array_equal(got[i], _minhash_naive_mix64(t)), repr(t)
+
+
 def _simhash_naive(text: str) -> int:
     """Definitional per-token SimHash with the md5-derived 64-bit hash."""
     import hashlib
