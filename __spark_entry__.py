@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures_fast": dedup.minhash_signatures_fast,
         "minhash_dup_pairs": dedup.minhash_dup_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "cross_doc_dup_spans": dedup.cross_doc_dup_spans,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_near_pairs": dedup.simhash_near_pairs,
         # fixture-gated: the pure operators take planted=False; the driver
@@ -561,6 +562,25 @@ SELECT * FROM sigb ORDER BY doc_id
         "minhash_dup_pairs": pairs_cte
         + """
 SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b
+""",
+        "cross_doc_dup_spans": """
+WITH spans AS (
+  SELECT doc_id, md5(substring(text, CAST(p.i * 10 + 1 AS INT), 50)) AS gram
+  FROM documents,
+  UNNEST(range(0, CAST(CASE WHEN length(text) >= 50
+                 THEN floor((length(text) - 50) / 10.0) + 1 ELSE 1 END AS BIGINT))) AS p(i)
+), gd AS (
+  SELECT gram FROM spans GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+), dup AS (
+  SELECT s.doc_id, COUNT(*) AS dup_spans
+  FROM spans s JOIN gd ON s.gram = gd.gram GROUP BY s.doc_id
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_spans, COALESCE(d.dup_spans, 0) AS dup_spans,
+  ROUND(CAST(COALESCE(d.dup_spans, 0) AS DOUBLE) / t.n_spans, 6) AS dup_span_frac
+FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
+ORDER BY t.doc_id
 """,
         "embedding_near_dups": emb_near_sql,
         "embedding_dup_groups": emb_groups_sql,

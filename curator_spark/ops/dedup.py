@@ -388,6 +388,68 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5
     )
 
 
+SPAN_K = 50      # Lee et al. 2022-style span width ("Deduplicating
+SPAN_STRIDE = 10  # Training Data Makes Language Models Better", public):
+# exact duplicated SPANS across documents, approximated by hashed strided
+# windows instead of a suffix array — the standard scalable relaxation.
+
+
+def cross_doc_dup_spans(
+    spark: SparkSession, sf_dir: str, k: int = SPAN_K, stride: int = SPAN_STRIDE
+) -> DataFrame:
+    """Cross-DOCUMENT exact-substring duplication: for every doc, the
+    fraction of its hashed ``k``-char spans (sampled every ``stride``
+    chars; one whole-text span for shorter docs) that also occur verbatim
+    in at least one OTHER document. The reference analog is content
+    identity (llm/llm.py:139-164) lifted from whole rows to spans;
+    ``dup_ngram_fraction`` is the WITHIN-doc twin.
+
+    Scale shape (100 TB): explode is narrow; the only wide ops are the
+    groupBy on the span digest (partial-aggregated count-distinct, so a
+    corpus-universal span — boilerplate headers, license text — arrives
+    at its reducer pre-combined, and AQE splits any residual hot key) and
+    the digest-keyed join back, which reuses the same hash partitioning.
+    No text ever shuffles — only 32-hex digests. This is the standard
+    scalable relaxation of the suffix-array construction in the public
+    Lee et al. 2022 dedup paper."""
+    docs = load(spark, sf_dir, "documents")
+    npos = F.when(
+        F.length("text") >= k, F.floor((F.length("text") - k) / stride) + 1
+    ).otherwise(F.lit(1)).cast("int")
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), npos - 1),
+                lambda i: F.md5(F.substring(F.col("text"), i * stride + 1, k)),
+            )
+        ).alias("gram"),
+    )
+    gram_docs = (
+        spans.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+    )
+    dup = (
+        spans.join(gram_docs, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_spans"))
+    )
+    totals = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    return (
+        totals.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+            F.round(F.coalesce("dup_spans", F.lit(0)) / F.col("n_spans"), 6).alias(
+                "dup_span_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _simhash_batch(texts) -> np.ndarray:
     """(n,) int64 SimHash fingerprints for one batch of texts.
 

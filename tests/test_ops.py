@@ -27,6 +27,8 @@ PARITY = [
     "minhash_signatures",
     "minhash_dup_pairs",
     "ngram_jaccard_pairs",
+    "cross_doc_dup_spans",
+    "minhash_signatures_fast",
     "ann_cosine_topk",
     "embedding_near_dups",
     "token_count",
