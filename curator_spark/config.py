@@ -48,6 +48,12 @@ class PipelineConfig:
     n_partitions: int = 64        # logical partition keys (checkpoint grain)
     commit_batches: int = 4       # partition groups committed independently
     stages: tuple[str, ...] = ("decode", "langid", "ppl", "rules", "scrub", "decide")
+    # optional exact-dedup stage (≙ the reference's content-identity cache
+    # skip, llm/llm.py:139-164, applied row-wise): duplicate transcripts
+    # keep only the min-clip_id canonical; later copies are labeled
+    # keep=false with 'duplicate' appended to reasons. Off by default —
+    # it adds one digest scan + one clip_id-keyed join to the DAG.
+    dedup_exact: bool = False
     # physical scan strategy for the byte-heavy decode stage:
     #   auto     — "column" when the input already carries part_key
     #              (pre-partitioned layout → pruned reads), else "manifest"

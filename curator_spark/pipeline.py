@@ -212,6 +212,12 @@ class Pipeline:
         else:
             base = raw.withColumn("part_key", hash_part_key(cfg.n_partitions))
 
+        dup_marks = None
+        if cfg.dedup_exact:
+            t1 = time.monotonic()
+            dup_marks = self._duplicate_clip_ids(raw)
+            res.timings["plan_dedup"] = time.monotonic() - t1
+
         groups_done = 0
         for g in range(cfg.commit_batches):
             group_keys = {k for k in all_keys if k % cfg.commit_batches == g}
@@ -236,6 +242,8 @@ class Pipeline:
                 df_g = base.filter(F.col("part_key").isin(missing))
                 rows_in = None  # counted after the write (input-side scan)
                 labeled = stages.apply_all(df_g, cfg.rules)
+            if labeled is not None and dup_marks is not None:
+                labeled = self._apply_dedup(labeled, dup_marks)
             if labeled is not None:
                 if man is None:
                     # align file layout with part_key (bytes already dropped
@@ -272,6 +280,49 @@ class Pipeline:
                 raise RuntimeError(f"failpoint: aborted after {groups_done} group commits")
         self._commit_run_row(fingerprint, input_path, started_at, res)
         return res
+
+    # -- exact-dedup stage -------------------------------------------------
+
+    def _duplicate_clip_ids(self, raw: DataFrame) -> DataFrame:
+        """clip_ids that are NON-canonical copies of some transcript
+        (canonical = global min clip_id per content digest, the same
+        choice ``ops.dedup.dedup_exact`` and the streaming dedup make).
+        One column-pruned scan (clip_id + transcript only — the parquet
+        reader never touches ``bytes``) and one shuffle on the digest;
+        materialized eagerly so the commit groups reuse it instead of
+        re-scanning the input per group. Deterministic under resume: the
+        canonical depends only on the input, not on commit order."""
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("digest").orderBy("clip_id")
+        return (
+            raw.select("clip_id", stages.transcript_digest().alias("digest"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select("clip_id")
+            .localCheckpoint(eager=True)
+        )
+
+    @staticmethod
+    def _apply_dedup(labeled: DataFrame, dup_ids: DataFrame) -> DataFrame:
+        """Label duplicate clips keep=false with 'duplicate' appended to
+        reasons (≙ the reference's cache-identity skip, F5 — the row is
+        retained for lineage/audit rather than silently vanishing). The
+        clip_id-keyed join broadcasts when the duplicate set is small
+        (AQE decides); at 10^12 clips with a large dup set it degrades to
+        a hash join on the same key the output is already salted by."""
+        marks = dup_ids.withColumn("_dup", F.lit(True))
+        return (
+            labeled.join(marks, "clip_id", "left")
+            .withColumn("keep", F.when(F.col("_dup"), F.lit(False)).otherwise(F.col("keep")))
+            .withColumn(
+                "reasons",
+                F.when(
+                    F.col("_dup"), F.concat("reasons", F.array(F.lit("duplicate")))
+                ).otherwise(F.col("reasons")),
+            )
+            .drop("_dup")
+        )
 
     # -- runs catalog ------------------------------------------------------
 

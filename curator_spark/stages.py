@@ -35,6 +35,15 @@ from .config import RULE_IDS, RuleThresholds
 from .scoring.scrub import SCRUB_PATTERNS
 from .synth import textgen
 
+def transcript_digest() -> Column:
+    """THE content-identity expression (≙ the reference's cache identity,
+    llm/llm.py:139-164), shared by the batch dedup stage and the streaming
+    stateful dedup so the two faces can never disagree. Null transcripts
+    hash a NUL-byte sentinel (no real transcript can collide with it) so
+    they dedupe among themselves under a non-null key."""
+    return F.md5(F.coalesce("transcript", F.lit("\x00null")))
+
+
 # ---------------------------------------------------------------- decode
 
 _DECODE_ADDED = "rms_db double, silence_ratio double, clip_ratio double, decode_ok boolean"

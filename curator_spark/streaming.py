@@ -142,7 +142,7 @@ def stream_exact_dedup(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
-    keyed = src.withColumn("digest", F.md5(F.coalesce("transcript", F.lit("\x00null"))))
+    keyed = src.withColumn("digest", stages.transcript_digest())
 
     def _dedup(key, pdfs, state):
         first = None

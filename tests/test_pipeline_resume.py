@@ -71,6 +71,39 @@ def test_kill_resume_identical_to_uninterrupted(env, workdir):
     assert got == golden
 
 
+def test_dedup_stage_drops_reingested_duplicate(env, workdir):
+    """With cfg.dedup_exact, a re-ingested copy of an existing clip is
+    labeled keep=false with 'duplicate' appended to reasons, while the
+    canonical (min clip_id) row keeps its original decision — the
+    pipeline face of the exact-dedup family (≙ the reference's
+    content-identity cache skip, F5)."""
+    spark, inp, cfg, cat = env
+
+    # duplicate one clip's transcript under a strictly LARGER clip_id by
+    # appending a one-row parquet file to the landing dir
+    src = spark.read.parquet(inp)
+    victim = src.orderBy("clip_id").limit(1).collect()[0]
+    dup_row = src.filter(F.col("clip_id") == victim["clip_id"]).withColumn(
+        "clip_id", F.concat(F.col("clip_id"), F.lit("_copy"))
+    )
+    dup_row.coalesce(1).write.mode("append").parquet(inp)
+
+    cfg = PipelineConfig(
+        n_partitions=cfg.n_partitions, commit_batches=cfg.commit_batches, dedup_exact=True
+    )
+    pipe = Pipeline(spark, cat, cfg)
+    pipe.run(inp)
+    out = {r["clip_id"]: r for r in pipe.output().collect()}
+
+    copy_id = victim["clip_id"] + "_copy"
+    assert out[copy_id]["keep"] is False
+    assert "duplicate" in out[copy_id]["reasons"]
+    assert "duplicate" not in out[victim["clip_id"]]["reasons"]  # canonical wins
+    # every OTHER clip is untouched by the stage
+    n_dup_labeled = sum("duplicate" in r["reasons"] for r in out.values())
+    assert n_dup_labeled == 1 and len(out) == N + 1
+
+
 def test_full_cache_hit(env):
     spark, inp, cfg, cat = env
     pipe = Pipeline(spark, cat, cfg)
