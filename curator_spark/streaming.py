@@ -199,6 +199,7 @@ def stream_hourly_metrics(
     checkpoint_dir: str,
     watermark: str = "2 hours",
     query_name: str = "hourly_metrics",
+    output_dir: str | None = None,
 ):
     """Watermarked tumbling-window keep-rate rollup over the labeled stream
     written by :func:`stream_pipeline` (which stamps ``ingest_ts``).
@@ -209,7 +210,16 @@ def stream_hourly_metrics(
     back until a later batch advances the watermark). The watermark still
     bounds state: windows older than it are dropped from the store — the
     guarantee that makes this runnable forever at 10^12-clip scale.
-    Results land in the in-memory table ``query_name``.
+
+    Sink: with ``output_dir`` set, each micro-batch's changed windows land
+    as parquet under a batch_id-keyed subdir (idempotent replay), and —
+    unlike the memory sink, which cannot recover a checkpoint — the query
+    RESTARTS from ``checkpoint_dir``, resuming its window state instead of
+    recounting rows it already aggregated. Because update mode RE-emits a
+    window whenever it changes, the durable table is a log of window
+    versions; read it through :func:`read_hourly_metrics`, which keeps the
+    latest version per window. Without ``output_dir``, results land in the
+    in-memory table ``query_name`` (interactive/testing only).
     """
     src = (
         spark.readStream.schema(
@@ -231,11 +241,44 @@ def stream_hourly_metrics(
             "keep_rate",
         )
     )
+    if output_dir is None:
+        return (
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # batch_id-keyed overwrite: replay after a crash rewrites the same
+        # subdir instead of appending duplicates (same recipe as
+        # stream_pipeline / stream_exact_dedup)
+        batch_df.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+
     return (
         agg.writeStream.outputMode("update")
-        .format("memory")
+        .foreachBatch(_sink)
         .queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def read_hourly_metrics(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Current value per window from a durable :func:`stream_hourly_metrics`
+    table: update mode re-emits a window each time it changes, so the
+    parquet log holds one row per (window, emitting batch) — the
+    max-batch_id row is the live value (batch ids are monotone across
+    restarts because they come from the recovered checkpoint)."""
+    from pyspark.sql import Window as W
+
+    df = spark.read.option("basePath", output_dir).parquet(output_dir)
+    w = W.partitionBy("hour").orderBy(F.desc("batch_id"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "batch_id")
     )

@@ -96,6 +96,43 @@ def test_stream_hourly_metrics(spark, workdir):
     assert abs(stream_rate - batch_keep_rate) < 1e-9
 
 
+def test_stream_hourly_metrics_durable_restart(spark, workdir):
+    """The durable sink must let the rollup RESTART from its checkpoint:
+    window state recovers, so rows labeled before the stop are still
+    counted in the window after new rows arrive — not recounted, not
+    forgotten. (The memory sink cannot do this; it has no recoverable
+    output.)"""
+    cfg = PipelineConfig(n_partitions=8)
+    inp = os.path.join(workdir, "landing")
+    out = os.path.join(workdir, "labeled")
+    mdir = os.path.join(workdir, "metrics")
+    ck_m = os.path.join(workdir, "ck_m")
+    _land_clips(spark, inp, N, 2)
+
+    q = streaming.stream_pipeline(spark, inp, out, os.path.join(workdir, "ck_p"), cfg)
+    q.awaitTermination(120)
+    q2 = streaming.stream_hourly_metrics(spark, out, ck_m, output_dir=mdir)
+    q2.awaitTermination(120)
+    first = streaming.read_hourly_metrics(spark, mdir)
+    assert first.agg(F.sum("n")).head()[0] == N
+
+    # second wave lands AFTER the metrics query stopped; restart from the
+    # same checkpoint must fold it into the recovered window state
+    extra = 60
+    clips.generate_clips(spark, N + extra, 2).filter(
+        ~F.col("clip_id").isin([r["clip_id"] for r in spark.read.parquet(inp).select("clip_id").collect()])
+    ).write.mode("append").parquet(inp)
+    q = streaming.stream_pipeline(spark, inp, out, os.path.join(workdir, "ck_p"), cfg)
+    q.awaitTermination(120)
+    n_labeled = spark.read.parquet(out).count()
+
+    q3 = streaming.stream_hourly_metrics(spark, out, ck_m, output_dir=mdir)
+    q3.awaitTermination(120)
+    final = streaming.read_hourly_metrics(spark, mdir)
+    # every labeled row counted exactly once across the restart
+    assert final.agg(F.sum("n")).head()[0] == n_labeled > N
+
+
 def test_stream_exact_dedup_state_across_microbatches(spark, workdir):
     """applyInPandasWithState custom stateful operator: a digest seen in an
     earlier micro-batch must not be re-emitted by a later one, and each
