@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_groups": dedup.dup_groups,
         # text analysis
         "token_count": text.token_count,
+        "token_count_bpe": text.token_count_bpe,      # rows-only (iterative merges)
         "quality_scores": text.quality_scores,
         "doc_fingerprint": text.doc_fingerprint,
         "lang_distribution": text.lang_distribution,

@@ -32,6 +32,34 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real subword token counts via the deterministic trained BPE
+    (curator_spark/scoring/bpe.py) alongside the whitespace count — the
+    engine's provider-free analog of the reference's tokenizer-based cost
+    accounting (SURVEY §2.5 A1). Iterative merge application has no SQL
+    form → rows-only driver check; Spark-vs-local parity and determinism
+    are pytest-asserted."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _count(it):
+        from ..scoring import bpe
+
+        for pdf in it:
+            out = pdf[["doc_id"]].copy()
+            out["n_words"] = [
+                sum(1 for w in (t if isinstance(t, str) else "").split(" ") if w)
+                for t in pdf["text"]
+            ]
+            out["n_bpe_tokens"] = bpe.count_batch(list(pdf["text"]))
+            yield out
+
+    return docs.mapInPandas(
+        _count, schema="doc_id long, n_words long, n_bpe_tokens long"
+    ).orderBy("doc_id")
+
+
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality features (Gopher/C4-style public rules): length,
     mean word length, distinct-word ratio, stopword fraction."""

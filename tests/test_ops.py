@@ -137,6 +137,28 @@ def test_embedding_near_dups_planted_recall(spark):
         assert abs(cs - ref) < 1e-5 and cs >= 0.9 and a < b
 
 
+def test_token_count_bpe_spark_matches_local(spark):
+    """The distributed BPE count must be bit-equal to a single-node
+    application of the same trained merges (partitioning invariance), and
+    the merges must actually compress the corpus."""
+    import numpy as np
+
+    from curator_spark.ops import dedup, text as text_ops
+    from curator_spark.scoring import bpe
+
+    df = text_ops.token_count_bpe(spark, SF_DIR).toPandas().sort_values("doc_id")
+    docs = (
+        dedup.load(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    local = bpe.count_batch(list(docs["text"]))
+    assert np.array_equal(df["n_bpe_tokens"].to_numpy(), local)
+    assert df["n_bpe_tokens"].sum() < sum(len(t) for t in docs["text"])
+    assert (df["n_bpe_tokens"] >= df["n_words"]).all()
+
+
 def test_dup_groups_matches_union_find(spark):
     """Connected components via iterative min-label propagation must equal
     a single-node union-find over the same candidate-pair graph."""

@@ -102,6 +102,23 @@ def test_minhash_fast_batch_equals_naive(texts):
         assert np.array_equal(got[i], _minhash_naive(t)), repr(t)
 
 
+@settings(max_examples=100, deadline=None)
+@given(TEXT)
+def test_bpe_total_deterministic_and_lossless(t):
+    """The trained BPE is total over arbitrary strings, deterministic,
+    bounded (len(words) <= tokens <= chars+words), and lossless (token
+    concat reproduces word + end marker)."""
+    from curator_spark.scoring import bpe
+
+    n1 = bpe.count_batch([t])[0]
+    n2 = bpe.count_batch([t])[0]
+    assert n1 == n2 >= 0
+    words = [w for w in t.split(" ") if w]
+    assert len(words) <= n1 <= sum(len(w) + 1 for w in words)
+    for w in words[:5]:
+        assert "".join(bpe.encode_word(w)) == w + bpe.END
+
+
 def _minhash_naive_mix64(text: str, k: int = 5) -> np.ndarray:
     """The definitional per-window mix64 MinHash: pure-Python big-int
     arithmetic (no numpy wrapping) mirroring the DuckDB oracle's explicit
