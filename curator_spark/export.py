@@ -1,0 +1,109 @@
+"""Export sink: curated parquet + a generated dataset card (SURVEY §2.1 S5).
+
+The reference's ``push_to_hub`` writes the dataset plus a generated card
+describing it (``base_request_processor.py:481-494``); its local export
+writes plain files. Here: ``data/`` parquet (the curated rows),
+``README.md`` (card with YAML front-matter metadata + stats table) and
+``dataset_info.json`` (machine-readable twin). Stats come from ONE
+aggregation job over the exported table; the card is driver-side file IO.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _stats(df: DataFrame) -> dict:
+    agg = df.agg(
+        F.count("*").alias("n_rows"),
+        F.avg(F.col("keep").cast("double")).alias("keep_rate"),
+        F.avg("ppl").alias("mean_ppl"),
+        F.avg("lang_conf").alias("mean_lang_conf"),
+        F.sum("scrub_hits").alias("total_scrub_hits"),
+    ).head()
+    langs = {
+        r["lang"]: r["n"]
+        for r in df.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    return {
+        "n_rows": int(agg["n_rows"]),
+        "keep_rate": None if agg["keep_rate"] is None else round(float(agg["keep_rate"]), 6),
+        "mean_ppl": None if agg["mean_ppl"] is None else round(float(agg["mean_ppl"]), 4),
+        "mean_lang_conf": (
+            None if agg["mean_lang_conf"] is None else round(float(agg["mean_lang_conf"]), 4)
+        ),
+        "total_scrub_hits": int(agg["total_scrub_hits"] or 0),
+        "languages": dict(sorted(langs.items())),
+    }
+
+
+def export_dataset(
+    pipe,
+    out_dir: str,
+    fingerprint: str | None = None,
+    kept_only: bool = True,
+) -> dict:
+    """Write one run's curated table + card to ``out_dir``; returns the
+    card metadata dict. ``kept_only`` exports the keep=true view (the
+    dataset a trainer consumes); pass False for the full labeled table."""
+    df = pipe.output(fingerprint)
+    if kept_only:
+        df = df.filter(F.col("keep"))
+    os.makedirs(out_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(out_dir, "data"))
+    exported = pipe.spark.read.parquet(os.path.join(out_dir, "data"))
+
+    fp = fingerprint or pipe.last_fingerprint
+    info = {
+        "run_fingerprint": fp,
+        "config_json": pipe.cfg.canonical_json(),
+        "kept_only": kept_only,
+        "generated_at": datetime.now(timezone.utc).isoformat(),
+        "schema": {f.name: f.dataType.simpleString() for f in exported.schema},
+        **_stats(exported),
+    }
+    with open(os.path.join(out_dir, "dataset_info.json"), "w") as fh:
+        json.dump(info, fh, indent=2)
+
+    lang_rows = "\n".join(f"| {k} | {v} |" for k, v in info["languages"].items())
+    card = f"""---
+run_fingerprint: {fp}
+n_rows: {info["n_rows"]}
+kept_only: {str(kept_only).lower()}
+generated_at: {info["generated_at"]}
+---
+
+# Curated clip dataset
+
+Produced by the curator_spark pipeline (langid + perplexity + quality
+rules + PII/toxicity scrub DAG). Run fingerprint `{fp}` — same input +
+same config always reproduces this dataset bit-identically.
+
+| Stat | Value |
+|---|---|
+| rows | {info["n_rows"]} |
+| keep_rate | {info["keep_rate"]} |
+| mean_ppl | {info["mean_ppl"]} |
+| mean_lang_conf | {info["mean_lang_conf"]} |
+| total_scrub_hits | {info["total_scrub_hits"]} |
+
+## Languages
+
+| lang | rows |
+|---|---|
+{lang_rows}
+
+## Config
+
+```json
+{pipe.cfg.canonical_json()}
+```
+"""
+    with open(os.path.join(out_dir, "README.md"), "w") as fh:
+        fh.write(card)
+    return info

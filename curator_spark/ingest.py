@@ -1,0 +1,52 @@
+"""Input coercion: anything row-shaped → DataFrame (SURVEY §2.1 S1).
+
+The reference coerces a str / list / generator / Dataset into its input
+dataset (``llm/llm.py:304-325``: a bare prompt becomes a one-row dataset,
+an iterable of prompts or dicts becomes rows). The Spark analogs:
+
+- DataFrame → passed through.
+- pandas DataFrame → Arrow-converted.
+- str → one-row, one-column.
+- iterable of str → one column (``column`` names it).
+- iterable of dict → one row per dict (union of keys = columns).
+- str path to a parquet file/dir → read.
+
+Everything driver-materialized goes through a pandas frame: on this
+engine ``createDataFrame(list_of_rows)`` takes the Python-RDD path
+(~5s of fixed per-job cost), while the pandas→Arrow path is ~0.05s.
+Driver-side lists are by definition small (they fit in the driver);
+big inputs arrive as paths or DataFrames.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+def to_dataframe(
+    spark: SparkSession, data, column: str = "prompt"
+) -> DataFrame:
+    """Coerce ``data`` into a DataFrame (see module docstring)."""
+    if isinstance(data, DataFrame):
+        return data
+    if isinstance(data, pd.DataFrame):
+        return spark.createDataFrame(data)
+    if isinstance(data, str):
+        if os.path.exists(data):  # a path → read it (parquet)
+            return spark.read.parquet(data)
+        data = [data]
+    if not isinstance(data, Iterable):
+        raise TypeError(f"cannot coerce {type(data).__name__} into a DataFrame")
+    rows = list(data)
+    if not rows:
+        raise ValueError(
+            "cannot infer a schema from an empty iterable — pass a DataFrame "
+            "or a pandas frame with explicit columns instead"
+        )
+    if isinstance(rows[0], dict):
+        return spark.createDataFrame(pd.DataFrame(rows))
+    return spark.createDataFrame(pd.DataFrame({column: rows}))

@@ -38,6 +38,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--commit-batches", type=int, default=4)
     p.add_argument("--fresh", action="store_true", help="ignore existing checkpoints")
     p.add_argument(
+        "--export",
+        default=None,
+        metavar="DIR",
+        help="after the run, export the kept rows + a generated dataset "
+        "card (README.md/dataset_info.json) to DIR (SURVEY S5)",
+    )
+    p.add_argument(
         "--warmup",
         action="store_true",
         help="pay CPU-ramp/codegen/worker cold-start before the timed run "
@@ -71,6 +78,11 @@ def main(argv: list[str] | None = None) -> int:
     res = pipe.run(args.input)
     wall = time.monotonic() - t0
     n_rows = pipe.output().count()
+    exported = None
+    if args.export:
+        from curator_spark.export import export_dataset
+
+        exported = export_dataset(pipe, args.export)["n_rows"]
     # clips/sec is only meaningful when this invocation did ALL the work —
     # a cached or partially-resumed run divides total rows by partial wall
     full_run = not res.cached and res.partitions_skipped == 0
@@ -84,6 +96,7 @@ def main(argv: list[str] | None = None) -> int:
                 "rows": n_rows,
                 "wall_sec": round(wall, 2),
                 "clips_per_sec": round(n_rows / wall, 1) if wall > 0 and full_run else None,
+                "exported_rows": exported,
             }
         )
     )

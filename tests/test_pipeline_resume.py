@@ -104,6 +104,53 @@ def test_dedup_stage_drops_reingested_duplicate(env, workdir):
     assert n_dup_labeled == 1 and len(out) == N + 1
 
 
+def test_export_dataset_card(env, workdir):
+    """S5 export sink: curated parquet + generated dataset card. The card
+    metadata must reconcile with the exported table exactly."""
+    import json
+
+    from curator_spark.export import export_dataset
+
+    spark, inp, cfg, cat = env
+    pipe = Pipeline(spark, cat, cfg)
+    pipe.run(inp)
+    out = os.path.join(workdir, "export")
+    info = export_dataset(pipe, out)
+
+    kept = pipe.kept().count()
+    assert info["n_rows"] == kept == spark.read.parquet(os.path.join(out, "data")).count()
+    assert info["keep_rate"] == 1.0  # kept-only export by definition
+    on_disk = json.load(open(os.path.join(out, "dataset_info.json")))
+    assert on_disk == info
+    card = open(os.path.join(out, "README.md")).read()
+    assert info["run_fingerprint"] in card and f"| rows | {kept} |" in card
+    assert sum(info["languages"].values()) == kept
+
+
+def test_ingest_coercion(spark, workdir):
+    """S1 iterable→Dataset ingest: str / list[str] / generator / list[dict]
+    / pandas / path all coerce to DataFrames (≙ llm/llm.py:304-325)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from curator_spark import ingest
+
+    assert ingest.to_dataframe(spark, "hello").collect()[0]["prompt"] == "hello"
+    assert ingest.to_dataframe(spark, ["a", "b"]).count() == 2
+    assert ingest.to_dataframe(spark, (f"p{i}" for i in range(5))).count() == 5
+    d = ingest.to_dataframe(spark, [{"x": 1, "y": "u"}, {"x": 2, "y": "v"}])
+    assert set(d.columns) == {"x", "y"} and d.count() == 2
+    pdf = pd.DataFrame({"k": [1, 2, 3]})
+    assert ingest.to_dataframe(spark, pdf).count() == 3
+    path = os.path.join(workdir, "ing.parquet")
+    ingest.to_dataframe(spark, pdf).write.parquet(path)
+    assert ingest.to_dataframe(spark, path).count() == 3
+    df = ingest.to_dataframe(spark, ["z"])
+    assert ingest.to_dataframe(spark, df) is df
+    with _pytest.raises(ValueError):
+        ingest.to_dataframe(spark, [])
+
+
 def test_full_cache_hit(env):
     spark, inp, cfg, cat = env
     pipe = Pipeline(spark, cat, cfg)
