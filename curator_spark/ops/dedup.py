@@ -404,14 +404,18 @@ def cross_doc_dup_spans(
     identity (llm/llm.py:139-164) lifted from whole rows to spans;
     ``dup_ngram_fraction`` is the WITHIN-doc twin.
 
-    Scale shape (100 TB): explode is narrow; the only wide ops are the
-    groupBy on the span digest (partial-aggregated count-distinct, so a
-    corpus-universal span — boilerplate headers, license text — arrives
-    at its reducer pre-combined, and AQE splits any residual hot key) and
-    the digest-keyed join back, which reuses the same hash partitioning.
-    No text ever shuffles — only 32-hex digests. This is the standard
-    scalable relaxation of the suffix-array construction in the public
-    Lee et al. 2022 dedup paper."""
+    Scale shape (100 TB): ONE scan, no joins. explode is narrow; then
+    (gram, doc_id) hash-agg with map-side combine (a corpus-universal
+    span — boilerplate headers, license text — arrives at its reducer
+    pre-combined), a window count over the gram partitioning for the
+    cross-doc test, and a final per-doc rollup. No text ever shuffles —
+    only 32-hex digests with small counts. This is the standard scalable
+    relaxation of the suffix-array construction in the public Lee et al.
+    2022 dedup paper. (A naive three-branch formulation — totals,
+    gram-counts, join back — re-derives the scan+explode per branch:
+    3 scans / 7 exchanges in the explain vs this plan's 1 scan / 4.)"""
+    from pyspark.sql import Window as W
+
     docs = load(spark, sf_dir, "documents")
     npos = F.when(
         F.length("text") >= k, F.floor((F.length("text") - k) / stride) + 1
@@ -425,26 +429,20 @@ def cross_doc_dup_spans(
             )
         ).alias("gram"),
     )
-    gram_docs = (
-        spans.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-    )
-    dup = (
-        spans.join(gram_docs, "gram")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("dup_spans"))
-    )
-    totals = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    per_doc_gram = spans.groupBy("gram", "doc_id").agg(F.count("*").alias("cnt"))
+    nd = F.count("*").over(W.partitionBy("gram"))  # distinct docs holding the gram
+    flagged = per_doc_gram.withColumn("cross", nd > 1)
     return (
-        totals.join(dup, "doc_id", "left")
+        flagged.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_spans"),
+            F.sum(F.when(F.col("cross"), F.col("cnt")).otherwise(0)).alias("dup_spans"),
+        )
         .select(
             "doc_id",
             "n_spans",
-            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
-            F.round(F.coalesce("dup_spans", F.lit(0)) / F.col("n_spans"), 6).alias(
-                "dup_span_frac"
-            ),
+            "dup_spans",
+            F.round(F.col("dup_spans") / F.col("n_spans"), 6).alias("dup_span_frac"),
         )
         .orderBy("doc_id")
     )
