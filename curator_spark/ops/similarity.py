@@ -182,6 +182,88 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, n_cells: int = 16
+) -> np.ndarray:
+    """Materialize the IVF index the :func:`ivf_topk` docstring promises:
+    the embeddings table rewritten PARTITIONED BY its centroid cell
+    (hive layout ``cell=<id>/``) plus the trained centroids as JSON.
+    After this, probing is *partition pruning* — a query reads n_probe
+    directories out of n_cells and never opens the rest (asserted via
+    ``inputFiles()`` in tests). At 10^9+ vectors this is the difference
+    between scanning the table per query and scanning n_probe/n_cells
+    of it; no custom index server, just catalog metadata."""
+    import json
+    import os
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    rate = max(1, int(n) // 2048)
+    sample = np.asarray(
+        [
+            r[1]
+            for r in emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(rate)) == 0)
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cent = _quantize6e(_train_centroids(sample, n_cells))
+    cent_b = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        c = cent_b.value
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.int32)
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (E @ c.T)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    (
+        emb.withColumn("cell", cell_of("embedding"))
+        # cluster rows by cell before the partitioned write: one shuffle
+        # at build time buys one-file-per-cell layout (vs every input
+        # task writing a sliver into every cell directory)
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, "vectors"))
+    )
+    with open(os.path.join(index_dir, "centroids.json"), "w") as fh:
+        json.dump([[float(v) for v in row] for row in cent], fh)
+    return cent
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query a :func:`build_ivf_index` index: pick the ``n_probe`` nearest
+    cells driver-side from the stored centroids, then let the hive
+    partition filter prune the scan to those directories. Exact cosine
+    within the probed cells only."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "centroids.json")) as fh:
+        cent = np.asarray(json.load(fh), dtype=np.float64)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    probe = np.argsort(((cent - qv) ** 2).sum(axis=1))[:n_probe].tolist()
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    vecs = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    return (
+        vecs.filter(F.col("cell").isin([int(c) for c in probe]))
+        .select("vec_id", F.round(_cosine(F.col("embedding"), q), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )
+
+
 def ivf_oracle_params(
     sf_dir: str, n_cells: int = 16, n_probe: int = 4
 ) -> tuple[np.ndarray, list[int]]:

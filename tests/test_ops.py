@@ -96,6 +96,44 @@ def test_ivf_recall_vs_brute_force(spark):
     assert exact[0] == approx[0] == 0  # the query vector itself
 
 
+def test_ivf_index_partition_pruning(spark, workdir):
+    """The materialized IVF index must (a) return exactly the same top-k
+    as the in-flight ivf_topk (same trained centroids, same probe) and
+    (b) physically read ONLY the probed cell directories — partition
+    pruning, asserted from the files actually opened."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from curator_spark.ops import similarity
+
+    idx = os.path.join(workdir, "ivf_idx")
+    cent = similarity.build_ivf_index(spark, SF_DIR, idx)
+    assert len(cent) >= 1
+
+    qv = similarity.query_vector(spark, SF_DIR, 0)
+    got = similarity.ivf_topk_indexed(spark, idx, qv, k=10, n_probe=4).collect()
+    want = similarity.ivf_topk(spark, SF_DIR, k=10, n_probe=4).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == [
+        (r["vec_id"], r["cos_sim"]) for r in want
+    ]
+
+    import numpy as np
+
+    vecs = spark.read.parquet(os.path.join(idx, "vectors"))
+    all_cells = {r["cell"] for r in vecs.select("cell").distinct().collect()}
+    probe = np.argsort(((cent - np.asarray(qv)) ** 2).sum(axis=1))[:4].tolist()
+    scan = vecs.filter(F.col("cell").isin([int(c) for c in probe]))
+    touched = {
+        int(f.split("cell=")[1].split("/")[0])
+        for (f,) in scan.select(F.input_file_name()).distinct().collect()
+    }
+    # only the probed cell directories were physically opened
+    assert touched <= set(probe) and len(touched) <= 4 < len(all_cells)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan  # the filter reached the scan as pruning
+
+
 def test_embedding_near_dups_pure_by_default(spark):
     """The operator itself must be a pure function of the embeddings table
     (ADVICE r2): no fabricated fixture ids in its output. This table has
