@@ -114,6 +114,8 @@ def main() -> None:
         # the Gopher repetition rule
         "embedding_near_dups": dedup.embedding_near_dups_fixture,
         "dup_ngram_fraction": text.dup_ngram_fraction,
+        # round-3 family: cross-document exact-substring spans (Lee et al.)
+        "cross_doc_dup_spans": dedup.cross_doc_dup_spans,
     }
 
     samples: dict[str, list[float]] = {n: [] for n in ["clip_pipeline", *bench_queries]}
