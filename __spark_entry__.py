@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_exec_rows": usermap.code_exec_rows,
         # multimodal (binary column + batched decode UDF)
         "audio_decode_features": multimodal.audio_decode_features,  # rows-only
+        "audio_segments": multimodal.audio_segments,                # rows-only
         "image_decode_features": multimodal.image_decode_features,  # rows-only
         "clip_keep_summary": multimodal.clip_keep_summary,          # rows-only
     }

@@ -40,6 +40,70 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_SEGMENTS_SCHEMA = (
+    "clip_id string, n_speech_segments int, speech_ratio double, "
+    "longest_speech_ms double, longest_silence_ms double, decode_ok boolean"
+)
+
+
+def audio_segments_stage(df: DataFrame) -> DataFrame:
+    """VAD-style energy segmentation over the clips binary column: decode
+    once per Arrow batch, run the vectorized frame-RMS run-length pass
+    (scoring/audio.segments), drop the PCM before anything shuffles.
+    Malformed payloads quarantine (``decode_ok = false``), never fail the
+    task — the same contract as the decode stage."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..scoring import audio as audio_scoring
+
+    def _seg(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for b, c, sr, cid in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["clip_id"]):
+                try:
+                    pcm = audio_scoring.decode(bytes(b), c, int(sr))
+                    s = audio_scoring.segments(pcm, int(sr))
+                    rows.append({"clip_id": cid, **s, "decode_ok": True})
+                except Exception:  # noqa: BLE001 - quarantine semantics
+                    rows.append(
+                        {
+                            "clip_id": cid,
+                            "n_speech_segments": None,
+                            "speech_ratio": None,
+                            "longest_speech_ms": None,
+                            "longest_silence_ms": None,
+                            "decode_ok": False,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.split()[0] for f in AUDIO_SEGMENTS_SCHEMA.split(", ")]
+            )
+
+    return df.mapInPandas(_seg, schema=AUDIO_SEGMENTS_SCHEMA)
+
+
+def audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip speech segmentation stats over a deterministic seeded clip
+    batch (rows-only driver check — PCM math has no SQL form; parity vs
+    the pure-numpy oracle is pytest-asserted). Deepens the audio payload
+    family: decode → frame RMS → run-length segments, all inside one
+    Arrow pass."""
+    from ..synth import clips
+
+    df = clips.generate_clips(spark, 200, 4)
+    seg = audio_segments_stage(df)
+    return seg.select(
+        "clip_id",
+        "n_speech_segments",
+        F.round("speech_ratio", 6).alias("speech_ratio"),
+        F.round("longest_speech_ms", 6).alias("longest_speech_ms"),
+        F.round("longest_silence_ms", 6).alias("longest_silence_ms"),
+        "decode_ok",
+    ).orderBy("clip_id")
+
+
 IMAGES_SCHEMA = "image_id long, fmt string, width int, height int, data binary"
 IMAGE_FEATURES_SCHEMA = (
     "image_id long, fmt string, mean_lum double, contrast double, entropy double, "

@@ -55,6 +55,63 @@ def features(pcm: np.ndarray, sr_hz: int, dur_ms: int) -> dict[str, float]:
     }
 
 
+FRAME_MS = 20          # standard VAD frame size
+SPEECH_RMS_THRESH = 0.01  # matches the silence_ratio amplitude threshold
+
+
+def segments(
+    pcm: np.ndarray,
+    sr_hz: int,
+    frame_ms: int = FRAME_MS,
+    thresh: float = SPEECH_RMS_THRESH,
+) -> dict[str, float]:
+    """Energy-threshold speech/silence segmentation — the standard public
+    VAD baseline (frame RMS vs threshold, run-length segments). Pure
+    vectorized numpy, identical in the Spark UDF and the oracle.
+
+    The trailing partial frame is zero-padded to full width before the
+    RMS (slight underestimate for that frame) — deterministic and shared
+    by both engines, so parity holds by construction."""
+    n = pcm.shape[0]
+    zero = {
+        "n_speech_segments": 0,
+        "speech_ratio": 0.0,
+        "longest_speech_ms": 0.0,
+        "longest_silence_ms": 0.0,
+    }
+    if n == 0:
+        return zero
+    frame = max(1, int(sr_hz * frame_ms / 1000))
+    n_frames = -(-n // frame)
+    padded = np.zeros(n_frames * frame, dtype=np.float64)
+    padded[:n] = pcm
+    fr = padded.reshape(n_frames, frame)
+    rms = np.sqrt((fr * fr).sum(axis=1) / frame)
+    active = rms > thresh
+
+    def _runs(mask: np.ndarray) -> tuple[int, int]:
+        """(n_runs, longest_run_frames) of True runs."""
+        if not mask.any():
+            return 0, 0
+        d = np.diff(mask.astype(np.int8))
+        starts = np.flatnonzero(d == 1) + 1
+        if mask[0]:
+            starts = np.concatenate(([0], starts))
+        ends = np.flatnonzero(d == -1) + 1
+        if mask[-1]:
+            ends = np.concatenate((ends, [mask.shape[0]]))
+        return int(starts.shape[0]), int((ends - starts).max())
+
+    n_seg, longest_sp = _runs(active)
+    _, longest_si = _runs(~active)
+    return {
+        "n_speech_segments": n_seg,
+        "speech_ratio": float(active.mean()),
+        "longest_speech_ms": float(longest_sp * frame_ms),
+        "longest_silence_ms": float(longest_si * frame_ms),
+    }
+
+
 def decode_features(blob: bytes, codec: str, sr_hz: int, dur_ms: int) -> dict[str, float]:
     """decode → features → drop PCM. One call per row inside an Arrow batch;
     PCM (up to ~100x the encoded bytes) never persists past the call."""

@@ -197,6 +197,37 @@ def test_token_count_bpe_spark_matches_local(spark):
     assert (df["n_bpe_tokens"] >= df["n_words"]).all()
 
 
+def test_audio_segments_parity_and_bounds(spark):
+    """The Spark VAD segmentation must be bit-equal to the pure-numpy
+    oracle applied per clip, and structurally sane (ratios in [0,1],
+    longest runs bounded by the clip, zero segments only when no frame is
+    active)."""
+    from curator_spark.ops import multimodal
+    from curator_spark.scoring import audio
+    from curator_spark.synth import clips
+
+    got = {r["clip_id"]: r for r in multimodal.audio_segments(spark, SF_DIR).collect()}
+    assert len(got) == 200
+    pdf = clips.clips_pandas(200)
+    for row in pdf.itertuples(index=False):
+        g = got[row.clip_id]
+        try:
+            pcm = audio.decode(bytes(row.bytes), row.codec, int(row.sr_hz))
+        except Exception:
+            assert g["decode_ok"] is False
+            continue
+        want = audio.segments(pcm, int(row.sr_hz))
+        assert g["decode_ok"] is True
+        assert g["n_speech_segments"] == want["n_speech_segments"]
+        assert abs(g["speech_ratio"] - round(want["speech_ratio"], 6)) < 1e-12
+        assert g["longest_speech_ms"] == round(want["longest_speech_ms"], 6)
+        assert g["longest_silence_ms"] == round(want["longest_silence_ms"], 6)
+        assert 0.0 <= g["speech_ratio"] <= 1.0
+        assert (g["n_speech_segments"] == 0) == (g["speech_ratio"] == 0.0)
+        dur_ms = len(pcm) / row.sr_hz * 1000
+        assert g["longest_speech_ms"] <= dur_ms + audio.FRAME_MS
+
+
 def test_dup_groups_matches_union_find(spark):
     """Connected components via iterative min-label propagation must equal
     a single-node union-find over the same candidate-pair graph."""
