@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_doc_dup_spans": dedup.cross_doc_dup_spans,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_near_pairs": dedup.simhash_near_pairs,
+        "simhash_dup_groups": dedup.simhash_dup_groups,
         # fixture-gated: the pure operators take planted=False; the driver
         # table has no natural near-dups, so the gate queries plant the
         # deterministic fixture (the oracle plants identically in SQL)
@@ -653,6 +654,29 @@ FROM events ORDER BY event_id LIMIT 50
         "simhash_fingerprints": simhash_base
         + """
 SELECT doc_id, simhash FROM fps ORDER BY doc_id
+""",
+        "simhash_dup_groups": simhash_base.replace(
+            "WITH toks AS", "WITH RECURSIVE toks AS", 1
+        )
+        + """, chunks AS (
+  SELECT doc_id, ufp, cc.c AS c, CAST((ufp >> (16 * cc.c)) & 65535 AS BIGINT) AS chunk
+  FROM fps CROSS JOIN (SELECT unnest(range(4)) AS c) cc
+), spairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.ufp, b.ufp)) <= 3
+), sedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM spairs
+  UNION ALL SELECT doc_b, doc_a FROM spairs
+), snodes AS (
+  SELECT DISTINCT a AS doc_id FROM sedges
+), sreach AS (
+  SELECT doc_id AS src, doc_id AS dst FROM snodes
+  UNION
+  SELECT r.src, e.b FROM sreach r JOIN sedges e ON r.dst = e.a
+)
+SELECT CAST(MIN(dst) AS BIGINT) AS group_id, src AS doc_id
+FROM sreach GROUP BY src ORDER BY group_id, doc_id
 """,
         "simhash_near_pairs": simhash_base
         + """, chunks AS (

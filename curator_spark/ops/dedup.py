@@ -540,6 +540,18 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -
     return cand.filter(F.col("hamming") <= max_hamming).orderBy("doc_a", "doc_b")
 
 
+def simhash_dup_groups(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over the SimHash near-pair graph →
+    (group_id, doc_id) — completes the SimHash family the same way
+    dup_groups completes MinHash-LSH: candidates → components →
+    canonical assignment. Oracle: recursive transitive closure over the
+    same pigeonhole-blocked pair CTE."""
+    edges = simhash_near_pairs(spark, sf_dir, max_hamming).select("doc_a", "doc_b")
+    return _min_label_components(edges, "doc_a", "doc_b", "doc_id", max_iters, "simhash_dup_groups")
+
+
 # --- embedding near-dup: multi-band signed-random-projection LSH ---------
 # 4 bands x 16 bits (Charikar '02 SRP + the same banding construction as
 # MinHash above): a band key has 2^16 buckets, so the within-bucket
