@@ -392,8 +392,10 @@ FROM vreach GROUP BY src ORDER BY group_id, vec_id
     # '%.6e'-quantized centroids — the same literal trick as EMB_PLANES.
     # The centroids are a function of the DATA, so the generator reads the
     # oracle-scale table (the driver compares at sf=0.01; override via
-    # SPARK_GRAFT_ORACLE_SF_DIR). If that table is unreadable the entry is
-    # omitted and the driver falls back to the rows-only check.
+    # SPARK_GRAFT_ORACLE_SF_DIR). ONLY a missing/unreadable table degrades
+    # to the rows-only check (with a warning); any other exception is a
+    # real bug in the replication and must surface, not silently weaken
+    # the gate.
     ivf_sql = None
     try:
         from curator_spark.ops.similarity import ivf_oracle_params
@@ -434,8 +436,14 @@ SELECT vec_id,
   round(CASE WHEN nx > 0 AND ny > 0 THEN dot / (nx * ny) ELSE 0.0 END, 6) AS cos_sim
 FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
-    except Exception:
-        pass
+    except OSError as e:
+        import warnings
+
+        warnings.warn(
+            f"ivf_topk oracle generation skipped (table unreadable: {e}); "
+            "driver will record a rows-only check",
+            stacklevel=2,
+        )
 
     out = {
         "q1_pricing_summary": """

@@ -51,13 +51,18 @@ def export_dataset(
     """Write one run's curated table + card to ``out_dir``; returns the
     card metadata dict. ``kept_only`` exports the keep=true view (the
     dataset a trainer consumes); pass False for the full labeled table."""
-    df = pipe.output(fingerprint)
-    if kept_only:
-        df = df.filter(F.col("keep"))
+    labeled = pipe.output(fingerprint)
+    df = labeled.filter(F.col("keep")) if kept_only else labeled
     os.makedirs(out_dir, exist_ok=True)
     df.write.mode("overwrite").parquet(os.path.join(out_dir, "data"))
     exported = pipe.spark.read.parquet(os.path.join(out_dir, "data"))
 
+    # keep_rate is the CURATION stat (kept / labeled), so it is always
+    # measured over the full labeled run — computing it over a kept-only
+    # export would be tautologically 1.0 and tell the card reader nothing
+    total, kept = labeled.agg(
+        F.count("*"), F.sum(F.col("keep").cast("long"))
+    ).head()
     fp = fingerprint or pipe.last_fingerprint
     info = {
         "run_fingerprint": fp,
@@ -66,6 +71,8 @@ def export_dataset(
         "generated_at": datetime.now(timezone.utc).isoformat(),
         "schema": {f.name: f.dataType.simpleString() for f in exported.schema},
         **_stats(exported),
+        "labeled_rows": int(total),
+        "keep_rate": round(int(kept or 0) / total, 6) if total else None,
     }
     with open(os.path.join(out_dir, "dataset_info.json"), "w") as fh:
         json.dump(info, fh, indent=2)

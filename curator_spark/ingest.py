@@ -39,7 +39,11 @@ def to_dataframe(
         if os.path.exists(data):  # a path → read it (parquet)
             return spark.read.parquet(data)
         data = [data]
-    if not isinstance(data, Iterable):
+    if isinstance(data, dict):  # one row-shaped mapping → one row
+        data = [data]
+    if isinstance(data, (bytes, bytearray)) or not isinstance(data, Iterable):
+        # bytes ARE iterable but iterating them yields ints — silently
+        # producing a column of byte values would be garbage, not coercion
         raise TypeError(f"cannot coerce {type(data).__name__} into a DataFrame")
     rows = list(data)
     if not rows:

@@ -120,12 +120,17 @@ def build_manifest(input_path: str, n_partitions: int) -> Manifest:
     return Manifest(splits=splits, rows_per_key=rows_per_key)
 
 
-def decode_score_splits(spark: SparkSession, splits: pd.DataFrame) -> DataFrame:
+def decode_score_splits(
+    spark: SparkSession, splits: pd.DataFrame, with_src: bool = False
+) -> DataFrame:
     """Run the fused decode+score stage over manifest splits.
 
     Returns the same schema as ``stages.decode_score_stage`` plus
     ``part_key`` — bytes-free scored rows, ready for the Catalyst
-    scrub/rules/decide suffix."""
+    scrub/rules/decide suffix. ``with_src`` additionally carries the
+    source file path (``src_file``) for row-provenance consumers (the
+    exact-dedup stage's cross-file duplicate marks); the column-scan
+    twin is ``input_file_name()``."""
     from . import stages
 
     # the reader materializes exactly the clip schema (pipeline.run guards
@@ -139,6 +144,9 @@ def decode_score_splits(spark: SparkSession, splits: pd.DataFrame) -> DataFrame:
         + stages._DECODE_ADDED
         + ", lang string, lang_conf double, ppl double"
     )
+    if with_src:
+        out_cols = [*out_cols, "src_file"]
+        schema += ", src_file string"
 
     # Cluster splits by part_key, one manifest partition per core: rows
     # come out of the stage already grouped by their output partition, so
@@ -165,6 +173,8 @@ def decode_score_splits(spark: SparkSession, splits: pd.DataFrame) -> DataFrame:
                 tab = handle.read_row_group(int(rg), columns=columns)
                 pdf = tab.to_pandas()
                 pdf["part_key"] = pd.array([int(key)] * len(pdf), dtype="int32")
+                if with_src:
+                    pdf["src_file"] = [str(path)] * len(pdf)
                 yield stages.score_clip_pdf(pdf, out_cols)
 
     return man_df.mapInPandas(_proc, schema=schema)

@@ -80,7 +80,10 @@ _M64 = (1 << 64) - 1
 
 def _xxhash64_long(value: int, seed: int = 42) -> int:
     """Spark-compatible ``xxhash64`` of one LongType value (signed result).
-    Parity is pytest-asserted against the real Spark expression."""
+    Parity is asserted against the real Spark expression in
+    tests/test_ops.py::test_xxhash64_replica_matches_spark — the sampled
+    branch of ivf_oracle_params only fires on tables > 2048 rows, so the
+    replica needs its own direct coverage."""
 
     def rotl(x: int, r: int) -> int:
         return ((x << r) | (x >> (64 - r))) & _M64
@@ -114,32 +117,18 @@ def _train_centroids(vecs: np.ndarray, n_cells: int, iters: int = 5) -> np.ndarr
     return cent
 
 
-def ivf_topk(
-    spark: SparkSession, sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4
-) -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest centroid cell
-    (vectorized pandas UDF, centroids broadcast), prune to the query's
-    ``n_probe`` nearest cells, exact cosine within.
+def _train_from_table(spark: SparkSession, emb: DataFrame, n_cells: int) -> np.ndarray | None:
+    """THE deterministic IVF training path, shared by :func:`ivf_topk`,
+    :func:`build_ivf_index`, and (re-expressed outside Spark)
+    :func:`ivf_oracle_params` — one definition so the three can never
+    drift. Returns '%.6e'-quantized centroids, or None for an empty
+    table.
 
-    At cluster scale the cell id becomes a partition column of the vector
-    table, so a probe reads n_probe partitions instead of the full table
-    (partition pruning does the work — no custom index server).
-
-    Oracle story: training is deterministic (seeded hash sample → seeded
-    Lloyd) and the trained centroids are quantized to '%.6e' doubles, so
-    :func:`ivf_oracle_params` can replicate them EXACTLY outside Spark
-    and the whole assign→probe→cosine plan becomes DuckDB-expressible
-    (hash-compared by the driver). Residual cross-engine risk: the cell
-    argmin is computed via one BLAS matmul here vs a sequential fold in
-    SQL — an assignment could flip only if two centroids sit within
-    ~1e-13 of equidistant from a vector, negligible for continuous data
-    (same accepted risk as the SRP band keys, ops/dedup.py)."""
-    emb = load(spark, sf_dir, "embeddings")
-    # seeded hash sample: deterministic (pure function of vec_id),
-    # unbiased (xxhash64 decorrelates from any id ordering), and bounded
-    # (~2048-4096 rows collected regardless of table size). A bare
-    # limit() has no row-order guarantee and an orderBy().limit() trains
-    # on the lowest ids — non-representative at scale.
+    Seeded hash sample: deterministic (pure function of vec_id), unbiased
+    (xxhash64 decorrelates from any id ordering), and bounded (~2048-4096
+    rows collected regardless of table size). A bare limit() has no
+    row-order guarantee and an orderBy().limit() trains on the lowest
+    ids — non-representative at scale."""
     n = emb.count()
     rate = max(1, int(n) // 2048)
     sample = np.asarray(
@@ -152,9 +141,14 @@ def ivf_topk(
         ],
         dtype=np.float64,
     )
-    if sample.size == 0:  # empty table: nothing to probe, empty result
-        return emb.select("vec_id", F.lit(0.0).alias("cos_sim")).limit(0)
-    cent = _quantize6e(_train_centroids(sample, n_cells))
+    if sample.size == 0:
+        return None
+    return _quantize6e(_train_centroids(sample, n_cells))
+
+
+def _cell_assigner(spark: SparkSession, cent: np.ndarray):
+    """Broadcast-centroid nearest-cell pandas UDF (shared by the in-flight
+    query and the index builder)."""
     cent_b = spark.sparkContext.broadcast(cent)
 
     @F.pandas_udf("int")
@@ -168,6 +162,35 @@ def ivf_topk(
         d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (E @ c.T)
         return pd.Series(d2.argmin(axis=1).astype(np.int32))
 
+    return cell_of
+
+
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, k: int = 10, n_cells: int = 16, n_probe: int = 4
+) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid cell
+    (vectorized pandas UDF, centroids broadcast), prune to the query's
+    ``n_probe`` nearest cells, exact cosine within.
+
+    At cluster scale the cell id becomes a partition column of the vector
+    table, so a probe reads n_probe partitions instead of the full table
+    (partition pruning does the work — no custom index server; see
+    :func:`build_ivf_index` for the materialized form).
+
+    Oracle story: training is deterministic (seeded hash sample → seeded
+    Lloyd) and the trained centroids are quantized to '%.6e' doubles, so
+    :func:`ivf_oracle_params` can replicate them EXACTLY outside Spark
+    and the whole assign→probe→cosine plan becomes DuckDB-expressible
+    (hash-compared by the driver). Residual cross-engine risk: the cell
+    argmin is computed via one BLAS matmul here vs a sequential fold in
+    SQL — an assignment could flip only if two centroids sit within
+    ~1e-13 of equidistant from a vector, negligible for continuous data
+    (same accepted risk as the SRP band keys, ops/dedup.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent = _train_from_table(spark, emb, n_cells)
+    if cent is None:  # empty table: nothing to probe, empty result
+        return emb.select("vec_id", F.lit(0.0).alias("cos_sim")).limit(0)
+    cell_of = _cell_assigner(spark, cent)
     qvec = query_vector(spark, sf_dir, 0)  # fetched once, reused below
     qv = np.asarray(qvec, dtype=np.float64)
     probe_cells = np.argsort(((cent - qv) ** 2).sum(axis=1))[:n_probe].tolist()
@@ -197,29 +220,10 @@ def build_ivf_index(
     import os
 
     emb = load(spark, sf_dir, "embeddings")
-    n = emb.count()
-    rate = max(1, int(n) // 2048)
-    sample = np.asarray(
-        [
-            r[1]
-            for r in emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(rate)) == 0)
-            .select("vec_id", "embedding")
-            .orderBy("vec_id")
-            .collect()
-        ],
-        dtype=np.float64,
-    )
-    cent = _quantize6e(_train_centroids(sample, n_cells))
-    cent_b = spark.sparkContext.broadcast(cent)
-
-    @F.pandas_udf("int")
-    def cell_of(vecs: pd.Series) -> pd.Series:
-        c = cent_b.value
-        if len(vecs) == 0:
-            return pd.Series([], dtype=np.int32)
-        E = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        d2 = (c * c).sum(axis=1)[None, :] - 2.0 * (E @ c.T)
-        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+    cent = _train_from_table(spark, emb, n_cells)
+    if cent is None:
+        raise ValueError(f"cannot build an IVF index over an empty table ({sf_dir})")
+    cell_of = _cell_assigner(spark, cent)
 
     (
         emb.withColumn("cell", cell_of("embedding"))
@@ -246,15 +250,23 @@ def ivf_topk_indexed(
     """Query a :func:`build_ivf_index` index: pick the ``n_probe`` nearest
     cells driver-side from the stored centroids, then let the hive
     partition filter prune the scan to those directories. Exact cosine
-    within the probed cells only."""
+    within the probed cells only.
+
+    The query vector is quantized to float32 exactly like
+    :func:`ivf_topk`/:func:`ann_cosine_topk` quantize theirs (the stored
+    embeddings are float32), so the indexed and in-flight paths return
+    identical scores for the same query — without this, an
+    externally-computed float64 query could flip a near-tie at the k
+    boundary between the two paths."""
     import json
     import os
 
     with open(os.path.join(index_dir, "centroids.json")) as fh:
         cent = np.asarray(json.load(fh), dtype=np.float64)
-    qv = np.asarray(query_vec, dtype=np.float64)
+    q32 = [float(np.float32(v)) for v in query_vec]
+    qv = np.asarray(q32, dtype=np.float64)
     probe = np.argsort(((cent - qv) ** 2).sum(axis=1))[:n_probe].tolist()
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = F.array(*[F.lit(v) for v in q32])
     vecs = spark.read.parquet(os.path.join(index_dir, "vectors"))
     return (
         vecs.filter(F.col("cell").isin([int(c) for c in probe]))

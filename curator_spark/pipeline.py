@@ -73,6 +73,14 @@ def _run_table(fingerprint: str) -> str:
 AUDIT_STAGES = ("decode", "score", "scrub", "decide")
 
 
+def _src_file_expr():
+    """Source-file provenance, normalized to a plain path: Spark's
+    ``input_file_name()`` returns a ``file:``-scheme URI while the
+    manifest reader records the OS path — the dedup (clip_id, src_file)
+    join must see ONE spelling or cross-file marks silently miss."""
+    return F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+
+
 @dataclass
 class RunResult:
     fingerprint: str
@@ -215,8 +223,12 @@ class Pipeline:
         dup_marks = None
         if cfg.dedup_exact:
             t1 = time.monotonic()
-            dup_marks = self._duplicate_clip_ids(raw)
+            dup_marks = self._dedup_marks(raw)
             res.timings["plan_dedup"] = time.monotonic() - t1
+            if base is not None:
+                # row provenance for the cross-file same-id case (see
+                # _apply_dedup); the manifest path carries it natively
+                base = base.withColumn("src_file", _src_file_expr())
 
         groups_done = 0
         for g in range(cfg.commit_batches):
@@ -233,7 +245,10 @@ class Pipeline:
                 rows_in = {k: man.rows_per_key[k] for k in missing}
                 labeled = (
                     stages.catalyst_suffix(
-                        manifest_mod.decode_score_splits(self.spark, splits_g), cfg.rules
+                        manifest_mod.decode_score_splits(
+                            self.spark, splits_g, with_src=cfg.dedup_exact
+                        ),
+                        cfg.rules,
                     )
                     if len(splits_g)
                     else None
@@ -283,45 +298,90 @@ class Pipeline:
 
     # -- exact-dedup stage -------------------------------------------------
 
-    def _duplicate_clip_ids(self, raw: DataFrame) -> DataFrame:
-        """clip_ids that are NON-canonical copies of some transcript
-        (canonical = global min clip_id per content digest, the same
-        choice ``ops.dedup.dedup_exact`` and the streaming dedup make).
-        One column-pruned scan (clip_id + transcript only — the parquet
-        reader never touches ``bytes``) and one shuffle on the digest;
+    def _dedup_marks(self, raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Global duplicate-mark frames: ``(id_marks, file_marks)``.
+
+        - ``id_marks``: DISTINCT clip_ids that are NON-canonical holders
+          of some transcript (canonical = global min clip_id per content
+          digest, the same choice ``ops.dedup.dedup_exact`` and the
+          streaming dedup make). Every row under such an id is a
+          duplicate.
+        - ``file_marks``: for CANONICAL ids that appear in several source
+          files (the identical-file-re-landed case — same clip_id, same
+          content, different file), the (clip_id, src_file) pairs of every
+          file except the first (min path). An id-keyed mark here would
+          hit every copy and drop the content entirely; the file key lets
+          exactly the canonical file's copy survive. Within-ONE-file
+          copies are handled per row in ``_apply_dedup`` — a file's rows
+          always share a commit group (manifest mode keys per file;
+          column mode keys per clip_id hash).
+
+        One column-pruned scan (clip_id + transcript + file name — the
+        parquet reader never touches ``bytes``), one digest shuffle,
         materialized eagerly so the commit groups reuse it instead of
         re-scanning the input per group. Deterministic under resume: the
-        canonical depends only on the input, not on commit order."""
+        marks depend only on the input, not on commit order."""
         from pyspark.sql import Window as W
 
-        w = W.partitionBy("digest").orderBy("clip_id")
-        return (
-            raw.select("clip_id", stages.transcript_digest().alias("digest"))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") > 1)
-            .select("clip_id")
-            .localCheckpoint(eager=True)
+        rows = raw.select(
+            "clip_id",
+            stages.transcript_digest().alias("digest"),
+            _src_file_expr().alias("src_file"),
         )
+        id_dup = F.col("clip_id") != F.min("clip_id").over(W.partitionBy("digest"))
+        file_dup = F.col("src_file") != F.min("src_file").over(
+            W.partitionBy("digest", "clip_id")
+        )
+        marked = rows.select(
+            "clip_id", "src_file", id_dup.alias("id_dup"), file_dup.alias("file_dup")
+        ).localCheckpoint(eager=True)
+        id_marks = marked.filter("id_dup").select("clip_id").distinct()
+        file_marks = (
+            marked.filter(~F.col("id_dup") & F.col("file_dup"))
+            .select("clip_id", "src_file")
+            .distinct()
+        )
+        return id_marks, file_marks
 
     @staticmethod
-    def _apply_dedup(labeled: DataFrame, dup_ids: DataFrame) -> DataFrame:
+    def _apply_dedup(labeled: DataFrame, marks: tuple[DataFrame, DataFrame]) -> DataFrame:
         """Label duplicate clips keep=false with 'duplicate' appended to
         reasons (≙ the reference's cache-identity skip, F5 — the row is
-        retained for lineage/audit rather than silently vanishing). The
-        clip_id-keyed join broadcasts when the duplicate set is small
-        (AQE decides); at 10^12 clips with a large dup set it degrades to
-        a hash join on the same key the output is already salted by."""
-        marks = dup_ids.withColumn("_dup", F.lit(True))
+        retained for lineage/audit rather than silently vanishing). Three
+        duplicate classes (see ``_dedup_marks``): non-canonical ids
+        (global id join), canonical ids re-landed in later files (global
+        (id, file) join), and extra copies within one file (group-local
+        row_number — safe because a file's rows share the commit group).
+        Exactly one row per distinct transcript survives unmarked.
+
+        The joins broadcast when the duplicate sets are small (AQE
+        decides); at 10^12 clips with a large dup set they degrade to
+        hash joins on the same key the output is already salted by."""
+        from pyspark.sql import Window as W
+
+        id_marks, file_marks = marks
+        im = id_marks.withColumn("_id_dup", F.lit(True))
+        fm = file_marks.withColumn("_file_dup", F.lit(True))
+        # within-file copies are identical rows — any survivor is right,
+        # so the constant orderBy's nondeterminism is harmless
+        rn = F.row_number().over(W.partitionBy("clip_id", "src_file").orderBy(F.lit(1)))
+        is_dup = (
+            F.coalesce(F.col("_id_dup"), F.lit(False))
+            | F.coalesce(F.col("_file_dup"), F.lit(False))
+            | (rn > 1)
+        )
         return (
-            labeled.join(marks, "clip_id", "left")
-            .withColumn("keep", F.when(F.col("_dup"), F.lit(False)).otherwise(F.col("keep")))
+            labeled.join(im, "clip_id", "left")
+            .join(fm, ["clip_id", "src_file"], "left")
+            .withColumn("_is_dup", is_dup)
+            .withColumn("keep", F.when(F.col("_is_dup"), F.lit(False)).otherwise(F.col("keep")))
             .withColumn(
                 "reasons",
                 F.when(
-                    F.col("_dup"), F.concat("reasons", F.array(F.lit("duplicate")))
+                    F.col("_is_dup"), F.concat("reasons", F.array(F.lit("duplicate")))
                 ).otherwise(F.col("reasons")),
             )
-            .drop("_dup")
+            .drop("_id_dup", "_file_dup", "_is_dup", "src_file")
         )
 
     # -- runs catalog ------------------------------------------------------

@@ -124,6 +124,13 @@ def stream_exact_dedup(
     deployment with unbounded key churn would add a state TTL via
     ``GroupStateTimeout`` and emit the final counts on timeout —
     deliberately not set here so dedup is exact over the whole stream.
+
+    **State-schema compatibility:** the state struct is
+    ``(dup_count long, canonical_id string)`` — widened from the earlier
+    ``(dup_count long)``. Spark state stores are schema-bound: restarting
+    a checkpoint written under the OLD struct with this code requires a
+    fresh ``checkpoint_dir`` (and re-processing the landing dir); there
+    is no in-place state migration.
     Null transcripts hash to a NUL-byte sentinel (no real transcript can
     collide with it) so they dedupe among themselves under a non-null key
     instead of collapsing into Spark's null group.
@@ -272,7 +279,13 @@ def read_hourly_metrics(spark: SparkSession, output_dir: str) -> DataFrame:
     table: update mode re-emits a window each time it changes, so the
     parquet log holds one row per (window, emitting batch) — the
     max-batch_id row is the live value (batch ids are monotone across
-    restarts because they come from the recovered checkpoint)."""
+    restarts because they come from the recovered checkpoint).
+
+    **Lifecycle contract:** ``output_dir`` and ``checkpoint_dir`` are a
+    unit. Reusing an output_dir with a FRESH checkpoint restarts batch
+    ids at 0, so the dead run's higher-numbered subdirs would permanently
+    outrank every new batch here — wipe both together (the same rule the
+    batch warehouse applies to its checkpoint table)."""
     from pyspark.sql import Window as W
 
     df = spark.read.option("basePath", output_dir).parquet(output_dir)

@@ -96,6 +96,24 @@ def test_ivf_recall_vs_brute_force(spark):
     assert exact[0] == approx[0] == 0  # the query vector itself
 
 
+def test_xxhash64_replica_matches_spark(spark):
+    """The pure-Python xxhash64 replica that ivf_oracle_params uses for
+    sample selection on >2048-row tables must match Spark's expression
+    bit-for-bit (signed result, seed 42) across edge values."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.ops.similarity import _xxhash64_long
+
+    vals = [0, 1, -1, 42, 2**31, -(2**31), 2**62, -(2**62), 2**63 - 1, -(2**63),
+            10_000_000, -12345678901234]
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    rows = df.select("v", F.xxhash64("v").alias("h")).collect()
+    for r in rows:
+        assert _xxhash64_long(r["v"]) == r["h"], r["v"]
+
+
 def test_ivf_index_partition_pruning(spark, workdir):
     """The materialized IVF index must (a) return exactly the same top-k
     as the in-flight ivf_topk (same trained centroids, same probe) and

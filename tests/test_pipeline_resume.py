@@ -79,29 +79,42 @@ def test_dedup_stage_drops_reingested_duplicate(env, workdir):
     content-identity cache skip, F5)."""
     spark, inp, cfg, cat = env
 
-    # duplicate one clip's transcript under a strictly LARGER clip_id by
-    # appending a one-row parquet file to the landing dir
+    # duplicate one clip's transcript under a strictly LARGER clip_id, and
+    # re-ingest ANOTHER clip verbatim (same clip_id — the identical-file
+    # re-landing case), by appending a two-row parquet file
     src = spark.read.parquet(inp)
-    victim = src.orderBy("clip_id").limit(1).collect()[0]
+    first2 = src.orderBy("clip_id").limit(2).collect()
+    victim, exact = first2[0], first2[1]
     dup_row = src.filter(F.col("clip_id") == victim["clip_id"]).withColumn(
         "clip_id", F.concat(F.col("clip_id"), F.lit("_copy"))
     )
-    dup_row.coalesce(1).write.mode("append").parquet(inp)
+    exact_row = src.filter(F.col("clip_id") == exact["clip_id"])
+    dup_row.unionByName(exact_row).coalesce(1).write.mode("append").parquet(inp)
 
     cfg = PipelineConfig(
         n_partitions=cfg.n_partitions, commit_batches=cfg.commit_batches, dedup_exact=True
     )
     pipe = Pipeline(spark, cat, cfg)
     pipe.run(inp)
-    out = {r["clip_id"]: r for r in pipe.output().collect()}
+    rows = pipe.output().collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["clip_id"], []).append(r)
 
     copy_id = victim["clip_id"] + "_copy"
-    assert out[copy_id]["keep"] is False
-    assert "duplicate" in out[copy_id]["reasons"]
-    assert "duplicate" not in out[victim["clip_id"]]["reasons"]  # canonical wins
-    # every OTHER clip is untouched by the stage
-    n_dup_labeled = sum("duplicate" in r["reasons"] for r in out.values())
-    assert n_dup_labeled == 1 and len(out) == N + 1
+    (copy_row,) = out[copy_id]
+    assert copy_row["keep"] is False and "duplicate" in copy_row["reasons"]
+    (victim_row,) = out[victim["clip_id"]]
+    assert "duplicate" not in victim_row["reasons"]  # canonical wins
+    # same-id re-ingest: exactly ONE of the two identical rows survives —
+    # the content must not vanish (both-marked would be data loss)
+    exact_rows = out[exact["clip_id"]]
+    assert len(exact_rows) == 2
+    dup_flags = sorted("duplicate" in r["reasons"] for r in exact_rows)
+    assert dup_flags == [False, True]
+    # nothing else is touched by the stage
+    n_dup_labeled = sum("duplicate" in r["reasons"] for r in rows)
+    assert n_dup_labeled == 2 and len(rows) == N + 2
 
 
 def test_export_dataset_card(env, workdir):
@@ -118,8 +131,12 @@ def test_export_dataset_card(env, workdir):
     info = export_dataset(pipe, out)
 
     kept = pipe.kept().count()
+    total = pipe.output().count()
     assert info["n_rows"] == kept == spark.read.parquet(os.path.join(out, "data")).count()
-    assert info["keep_rate"] == 1.0  # kept-only export by definition
+    # keep_rate is the curation stat over the FULL labeled run, not the
+    # tautological 1.0 of the kept-only export
+    assert info["labeled_rows"] == total
+    assert info["keep_rate"] == round(kept / total, 6) < 1.0
     on_disk = json.load(open(os.path.join(out, "dataset_info.json")))
     assert on_disk == info
     card = open(os.path.join(out, "README.md")).read()
@@ -147,8 +164,13 @@ def test_ingest_coercion(spark, workdir):
     assert ingest.to_dataframe(spark, path).count() == 3
     df = ingest.to_dataframe(spark, ["z"])
     assert ingest.to_dataframe(spark, df) is df
+    # a bare dict is one row-shaped mapping, not an iterable of its keys
+    one = ingest.to_dataframe(spark, {"prompt": "hi", "temperature": 0.2})
+    assert one.count() == 1 and set(one.columns) == {"prompt", "temperature"}
     with _pytest.raises(ValueError):
         ingest.to_dataframe(spark, [])
+    with _pytest.raises(TypeError):
+        ingest.to_dataframe(spark, b"raw bytes")  # iterating yields ints
 
 
 def test_full_cache_hit(env):
