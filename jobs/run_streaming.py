@@ -33,6 +33,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-partitions", type=int, default=64)
     p.add_argument("--max-files-per-trigger", type=int, default=8)
     p.add_argument("--follow", action="store_true", help="run until killed")
+    p.add_argument(
+        "--metrics-dir",
+        default=None,
+        help="also drain the durable hourly keep-rate rollup into DIR "
+        "(restartable; checkpoint lives under DIR/_checkpoint)",
+    )
     args = p.parse_args(argv)
 
     from curator_spark import streaming
@@ -57,7 +63,21 @@ def main(argv: list[str] | None = None) -> int:
         n = spark.read.parquet(args.output).count()
     except Exception:  # zero batches fired -> output dir was never created
         n = 0
-    print(json.dumps({"rows_labeled_total": n, "wall_sec": round(wall, 2)}))
+    n_windows = None
+    if args.metrics_dir and n:
+        qm = streaming.stream_hourly_metrics(
+            spark,
+            args.output,
+            os.path.join(args.metrics_dir, "_checkpoint"),
+            output_dir=args.metrics_dir,
+        )
+        qm.awaitTermination()
+        n_windows = streaming.read_hourly_metrics(spark, args.metrics_dir).count()
+    print(
+        json.dumps(
+            {"rows_labeled_total": n, "wall_sec": round(wall, 2), "metric_windows": n_windows}
+        )
+    )
     spark.stop()
     return 0
 
