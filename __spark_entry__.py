@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg_value": relational.moving_avg_value,
         "events_sessionize": relational.events_sessionize,
         "value_percentiles": relational.value_percentiles,
+        "distinct_users_daily": relational.distinct_users_daily,
         "events_rollup": relational.events_rollup,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
@@ -609,6 +610,10 @@ SELECT user_id, CAST(session_no AS BIGINT) AS session_no, COUNT(*) AS n_events,
   MIN(ts) AS session_start, MAX(ts) AS session_end,
   CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
 FROM t GROUP BY user_id, session_no ORDER BY user_id, session_no
+""",
+        "distinct_users_daily": """
+SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY day ORDER BY day
 """,
         "value_percentiles": """
 SELECT event_type,

@@ -309,6 +309,26 @@ def events_sessionize(spark: SparkSession, sf_dir: str, gap_min: int = 30) -> Da
     )
 
 
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active-user rollup: COUNT(DISTINCT user_id) + event count per
+    day — the audit-cardinality shape (how many distinct requesters hit
+    the engine per window). Two-phase partial aggregation: the distinct
+    expands to a (day, user_id) pre-aggregate before the final count, so
+    a hot day cannot funnel raw rows into one reducer."""
+    ev = load(spark, sf_dir, "events")
+    # day as a STRING: Spark DateType and DuckDB DATE render to different
+    # pandas dtypes in the driver's hash compare; a formatted string is
+    # dtype-stable across both engines
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("day")
+    )
+
+
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles of value per event_type —
     corpus-statistics shape (duration/length distributions drive the

@@ -1,0 +1,96 @@
+"""Physical-plan assertions — the PLANS.md claims, locked by tests.
+
+Every table row in PLANS.md says "this query compiles to that plan".
+These tests pin the load-bearing properties so a refactor that silently
+loses a pushdown, a broadcast, or the single-Python-pass shape fails CI
+instead of surfacing as a 10x regression at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    # formatted mode: full ReadSchema/PushedFilters (plain toString
+    # truncates the schema at ~100 chars)
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    from curator_spark.ops import relational
+
+    plan = _plan(relational.q1_pricing_summary(spark, SF_DIR))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+    # column pruning: the scan must not read all 16 lineitem columns
+    read = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "l_comment" not in read and "l_shipdate" in read
+
+
+def test_q3_dims_broadcast(spark):
+    from curator_spark.ops import relational
+
+    plan = _plan(relational.q3_top_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # top-10 must be a per-partition top-k merge, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_resume_anti_join_is_broadcast_anti(spark):
+    from curator_spark.ops import relational
+
+    plan = _plan(relational.resume_anti_join(spark, SF_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_clip_stages_single_python_pass(spark):
+    """The fused decode+score stage is the ONLY Python node in the clip
+    DAG — the scrub/rules/decide suffix must stay JVM-side."""
+    from curator_spark import stages
+    from curator_spark.config import PipelineConfig
+    from curator_spark.synth import clips
+
+    plan = _plan(stages.apply_all(clips.generate_clips(spark, 50, 2), PipelineConfig().rules))
+    # two MapInPandas NODES (formatted mode lists each node twice — tree +
+    # details): the seeded generator itself + the fused stage — and
+    # nothing else Python
+    assert plan.count("MapInPandas") == 2 * 2
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+def test_text_family_has_no_python(spark):
+    from curator_spark.ops import text
+
+    plan = _plan(text.quality_scores(spark, SF_DIR))
+    for node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan
+
+
+def test_cross_doc_dup_spans_single_scan(spark):
+    """The single-pass rewrite must stay single-pass: one parquet scan,
+    no joins (PLANS.md r3 row)."""
+    from curator_spark.ops import dedup
+
+    plan = _plan(dedup.cross_doc_dup_spans(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1 * 2  # one node (tree + details)
+    assert "Join" not in plan
+
+
+@pytest.mark.parametrize("name", ["distinct_users_daily"])
+def test_new_relational_oracle(spark, name):
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.verify_oracles import TABLES, norm, value_hash
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    got = norm(entrymod.queries()[name](spark, SF_DIR).toPandas())
+    exp = norm(con.sql(entrymod.oracle_sql()[name]).df())
+    assert len(got) == len(exp) and value_hash(got) == value_hash(exp)
