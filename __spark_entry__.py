@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": similarity.ivf_topk,
         "kmeans_assign": similarity.kmeans_assign,
         "dup_groups": dedup.dup_groups,
+        "dedup_keep_list": dedup.dedup_keep_list,
         # text analysis
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,      # rows-only (iterative merges)
@@ -273,9 +274,7 @@ WITH win AS (
     # recursive transitive closure + MIN-per-source — exact at oracle scale
     # (the Spark side's HashMin label propagation computes the same fixpoint
     # distributively; exactness vs union-find is also pytest-asserted)
-    dup_groups_sql = (
-        pairs_cte.replace("WITH win AS", "WITH RECURSIVE win AS", 1)
-        + """, edges AS (
+    closure_cte = """, edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL SELECT doc_b, doc_a FROM pairs
 ), nodes AS (
@@ -284,9 +283,29 @@ WITH win AS (
   SELECT doc_id AS src, doc_id AS dst FROM nodes
   UNION
   SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-)
+)"""
+    recursive_pairs = pairs_cte.replace("WITH win AS", "WITH RECURSIVE win AS", 1)
+    dup_groups_sql = (
+        recursive_pairs
+        + closure_cte
+        + """
 SELECT CAST(MIN(dst) AS BIGINT) AS group_id, src AS doc_id
 FROM reach GROUP BY src ORDER BY group_id, doc_id
+"""
+    )
+    # the composed curation decision: every document left-joined against
+    # its component (singletons are their own group)
+    keep_list_sql = (
+        recursive_pairs
+        + closure_cte
+        + """, comp AS (
+  SELECT src AS doc_id, MIN(dst) AS gid FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+  CAST(COALESCE(c.gid, d.doc_id) AS BIGINT) AS group_id,
+  COALESCE(c.gid, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id
 """
     )
 
@@ -597,6 +616,7 @@ ORDER BY t.doc_id
         "embedding_near_dups": emb_near_sql,
         "embedding_dup_groups": emb_groups_sql,
         "dup_groups": dup_groups_sql,
+        "dedup_keep_list": keep_list_sql,
         "events_sessionize": """
 WITH s AS (
   SELECT user_id, ts, event_id, value,

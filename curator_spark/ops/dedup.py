@@ -540,6 +540,27 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -
     return cand.filter(F.col("hamming") <= max_hamming).orderBy("doc_a", "doc_b")
 
 
+def dedup_keep_list(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFrame:
+    """The composed curation DECISION of the text-dedup DAG: every
+    document joined against its MinHash-LSH connected component →
+    (doc_id, group_id, is_canonical). Non-candidates are their own
+    singleton group; a downstream curation filter is simply
+    ``WHERE is_canonical`` — the reference's keep/drop idiom (F4) applied
+    to the dedup family's output, the way a production pipeline actually
+    consumes LSH → verify → components."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    groups = dup_groups(spark, sf_dir, max_iters)
+    return (
+        docs.join(groups, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("group_id", F.col("doc_id")).alias("group_id"),
+            (F.coalesce("group_id", F.col("doc_id")) == F.col("doc_id")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def simhash_dup_groups(
     spark: SparkSession, sf_dir: str, max_hamming: int = 3, max_iters: int = 20
 ) -> DataFrame:
