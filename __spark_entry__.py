@@ -161,9 +161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": text.doc_fingerprint,
         "lang_distribution": text.lang_distribution,
         "dup_ngram_fraction": text.dup_ngram_fraction,
-        "langid_docs": text.langid_docs,              # rows-only
+        "langid_docs": text.langid_docs,              # full oracle (inlined weights)
         "doc_quality_filter": text.doc_quality_filter,
-        "doc_perplexity": text.doc_perplexity,        # rows-only
+        "doc_perplexity": text.doc_perplexity,        # full oracle (inlined LM)
         # user-defined map surface (M7/M8/T2): retry+quarantine lifecycle,
         # per-row params override, subprocess code executor
         "vector_map_retry": usermap.vector_map_retry,
@@ -461,6 +461,32 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
 
         warnings.warn(
             f"ivf_topk oracle generation skipped (table unreadable: {e}); "
+            "driver will record a rows-only check",
+            stacklevel=2,
+        )
+
+    # langid_docs / doc_perplexity: the scoring models are deterministic
+    # functions of the seeded corpus, so the oracle inlines their weights as
+    # SQL literals and replicates the full algorithm in DuckDB
+    # (curator_spark/scoring/sql_model.py). langid is data-independent; the
+    # perplexity oracle restricts the inlined uni/bigram tables to keys the
+    # oracle-scale documents can probe, so it reads the table like the IVF
+    # generator (and degrades to rows-only the same way if unreadable).
+    from curator_spark.scoring import sql_model
+
+    langid_sql = sql_model.langid_docs_sql()
+    ppl_sql = None
+    try:
+        import pyarrow.parquet as _pq
+
+        _doc_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        _texts = _pq.read_table(f"{_doc_dir}/documents.parquet", columns=["text"])
+        ppl_sql = sql_model.doc_perplexity_sql(_texts.column("text").to_pylist())
+    except OSError as e:
+        import warnings
+
+        warnings.warn(
+            f"doc_perplexity oracle generation skipped (table unreadable: {e}); "
             "driver will record a rows-only check",
             stacklevel=2,
         )
@@ -853,4 +879,7 @@ FROM documents GROUP BY lang ORDER BY lang
     }
     if ivf_sql is not None:
         out["ivf_topk"] = ivf_sql
+    out["langid_docs"] = langid_sql
+    if ppl_sql is not None:
+        out["doc_perplexity"] = ppl_sql
     return out

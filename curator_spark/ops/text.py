@@ -128,9 +128,13 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style language ID over documents (hashed char-trigram linear
     model, curator_spark/scoring/langid.py) as a vectorized Arrow pass —
-    the documents-table face of the clip pipeline's langid stage. Model
-    weights are not SQL-expressible → rows-only driver check; determinism
-    across partitionings is covered by tests/test_stage_parity.py."""
+    the documents-table face of the clip pipeline's langid stage. The
+    trained weights are deterministic, so the driver oracle inlines them as
+    SQL literals and replicates the full hash→score→softmax chain in DuckDB
+    (curator_spark/scoring/sql_model.py); ``lang_conf`` is rounded to 6
+    decimals on both sides to absorb float summation-order noise (the house
+    cosine-oracle pattern). Determinism across partitionings is covered by
+    tests/test_stage_parity.py."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
 
     def _score(it):
@@ -143,9 +147,13 @@ def langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["lang_conf"] = confs
             yield out
 
-    return docs.mapInPandas(
-        _score, schema="doc_id long, pred_lang string, lang_conf double"
-    ).orderBy("doc_id")
+    return (
+        docs.mapInPandas(
+            _score, schema="doc_id long, pred_lang string, lang_conf double"
+        )
+        .withColumn("lang_conf", F.round("lang_conf", 6))
+        .orderBy("doc_id")
+    )
 
 
 def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,8 +206,12 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KenLM-style n-gram perplexity over documents under the predicted
     language's LM (curator_spark/scoring/lm.py) — the documents-table face
-    of the clip pipeline's ppl stage. Rows-only driver check (count-based
-    LM has no SQL form); determinism covered by the property tests."""
+    of the clip pipeline's ppl stage. The count-based LM is a deterministic
+    function of the seeded corpus, so the driver oracle rebuilds it
+    string-keyed, inlines the (corpus-restricted) uni/bigram tables as SQL
+    literals, and replicates langid→stupid-backoff ppl end-to-end in DuckDB
+    (curator_spark/scoring/sql_model.py); ``ppl`` is rounded to 4 decimals
+    on both sides (error margin ~5e4× below the rounding boundary)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
 
     def _score(it):
@@ -214,9 +226,11 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["ppl"] = ppls
             yield out
 
-    return docs.mapInPandas(
-        _score, schema="doc_id long, pred_lang string, ppl double"
-    ).orderBy("doc_id")
+    return (
+        docs.mapInPandas(_score, schema="doc_id long, pred_lang string, ppl double")
+        .withColumn("ppl", F.round("ppl", 4))
+        .orderBy("doc_id")
+    )
 
 
 def dup_ngram_fraction(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:

@@ -110,3 +110,52 @@ def test_fingerprint_stability():
     assert f1 != cfg.fingerprint("snap-b")  # input changed ⇒ different
     cfg2 = PipelineConfig(rules=RuleThresholds(len_min=21))
     assert f1 != cfg2.fingerprint("snap-a")  # config changed ⇒ different
+
+
+def test_sql_model_oracle_parity_in_vocab():
+    """The inlined-weights DuckDB oracle (scoring/sql_model.py) must match
+    the Python scorers bit-exactly at the gate's rounding precision — on
+    IN-VOCAB text (training-corpus sentences), i.e. the nondegenerate
+    bigram-hit path the driver's documents table cannot reach (its
+    vocabulary is disjoint from the synthetic languages)."""
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from curator_spark.scoring import sql_model
+
+    sents = []
+    for lang in textgen.LANGS:
+        sents.extend(list(textgen.training_corpus(lang))[:8])
+    sents.append("")  # empty-text edge: prior argmax, conf 0.0, ppl exp(-oov)
+    df = pd.DataFrame({"doc_id": range(len(sents)), "text": sents})
+
+    con = duckdb.connect()
+    con.register("documents", df)
+    got_lang = con.execute(sql_model.langid_docs_sql()).df().sort_values("doc_id")
+    got_ppl = (
+        con.execute(sql_model.doc_perplexity_sql(sents)).df().sort_values("doc_id")
+    )
+
+    langs, confs = langid.score_batch(sents)
+    ppls = lm.ppl_batch(sents, langs)
+    assert got_lang["pred_lang"].tolist() == langs
+    assert got_lang["lang_conf"].tolist() == [round(c, 6) for c in confs.tolist()]
+    assert got_ppl["pred_lang"].tolist() == langs
+    assert got_ppl["ppl"].tolist() == [round(p, 4) for p in ppls.tolist()]
+    # clean training sentences must classify as their own language
+    for li, lang in enumerate(textgen.LANGS):
+        assert set(langs[li * 8 : li * 8 + 8]) == {lang}
+
+
+def test_sql_model_collision_guard():
+    """_string_keyed_lms asserts table-size parity with the hash-keyed model
+    (an FNV collision would silently merge counts and diverge the oracle)."""
+    from curator_spark.scoring import sql_model
+
+    lms = sql_model._string_keyed_lms()
+    ref = lm.model()
+    for lang in textgen.LANGS:
+        uni_logp, bi_logp, oov, backoff = lms[lang]
+        assert len(uni_logp) == len(ref[lang].uni_logp)
+        assert len(bi_logp) == len(ref[lang].bi_count)
+        assert oov == ref[lang].oov_logp
