@@ -491,6 +491,29 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
             stacklevel=2,
         )
 
+    # audio_decode_features / audio_segments: the clip batch is a pure
+    # function of (seed, clip_id), so the generator materializes it once as
+    # parquet and the oracle DECODES THE AUDIO IN SQL — hex-tokenized PCM16
+    # arithmetic + an inlined 256-entry μ-law codebook, then rms/silence/
+    # clip ratios and the 20ms-frame VAD run-length stats via window
+    # functions (curator_spark/scoring/audio_sql.py). Degrades to rows-only
+    # if the fixture cannot be written.
+    audio_feat_sql = audio_seg_sql = None
+    try:
+        from curator_spark.scoring import audio_sql
+
+        _clip_path = audio_sql.ensure_clip_fixture()
+        audio_feat_sql = audio_sql.audio_decode_features_sql(_clip_path)
+        audio_seg_sql = audio_sql.audio_segments_sql(_clip_path)
+    except OSError as e:
+        import warnings
+
+        warnings.warn(
+            f"audio oracle fixture unavailable ({e}); driver will record "
+            "rows-only checks for audio_decode_features/audio_segments",
+            stacklevel=2,
+        )
+
     out = {
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
@@ -882,4 +905,7 @@ FROM documents GROUP BY lang ORDER BY lang
     out["langid_docs"] = langid_sql
     if ppl_sql is not None:
         out["doc_perplexity"] = ppl_sql
+    if audio_feat_sql is not None:
+        out["audio_decode_features"] = audio_feat_sql
+        out["audio_segments"] = audio_seg_sql
     return out

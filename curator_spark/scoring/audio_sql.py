@@ -1,0 +1,211 @@
+"""DuckDB-SQL re-implementation of the audio decode + feature path.
+
+Converts ``audio_decode_features`` and ``audio_segments`` from rows-only
+driver checks into full value-hash oracle rows: the oracle *decodes the
+WAV/μ-law bytes and computes the PCM features in SQL*, independently of
+the numpy implementation (:mod:`curator_spark.scoring.audio`).
+
+How each piece crosses into SQL:
+
+- **Input fixture** — the 200-clip batch is a pure function of
+  ``(GLOBAL_SEED, clip_id)`` (synth/clips.py), so the generator
+  materializes it once as parquet under ``/tmp`` and the SQL
+  ``read_parquet``s it.  Same philosophy as inlining IVF centroids /
+  langid weights, just stored out-of-line (6 MB of audio bytes would be
+  abusive as literals).
+- **PCM16 WAV** — ``hex(bytes)`` then pure integer arithmetic on hex
+  digits: sample k = signed LE int16 at byte ``44 + 2k``, scaled by
+  ``1/32767``.  The canonical 44-byte header layout our encoder emits is
+  verified field-by-field (RIFF/WAVE/fmt /data ids, fmt=1, mono,
+  header-vs-metadata sample-rate match) — the same conditions whose
+  violation makes the Python decoder raise (→ ``decode_ok = false``).
+- **μ-law** — one byte per sample; all 256 decode values are inlined as a
+  codebook computed by the *numpy* expressions (exact double parity; this
+  is also how real G.711 decoders work).
+- **Features** — rms/silence/clip ratios and the 20 ms-frame VAD
+  run-length stats (gaps-and-islands window functions).  Both query sides
+  round to 6 decimals to absorb float summation-order differences; the
+  threshold comparisons (``|x| < 0.01`` etc.) act on bit-identical decoded
+  values, so they cannot flip.
+
+Parity scope: the SQL assumes the canonical chunk layout the fixture
+encoder produces (the Python decoder also accepts re-ordered chunks, which
+the fixture never contains); tests/test_scoring_core.py asserts SQL↔numpy
+equality on the full fixture.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+FIXTURE_DIR = "/tmp/curator_oracle_fixtures"
+N_FIXTURE_CLIPS = 200
+
+_HEXPOS = "(strpos('0123456789ABCDEF', substring(hx, {p}, 1)) - 1)"
+
+
+def _byte(p: str) -> str:
+    """SQL: unsigned byte value from hex chars at 1-indexed position p."""
+    return f"({_HEXPOS.format(p=p)} * 16 + {_HEXPOS.format(p=f'({p}) + 1')})"
+
+
+def ensure_clip_fixture(n: int = N_FIXTURE_CLIPS) -> str:
+    """Materialize the deterministic clip batch as parquet; return its path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..synth import clips
+
+    path = os.path.join(FIXTURE_DIR, f"clips{n}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        pdf = clips.clips_pandas(n)
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)  # atomic vs a concurrent generator
+    return path
+
+
+def mulaw_codebook_rows() -> str:
+    """256-entry μ-law decode table keyed by the 2-hex-char byte image,
+    values from the numpy expressions (exact double parity)."""
+    from ..synth import audiogen
+
+    xs = audiogen.mulaw_decode(bytes(range(256)))
+    return ",\n".join(f"('{q:02X}', {float(xs[q])!r})" for q in range(256))
+
+
+def _samples_cte(path: str) -> str:
+    """CTE chain: clips parquet → per-sample decoded float64 ``x``.
+
+    Emits ``meta(clip_id, codec, sr_hz, dur_ms, ok, n)`` and
+    ``sampx(clip_id, k, x)``; rows with ``ok = false`` produce no samples.
+
+    The payload is tokenized ONCE per clip with ``regexp_extract_all``
+    (one linear pass → a list of 4-hex-char PCM16 images / 2-hex-char
+    μ-law bytes); per-sample access is then O(1) list indexing.  A naive
+    per-sample ``substring(hx, 89 + 4k, 4)`` is O(position) in DuckDB
+    (UTF-8 offset scan), which turns the decode quadratic (~170 s for
+    6 MB of audio); this formulation runs in ~2 s.  Header fields still
+    use ``substring`` — all at positions < 100, so the scan is bounded.
+    """
+    sr_le = (
+        f"({_byte('49')} + 256 * {_byte('51')} + 65536 * {_byte('53')}"
+        f" + 16777216 * {_byte('55')})"
+    )
+    # value of a 4-hex-char little-endian int16 image `pr` (lo byte first)
+    hx1 = "(strpos('0123456789ABCDEF', substring(pr, {j}, 1)) - 1)"
+    raw = (
+        f"(({hx1.format(j=3)} * 16 + {hx1.format(j=4)}) * 256"
+        f" + {hx1.format(j=1)} * 16 + {hx1.format(j=2)})"
+    )
+    return f"""cb(qh, x) AS (VALUES
+{mulaw_codebook_rows()}
+), raw AS (
+  SELECT clip_id, codec, sr_hz, dur_ms, hex(bytes) AS hx,
+         octet_length(bytes) AS nb
+  FROM read_parquet('{path}')
+), meta AS (
+  SELECT clip_id, codec, sr_hz, dur_ms, hx,
+    CASE WHEN codec = 'ulaw' THEN TRUE
+         WHEN codec = 'pcm_s16le' THEN
+           nb >= 44
+           AND substring(hx, 1, 8) = '52494646'    -- 'RIFF'
+           AND substring(hx, 17, 8) = '57415645'   -- 'WAVE'
+           AND substring(hx, 25, 8) = '666D7420'   -- 'fmt '
+           AND substring(hx, 41, 4) = '0100'       -- PCM format tag
+           AND substring(hx, 45, 4) = '0100'       -- mono
+           AND substring(hx, 73, 8) = '64617461'   -- 'data'
+           AND {sr_le} = sr_hz                     -- header vs metadata sr
+           -- int16 view of an odd byte count raises in the Python decoder
+           AND LEAST({_byte('81')} + 256 * {_byte('83')} + 65536 * {_byte('85')}
+                     + 16777216 * {_byte('87')}, nb - 44) % 2 = 0
+         ELSE FALSE END AS ok,
+    CASE WHEN codec = 'ulaw' THEN nb
+         ELSE LEAST({_byte('81')} + 256 * {_byte('83')} + 65536 * {_byte('85')}
+                    + 16777216 * {_byte('87')}, nb - 44) // 2
+    END AS n
+  FROM raw
+), toks AS (
+  SELECT clip_id, codec,
+    CASE WHEN codec = 'ulaw' THEN regexp_extract_all(hx, '..')
+         ELSE regexp_extract_all(substring(hx, 89, n * 4), '....') END AS ps
+  FROM meta WHERE ok AND n > 0
+), samp AS (
+  SELECT t.clip_id, t.codec, k, t.ps[CAST(k + 1 AS INT)] AS pr
+  FROM toks t, LATERAL (SELECT unnest(range(0, len(t.ps))) AS k) ks
+), sampx AS (
+  SELECT s.clip_id, s.k,
+    CASE WHEN s.codec = 'ulaw' THEN cb.x
+         WHEN {raw} >= 32768 THEN ({raw} - 65536) / 32767.0
+         ELSE {raw} / 32767.0 END AS x
+  FROM samp s LEFT JOIN cb ON s.codec = 'ulaw' AND cb.qh = s.pr
+)"""
+
+
+def audio_decode_features_sql(path: str) -> str:
+    """Oracle for ``audio_decode_features``: rms_db / silence_ratio /
+    clip_ratio per clip (curator_spark/scoring/audio.py:features)."""
+    return f"""WITH {_samples_cte(path)},
+feat AS (
+  SELECT clip_id,
+    round(20.0 * log10(GREATEST(sqrt(SUM(x * x) / COUNT(*)), 1e-6)), 6) AS rms_db,
+    round(CAST(COUNT(*) FILTER (WHERE abs(x) < 0.01) AS DOUBLE) / COUNT(*), 6) AS silence_ratio,
+    round(CAST(COUNT(*) FILTER (WHERE abs(x) > 0.985) AS DOUBLE) / COUNT(*), 6) AS clip_ratio
+  FROM sampx GROUP BY clip_id
+)
+SELECT m.clip_id, m.codec,
+  CASE WHEN m.ok THEN f.rms_db ELSE CAST('nan' AS DOUBLE) END AS rms_db,
+  CASE WHEN m.ok THEN f.silence_ratio ELSE 1.0 END AS silence_ratio,
+  CASE WHEN m.ok THEN f.clip_ratio ELSE 1.0 END AS clip_ratio,
+  m.ok AS decode_ok
+FROM meta m LEFT JOIN feat f USING (clip_id)
+ORDER BY m.clip_id
+"""
+
+
+def audio_segments_sql(path: str) -> str:
+    """Oracle for ``audio_segments``: 20 ms-frame energy VAD run-length
+    stats (curator_spark/scoring/audio.py:segments) via gaps-and-islands."""
+    return f"""WITH {_samples_cte(path)},
+fsize AS (
+  SELECT clip_id, GREATEST(CAST(sr_hz * 20 / 1000 AS BIGINT), 1) AS frame
+  FROM meta
+), frames AS (
+  SELECT s.clip_id, s.k // f.frame AS fi,
+    sqrt(SUM(s.x * s.x) / ANY_VALUE(f.frame)) AS rms
+  FROM sampx s JOIN fsize f USING (clip_id)
+  GROUP BY s.clip_id, s.k // f.frame
+), flagged AS (
+  SELECT clip_id, fi, rms > 0.01 AS active,
+    row_number() OVER (PARTITION BY clip_id ORDER BY fi)
+      - row_number() OVER (PARTITION BY clip_id, rms > 0.01 ORDER BY fi) AS grp
+  FROM frames
+), runs AS (
+  SELECT clip_id, active, grp, COUNT(*) AS run_len
+  FROM flagged GROUP BY clip_id, active, grp
+), per_clip AS (
+  SELECT f.clip_id,
+    CAST(COUNT(*) FILTER (WHERE f.active) AS DOUBLE) / COUNT(*) AS speech_ratio
+  FROM flagged f GROUP BY f.clip_id
+), runstats AS (
+  SELECT clip_id,
+    CAST(COUNT(*) FILTER (WHERE active) AS INT) AS n_speech_segments,
+    COALESCE(MAX(run_len) FILTER (WHERE active), 0) AS longest_sp,
+    COALESCE(MAX(run_len) FILTER (WHERE NOT active), 0) AS longest_si
+  FROM runs GROUP BY clip_id
+)
+SELECT m.clip_id,
+  CASE WHEN m.ok THEN COALESCE(r.n_speech_segments, 0) ELSE NULL END AS n_speech_segments,
+  CASE WHEN m.ok THEN round(COALESCE(p.speech_ratio, 0.0), 6) ELSE NULL END AS speech_ratio,
+  CASE WHEN m.ok THEN round(COALESCE(r.longest_sp, 0) * 20.0, 6) ELSE NULL END AS longest_speech_ms,
+  CASE WHEN m.ok THEN round(COALESCE(r.longest_si, 0) * 20.0, 6) ELSE NULL END AS longest_silence_ms,
+  m.ok AS decode_ok
+FROM meta m
+LEFT JOIN runstats r USING (clip_id)
+LEFT JOIN per_clip p USING (clip_id)
+ORDER BY m.clip_id
+"""

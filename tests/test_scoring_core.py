@@ -159,3 +159,83 @@ def test_sql_model_collision_guard():
         assert len(uni_logp) == len(ref[lang].uni_logp)
         assert len(bi_logp) == len(ref[lang].bi_count)
         assert oov == ref[lang].oov_logp
+
+
+def _audio_sql_vs_python(tmp_path, pdf):
+    """Run both audio SQL oracles over a parquet fixture and the numpy path
+    over the same rows; return (sql_feat, py_feat, sql_seg, py_seg)."""
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from curator_spark.scoring import audio_sql
+
+    path = str(tmp_path / "clips.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    con = duckdb.connect()
+    feat = con.execute(audio_sql.audio_decode_features_sql(path)).df()
+    seg = con.execute(audio_sql.audio_segments_sql(path)).df()
+
+    frows, srows = [], []
+    for r in pdf.itertuples():
+        f = audio.decode_features(r.bytes, r.codec, r.sr_hz, r.dur_ms)
+        ok = not np.isnan(f["rms_db"])
+        frows.append({"clip_id": r.clip_id, "decode_ok": ok, **f})
+        try:
+            s = audio.segments(audio.decode(r.bytes, r.codec, r.sr_hz), r.sr_hz)
+            srows.append({"clip_id": r.clip_id, "decode_ok": True, **s})
+        except Exception:  # noqa: BLE001 - mirror of the stage quarantine
+            srows.append({"clip_id": r.clip_id, "decode_ok": False})
+    order = lambda df: df.sort_values("clip_id").reset_index(drop=True)  # noqa: E731
+    return order(feat), order(pd.DataFrame(frows)), order(seg), order(pd.DataFrame(srows))
+
+
+def test_audio_sql_oracle_parity(tmp_path):
+    """The SQL audio decoder (scoring/audio_sql.py) must match the numpy
+    path on clean PCM16 + μ-law clips — features to <1e-6 (the rounding
+    grain) and VAD run-length stats exactly."""
+    from curator_spark.synth import clips
+
+    pdf = clips.clips_pandas(24)
+    feat, pyf, seg, pys = _audio_sql_vs_python(tmp_path, pdf)
+    assert feat["decode_ok"].all() and bool(pyf["decode_ok"].all())
+    for c in ["rms_db", "silence_ratio", "clip_ratio"]:
+        assert np.abs(feat[c].values - pyf[c].values).max() < 1e-6
+    for c in ["n_speech_segments", "speech_ratio", "longest_speech_ms", "longest_silence_ms"]:
+        assert np.abs(seg[c].values.astype(float) - pys[c].values.astype(float)).max() == 0.0
+
+
+def test_audio_sql_oracle_quarantine_parity(tmp_path):
+    """Malformed payloads must quarantine IDENTICALLY in SQL and Python:
+    bad magic, unsupported codec, stereo layout, header/meta sr mismatch,
+    odd-byte truncation (frombuffer int16 failure)."""
+    import pandas as pd
+
+    from curator_spark.synth import audiogen, clips
+
+    base = clips.clips_pandas(2)
+    good = base.iloc[0]
+    wav = bytes(good["bytes"])
+    stereo = bytearray(wav)
+    stereo[22] = 2  # channels field
+    rows = [
+        dict(good),
+        {**dict(good), "clip_id": "bad_magic", "bytes": b"JUNK" + wav[4:]},
+        {**dict(good), "clip_id": "bad_codec", "codec": "mp3"},
+        {**dict(good), "clip_id": "stereo", "bytes": bytes(stereo)},
+        {**dict(good), "clip_id": "sr_lie", "sr_hz": good["sr_hz"] * 2},
+        {**dict(good), "clip_id": "odd_trunc", "bytes": wav[:-1]},
+        {**dict(base.iloc[1]), "clip_id": "ulaw_ok",
+         "bytes": audiogen.mulaw_encode(audiogen.gen_waveform(1, 8000, 100)),
+         "codec": "ulaw", "sr_hz": 8000, "dur_ms": 100},
+    ]
+    pdf = pd.DataFrame(rows)[list(base.columns)]
+    feat, pyf, seg, pys = _audio_sql_vs_python(tmp_path, pdf)
+    assert feat["decode_ok"].tolist() == pyf["decode_ok"].tolist()
+    assert seg["decode_ok"].tolist() == pys["decode_ok"].tolist()
+    assert feat.set_index("clip_id")["decode_ok"].to_dict() == {
+        "bad_codec": False, "bad_magic": False, "odd_trunc": False,
+        "sr_lie": False, "stereo": False, "ulaw_ok": True,
+        good["clip_id"]: True,
+    }
