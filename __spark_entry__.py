@@ -514,6 +514,26 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
             stacklevel=2,
         )
 
+    # image_decode_features: same move as the audio pair — the image batch
+    # is a pure function of image_id, so materialize it once as parquet and
+    # DECODE THE PIXELS IN SQL: hex-tokenized RGB triples, luminance
+    # mean/std, 16-bin entropy, lead()-window first differences, and the
+    # banker's-rounded thumbnail byte count (scoring/image_sql.py).
+    image_feat_sql = None
+    try:
+        from curator_spark.scoring import image_sql
+
+        _img_path = image_sql.ensure_image_fixture()
+        image_feat_sql = image_sql.image_decode_features_sql(_img_path)
+    except OSError as e:
+        import warnings
+
+        warnings.warn(
+            f"image oracle fixture unavailable ({e}); driver will record "
+            "a rows-only check for image_decode_features",
+            stacklevel=2,
+        )
+
     out = {
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
@@ -908,4 +928,6 @@ FROM documents GROUP BY lang ORDER BY lang
     if audio_feat_sql is not None:
         out["audio_decode_features"] = audio_feat_sql
         out["audio_segments"] = audio_seg_sql
+    if image_feat_sql is not None:
+        out["image_decode_features"] = image_feat_sql
     return out

@@ -54,22 +54,47 @@ def decode(blob: bytes, fmt: str, width: int, height: int) -> np.ndarray:
 
 
 def features(px: np.ndarray) -> dict[str, float]:
-    """Per-image features. All float64; identical math in oracle and UDF."""
-    lum = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-    mean_lum = float(lum.mean())
-    contrast = float(lum.std())
-    hist = np.bincount((lum // 16).astype(np.int64).ravel(), minlength=16)[:16]
-    p = hist / max(1, lum.size)
+    """Per-image features over integer milli-luminance.
+
+    ``il = 299 R + 587 G + 114 B`` is EXACT int64 per pixel (the usual
+    0.299/0.587/0.114 weights scaled by 1000), so every sum below —
+    mean, second moment, 16-bin histogram, |first difference| — is exact
+    integer arithmetic with ONE float division at the end. That makes the
+    result independent of summation order, i.e. bit-identical between
+    numpy here and the SQL oracle (scoring/image_sql.py): float
+    luminance put boundary pixels (il exactly on a 16000 multiple) in
+    different histogram bins depending on FP evaluation order.
+    Magnitudes: il <= 255000, il^2 <= 6.5e10, sums over <= 4096 px stay
+    < 2^53, so the int->double casts are exact too.
+    """
+    il = px.astype(np.int64) @ np.array([299, 587, 114], dtype=np.int64)
+    npx = il.size
+    s1 = int(il.sum())
+    s2 = int((il * il).sum())
+    mean_m = s1 / npx
+    var_m = max(0.0, s2 / npx - mean_m * mean_m)
+    hist = np.bincount((il // 16000).ravel(), minlength=16)[:16]
+    p = hist / max(1, npx)
     nz = p[p > 0]
-    entropy = float(-(nz * np.log2(nz)).sum())
+    # + 0.0 folds IEEE -0.0 (single-bin image: -(1 * log2 1)) to +0.0 so
+    # repr-based comparators agree with the SQL oracle
+    entropy = float(-(nz * np.log2(nz)).sum() + 0.0)
     # edge strength: mean absolute first difference in both axes
-    ex = np.abs(np.diff(lum, axis=1)).mean() if lum.shape[1] > 1 else 0.0
-    ey = np.abs(np.diff(lum, axis=0)).mean() if lum.shape[0] > 1 else 0.0
+    if il.shape[1] > 1:
+        dx = np.abs(np.diff(il, axis=1))
+        ex = int(dx.sum()) / dx.size
+    else:
+        ex = 0.0
+    if il.shape[0] > 1:
+        dy = np.abs(np.diff(il, axis=0))
+        ey = int(dy.sum()) / dy.size
+    else:
+        ey = 0.0
     return {
-        "mean_lum": mean_lum,
-        "contrast": contrast,
+        "mean_lum": mean_m / 1000.0,
+        "contrast": float(np.sqrt(var_m)) / 1000.0,
         "entropy": entropy,
-        "edge_strength": float((ex + ey) / 2.0),
+        "edge_strength": (ex + ey) / 2.0 / 1000.0,
         "aspect": float(px.shape[1] / px.shape[0]),
     }
 

@@ -1,0 +1,145 @@
+"""DuckDB-SQL re-implementation of the image decode + feature path.
+
+The image twin of :mod:`curator_spark.scoring.audio_sql`: the
+``image_decode_features`` gate query graduates from rows-only to a full
+value-hash oracle row by decoding the PPM/raw-RGB payload and computing
+the pixel features *in SQL* over the deterministic fixture parquet.
+
+- **PPM P6** — the canonical header our encoder emits
+  (``P6\\n{w} {h}\\n255\\n``) is reconstructed from the row metadata and
+  compared against the payload prefix (hex-to-hex); payload length must be
+  exactly ``header + w*h*3``.  The Python decoder additionally accepts
+  whitespace variants the fixture never produces — parity is scoped to
+  canonical encodings, with quarantine cases pytest-asserted.
+- **Pixels** — one ``regexp_extract_all`` pass tokenizes the hex into
+  6-char RGB triples (O(1) list indexing afterwards; see the quadratic-
+  substring note in audio_sql.py); luminance is the same
+  ``0.299 R + 0.587 G + 0.114 B`` expression numpy evaluates.
+- **Features** — mean/two-pass std, 16-bin histogram entropy (log2),
+  axis-wise mean |first difference| via ``lead()`` windows, and the
+  nearest-neighbor thumbnail byte count with ``round_even`` (Python's
+  banker's ``round``).  Both query sides round to 6 decimals.
+"""
+
+from __future__ import annotations
+
+import os
+
+FIXTURE_DIR = "/tmp/curator_oracle_fixtures"
+N_FIXTURE_IMAGES = 200
+
+_HX = "(strpos('0123456789ABCDEF', substring(pr, {j}, 1)) - 1)"
+
+
+def _chan(lo: int) -> str:
+    """SQL: byte value from hex chars (j, j+1) of the 6-char pixel token."""
+    return f"({_HX.format(j=lo)} * 16 + {_HX.format(j=lo + 1)})"
+
+
+def ensure_image_fixture(n: int = N_FIXTURE_IMAGES) -> str:
+    """Materialize the deterministic image batch as parquet; return path."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..synth import imagegen
+
+    path = os.path.join(FIXTURE_DIR, f"images{n}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        pdf = pd.DataFrame([imagegen.make_image(i) for i in range(n)])
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def image_decode_features_sql(path: str) -> str:
+    """Oracle for ``image_decode_features``
+    (curator_spark/scoring/image.py:features + thumbnail)."""
+    # integer milli-luminance — EXACT int64 per pixel, mirroring
+    # image.features(); every aggregate below is an exact integer sum with
+    # one float division, so the result is bit-identical to numpy
+    # regardless of summation order (see the image.py docstring)
+    lum = f"({_chan(1)} * 299 + {_chan(3)} * 587 + {_chan(5)} * 114)"
+    return f"""WITH raw AS (
+  SELECT image_id, fmt, width, height, hex(data) AS hx,
+         octet_length(data) AS nb,
+    'P6' || chr(10) || width || ' ' || height || chr(10) || '255' || chr(10) AS hdr
+  FROM read_parquet('{path}')
+), meta AS (
+  SELECT image_id, fmt, width, height, hx,
+    CASE WHEN width IS NULL OR height IS NULL OR width <= 0 OR height <= 0 THEN FALSE
+         WHEN fmt = 'ppm' THEN
+           nb = length(hdr) + width * height * 3
+           AND substring(hx, 1, 2 * length(hdr)) = hex(encode(hdr))
+         WHEN fmt = 'rgb8_raw' THEN nb = width * height * 3
+         ELSE FALSE END AS ok,
+    CASE WHEN fmt = 'ppm' THEN length(hdr) ELSE 0 END AS off
+  FROM raw
+), toks AS (
+  SELECT image_id, width, height,
+         regexp_extract_all(substring(hx, 2 * off + 1), '......') AS ps
+  FROM meta WHERE ok
+), px AS (
+  -- the two unnests are same-length lists and zip in lockstep (DuckDB
+  -- parallel-unnest semantics): k is the pixel index, pr its hex triple
+  SELECT image_id, width, height, k // width AS r, k % width AS c,
+         CAST({lum} AS BIGINT) AS il
+  FROM (SELECT image_id, width, height,
+               unnest(range(0, len(ps))) AS k,
+               unnest(ps) AS pr
+        FROM toks)
+), mu AS (
+  -- exact integer moments: s1 <= 1e9, s2 <= 2.7e14, both < 2^53 so the
+  -- DOUBLE casts are exact and the single divisions match Python's int/int
+  SELECT image_id, SUM(il) AS s1, SUM(il * il) AS s2, COUNT(*) AS npx
+  FROM px GROUP BY image_id
+), stats AS (
+  SELECT image_id,
+    (CAST(s1 AS DOUBLE) / npx) / 1000.0 AS mean_lum,
+    sqrt(GREATEST(0.0,
+      CAST(s2 AS DOUBLE) / npx
+      - (CAST(s1 AS DOUBLE) / npx) * (CAST(s1 AS DOUBLE) / npx))) / 1000.0 AS contrast,
+    npx
+  FROM mu
+), hist AS (
+  SELECT image_id, il // 16000 AS bin, COUNT(*) AS cnt
+  FROM px GROUP BY image_id, bin
+), ent AS (
+  SELECT h.image_id,
+    -SUM((h.cnt / CAST(m.npx AS DOUBLE)) * log2(h.cnt / CAST(m.npx AS DOUBLE))) AS entropy
+  FROM hist h JOIN mu m USING (image_id) GROUP BY h.image_id
+), ex AS (
+  SELECT image_id, CAST(SUM(d) AS DOUBLE) / COUNT(*) AS ex FROM (
+    SELECT image_id, abs(lead(il) OVER (PARTITION BY image_id, r ORDER BY c) - il) AS d,
+           c, width
+    FROM px) WHERE c < width - 1 GROUP BY image_id
+), ey AS (
+  SELECT image_id, CAST(SUM(d) AS DOUBLE) / COUNT(*) AS ey FROM (
+    SELECT image_id, abs(lead(il) OVER (PARTITION BY image_id, c ORDER BY r) - il) AS d,
+           r, height
+    FROM px) WHERE r < height - 1 GROUP BY image_id
+), thumb AS (
+  SELECT image_id,
+    GREATEST(1, CAST(round_even(height / GREATEST(1.0, GREATEST(width, height) / 8.0), 0) AS BIGINT))
+    * GREATEST(1, CAST(round_even(width / GREATEST(1.0, GREATEST(width, height) / 8.0), 0) AS BIGINT))
+    * 3 AS thumb_bytes
+  FROM meta WHERE ok
+)
+SELECT m.image_id, m.fmt,
+  CASE WHEN m.ok THEN round(s.mean_lum, 6) END AS mean_lum,
+  CASE WHEN m.ok THEN round(s.contrast, 6) END AS contrast,
+  CASE WHEN m.ok THEN round(e.entropy, 6) + 0.0 END AS entropy,
+  CASE WHEN m.ok THEN round((x.ex + y.ey) / 2.0 / 1000.0, 6) END AS edge_strength,
+  CASE WHEN m.ok THEN round(m.width / CAST(m.height AS DOUBLE), 6) END AS aspect,
+  CASE WHEN m.ok THEN t.thumb_bytes END AS thumb_bytes,
+  m.ok AS decode_ok
+FROM meta m
+LEFT JOIN stats s USING (image_id)
+LEFT JOIN ent e USING (image_id)
+LEFT JOIN ex x USING (image_id)
+LEFT JOIN ey y USING (image_id)
+LEFT JOIN thumb t USING (image_id)
+ORDER BY m.image_id
+"""
