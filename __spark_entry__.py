@@ -514,6 +514,23 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
             stacklevel=2,
         )
 
+    # clip_keep_summary: the FLAGSHIP query — the whole decode → langid+ppl
+    # → scrub → rules → decide DAG replayed in SQL by composing the proven
+    # per-stage oracles (curator_spark/scoring/pipeline_sql.py).
+    pipe_sql = None
+    try:
+        from curator_spark.scoring import pipeline_sql
+
+        pipe_sql = pipeline_sql.clip_keep_summary_sql(pipeline_sql.ensure_pipe_fixture())
+    except OSError as e:
+        import warnings
+
+        warnings.warn(
+            f"pipeline oracle fixture unavailable ({e}); driver will record "
+            "a rows-only check for clip_keep_summary",
+            stacklevel=2,
+        )
+
     # image_decode_features: same move as the audio pair — the image batch
     # is a pure function of image_id, so materialize it once as parquet and
     # DECODE THE PIXELS IN SQL: hex-tokenized RGB triples, luminance
@@ -930,4 +947,6 @@ FROM documents GROUP BY lang ORDER BY lang
         out["audio_segments"] = audio_seg_sql
     if image_feat_sql is not None:
         out["image_decode_features"] = image_feat_sql
+    if pipe_sql is not None:
+        out["clip_keep_summary"] = pipe_sql
     return out

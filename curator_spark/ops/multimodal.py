@@ -183,11 +183,13 @@ def image_decode_stage(df: DataFrame) -> DataFrame:
 
 
 def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second media modality under the driver gate (rows-only — pixel math
-    has no SQL form; parity vs the pure-numpy oracle and partitioning
-    invariance live in tests/test_image.py). Proves the binary-column
-    pattern extends beyond audio: real header-parsing decode (PPM P6 +
-    raw RGB), feature extraction, resize, quarantine-not-fail."""
+    """Second media modality under the driver gate — full value-hash oracle
+    (scoring/image_sql.py decodes the pixels in SQL over the deterministic
+    fixture; integer milli-luminance keeps both sides bit-identical).
+    Parity vs the pure-numpy oracle and partitioning invariance live in
+    tests/test_image.py. Proves the binary-column pattern extends beyond
+    audio: real header-parsing decode (PPM P6 + raw RGB), feature
+    extraction, resize, quarantine-not-fail."""
     imgs = generate_images(spark, 200)
     return (
         image_decode_stage(imgs)
@@ -209,9 +211,10 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def clip_keep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete north-rule DAG (decode -> langid+ppl -> rules -> scrub
     -> keep/drop) over a deterministic seeded clip batch, rolled up per
-    (lang, keep). Rows-only driver check (langid/LM weights have no SQL
-    form); bit-exact label parity vs the pure-Python oracle is asserted in
-    tests/test_stage_parity.py."""
+    (lang, keep). Full value-hash oracle: scoring/pipeline_sql.py replays
+    the ENTIRE DAG in DuckDB (audio decode, langid/LM weights, scrub
+    chain, rules) — plus per-clip label parity vs the pure-Python oracle
+    in tests/test_scoring_core.py and tests/test_stage_parity.py."""
     from .. import stages
     from ..config import PipelineConfig
     from ..synth import clips

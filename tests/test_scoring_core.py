@@ -239,3 +239,26 @@ def test_audio_sql_oracle_quarantine_parity(tmp_path):
         "sr_lie": False, "stereo": False, "ulaw_ok": True,
         good["clip_id"]: True,
     }
+
+
+def test_pipeline_sql_per_clip_label_parity():
+    """The composed full-DAG SQL oracle (pipeline_sql) must agree with the
+    pure-Python oracle on EVERY clip's (lang, keep) — the fine-grained
+    guarantee behind the clip_keep_summary rollup gate row (a compensating
+    flip inside a (lang, keep) group would be invisible to the rollup)."""
+    duckdb = pytest.importorskip("duckdb")
+
+    from curator_spark import oracle
+    from curator_spark.scoring import pipeline_sql
+
+    path = pipeline_sql.ensure_pipe_fixture()
+    con = duckdb.connect()  # must outlive the lazy relation below
+    got = con.sql(pipeline_sql.clip_keep_labels_sql(path)).df()
+    gold = (
+        oracle.golden_labels(pipeline_sql.N_FIXTURE_PIPE_CLIPS)
+        .sort_values("clip_id")
+        .reset_index(drop=True)
+    )
+    assert got["clip_id"].tolist() == gold["clip_id"].tolist()
+    assert got["lang"].tolist() == gold["lang"].tolist()
+    assert got["keep"].tolist() == gold["keep"].tolist()
