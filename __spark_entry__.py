@@ -949,4 +949,9 @@ FROM documents GROUP BY lang ORDER BY lang
         out["image_decode_features"] = image_feat_sql
     if pipe_sql is not None:
         out["clip_keep_summary"] = pipe_sql
+    # token_count_bpe: trained merge ranks inlined as VALUES, the greedy
+    # merge loop itself re-executed as a recursive CTE (scoring/bpe_sql.py)
+    from curator_spark.scoring import bpe_sql
+
+    out["token_count_bpe"] = bpe_sql.token_count_bpe_sql()
     return out

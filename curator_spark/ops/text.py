@@ -36,9 +36,10 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real subword token counts via the deterministic trained BPE
     (curator_spark/scoring/bpe.py) alongside the whitespace count — the
     engine's provider-free analog of the reference's tokenizer-based cost
-    accounting (SURVEY §2.5 A1). Iterative merge application has no SQL
-    form → rows-only driver check; Spark-vs-local parity and determinism
-    are pytest-asserted."""
+    accounting (SURVEY §2.5 A1). Full value-hash oracle: the merge table
+    is inlined as literals and the greedy merge loop re-executed as a
+    recursive CTE (scoring/bpe_sql.py); Spark-vs-local parity and
+    determinism are additionally pytest-asserted."""
     import pandas as pd
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
