@@ -169,11 +169,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_map_retry": usermap.vector_map_retry,
         "row_params_filter": usermap.row_params_filter,
         "code_exec_rows": usermap.code_exec_rows,
-        # multimodal (binary column + batched decode UDF)
-        "audio_decode_features": multimodal.audio_decode_features,  # rows-only
-        "audio_segments": multimodal.audio_segments,                # rows-only
-        "image_decode_features": multimodal.image_decode_features,  # rows-only
-        "clip_keep_summary": multimodal.clip_keep_summary,          # rows-only
+        # multimodal (binary column + batched decode UDF) — all full
+        # value-hash oracles: the SQL side decodes the media payloads
+        # itself (scoring/audio_sql.py, image_sql.py, pipeline_sql.py)
+        "audio_decode_features": multimodal.audio_decode_features,
+        "audio_segments": multimodal.audio_segments,
+        "speech_rate": multimodal.speech_rate,
+        "image_decode_features": multimodal.image_decode_features,
+        "clip_keep_summary": multimodal.clip_keep_summary,
     }
     return {name: _wrap(fn) for name, fn in qs.items()}
 
@@ -498,13 +501,14 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
     # clip ratios and the 20ms-frame VAD run-length stats via window
     # functions (curator_spark/scoring/audio_sql.py). Degrades to rows-only
     # if the fixture cannot be written.
-    audio_feat_sql = audio_seg_sql = None
+    audio_feat_sql = audio_seg_sql = audio_rate_sql = None
     try:
         from curator_spark.scoring import audio_sql
 
         _clip_path = audio_sql.ensure_clip_fixture()
         audio_feat_sql = audio_sql.audio_decode_features_sql(_clip_path)
         audio_seg_sql = audio_sql.audio_segments_sql(_clip_path)
+        audio_rate_sql = audio_sql.speech_rate_sql(_clip_path)
     except OSError as e:
         import warnings
 
@@ -945,6 +949,7 @@ FROM documents GROUP BY lang ORDER BY lang
     if audio_feat_sql is not None:
         out["audio_decode_features"] = audio_feat_sql
         out["audio_segments"] = audio_seg_sql
+        out["speech_rate"] = audio_rate_sql
     if image_feat_sql is not None:
         out["image_decode_features"] = image_feat_sql
     if pipe_sql is not None:

@@ -104,6 +104,45 @@ def audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("clip_id")
 
 
+def speech_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Words-per-second — the audio × text quality feature (a fast-talking
+    or silence-padded clip is a transcript-alignment red flag the pure-text
+    rules can't see). ``wps`` is words over NOMINAL duration; ``speech_wps``
+    renormalizes by the VAD speech_ratio so silence padding doesn't deflate
+    the rate. One decode pass (segments stage) + a narrow broadcast-free id
+    join against Catalyst word counts — at table scale both sides are
+    partitioned by clip_id, so the join is co-located. Full oracle:
+    scoring/audio_sql.speech_rate_sql replays frames → speech_ratio → the
+    identical division chain in SQL.
+
+    Reference analog: derived per-row stats over media + text
+    (SURVEY.md §2.5 A1; types/prompt.py media metadata)."""
+    from ..synth import clips
+
+    df = clips.generate_clips(spark, 200, 4)
+    words = F.filter(F.split(F.coalesce("transcript", F.lit("")), " ", -1), lambda w: w != F.lit(""))
+    txt = df.select("clip_id", "dur_ms", F.size(words).alias("n_words"))
+    seg = audio_segments_stage(df).select("clip_id", "speech_ratio", "decode_ok")
+    dur_s = F.col("dur_ms") / F.lit(1000.0)
+    wps = F.col("n_words") / dur_s
+    speech_wps = F.when(
+        F.col("decode_ok") & (F.col("speech_ratio") > 0),
+        F.col("n_words") / (F.col("speech_ratio") * dur_s),
+    )
+    return (
+        txt.join(seg, "clip_id")
+        .select(
+            "clip_id",
+            "n_words",
+            "dur_ms",
+            F.round(wps, 6).alias("wps"),
+            F.round(speech_wps, 6).alias("speech_wps"),
+            "decode_ok",
+        )
+        .orderBy("clip_id")
+    )
+
+
 IMAGES_SCHEMA = "image_id long, fmt string, width int, height int, data binary"
 IMAGE_FEATURES_SCHEMA = (
     "image_id long, fmt string, mean_lum double, contrast double, entropy double, "

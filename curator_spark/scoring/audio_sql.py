@@ -167,6 +167,39 @@ ORDER BY m.clip_id
 """
 
 
+def speech_rate_sql(path: str) -> str:
+    """Oracle for ``speech_rate``: frames → speech_ratio → the identical
+    words/(ratio·duration) division chain (ops/multimodal.py:speech_rate)."""
+    return f"""WITH {_samples_cte(path)},
+fsize AS (
+  SELECT clip_id, GREATEST(CAST(sr_hz * 20 / 1000 AS BIGINT), 1) AS frame
+  FROM meta
+), frames AS (
+  SELECT s.clip_id, s.k // f.frame AS fi,
+    sqrt(SUM(s.x * s.x) / ANY_VALUE(f.frame)) AS rms
+  FROM sampx s JOIN fsize f USING (clip_id)
+  GROUP BY s.clip_id, s.k // f.frame
+), per_clip AS (
+  SELECT clip_id,
+    CAST(COUNT(*) FILTER (WHERE rms > 0.01) AS DOUBLE) / COUNT(*) AS speech_ratio
+  FROM frames GROUP BY clip_id
+), words AS (
+  SELECT clip_id, dur_ms,
+    len(list_filter(string_split(COALESCE(transcript, ''), ' '), x -> x <> '')) AS n_words
+  FROM read_parquet('{path}')
+)
+SELECT w.clip_id, w.n_words, w.dur_ms,
+  round(w.n_words / (w.dur_ms / 1000.0), 6) AS wps,
+  CASE WHEN m.ok AND COALESCE(p.speech_ratio, 0.0) > 0
+       THEN round(w.n_words / (p.speech_ratio * (w.dur_ms / 1000.0)), 6) END AS speech_wps,
+  m.ok AS decode_ok
+FROM words w
+JOIN meta m USING (clip_id)
+LEFT JOIN per_clip p USING (clip_id)
+ORDER BY w.clip_id
+"""
+
+
 def audio_segments_sql(path: str) -> str:
     """Oracle for ``audio_segments``: 20 ms-frame energy VAD run-length
     stats (curator_spark/scoring/audio.py:segments) via gaps-and-islands."""
