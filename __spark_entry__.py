@@ -156,7 +156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_list": dedup.dedup_keep_list,
         # text analysis
         "token_count": text.token_count,
-        "token_count_bpe": text.token_count_bpe,      # rows-only (iterative merges)
+        "token_count_bpe": text.token_count_bpe,      # full oracle (recursive-CTE BPE)
+        "lang_quota_sample": text.lang_quota_sample,
         "quality_scores": text.quality_scores,
         "doc_fingerprint": text.doc_fingerprint,
         "lang_distribution": text.lang_distribution,
@@ -939,6 +940,17 @@ FROM w ORDER BY doc_id
         "lang_distribution": """
 SELECT lang, COUNT(*) AS n_docs, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang ORDER BY lang
+""",
+        # the GLOBAL definition the scale-shaped Spark plan (hash-cutoff
+        # pre-filter + per-language window) must equal exactly
+        "lang_quota_sample": """
+SELECT doc_id, lang, sample_key, rk FROM (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS sample_key,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 40 ORDER BY lang, rk
 """,
     }
     if ivf_sql is not None:

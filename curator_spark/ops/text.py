@@ -285,3 +285,57 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFram
         "n_grams",
         F.round(F.col("n_dup_occ") / F.col("n_grams"), 6).alias("dup_gram_frac"),
     ).orderBy("doc_id")
+
+
+def lang_quota_sample(spark: SparkSession, sf_dir: str, quota: int = 40) -> DataFrame:
+    """Deterministic per-language quota sample — the data-mixing primitive
+    (fix a per-language budget, pick a reproducible subset): rank docs by
+    ``md5(doc_id)`` within each language, keep the first ``quota``.
+
+    Scale shape: a naive window over 10^12 rows puts an entire language on
+    one executor's sort. Instead (a) one tiny count agg learns per-language
+    sizes (bounded collect: one row per language), (b) a HASH CUTOFF
+    pre-filter keeps ~8x the quota fraction per language — the window then
+    sorts only ~8·quota survivors per language, not the language; (c) the
+    cutoff is provably a superset of the true top-``quota`` whenever
+    survivors >= quota (smallest keys all clear any threshold that admits
+    >= quota rows), and the rare shortfall (hash-uniformity tail) falls
+    back to the unfiltered window for that language, keeping the result
+    EXACTLY equal to the global definition the oracle states.
+
+    Reference analog: deterministic subset selection / seeded sampling of a
+    Dataset before generation (SURVEY.md §2.6 O2 limit/take lifted to
+    per-group budgets)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs = docs.withColumn("sample_key", F.md5(F.col("doc_id").cast("string")))
+    counts = {
+        r["lang"]: r["cnt"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    cut_expr = None
+    for lang, cnt in counts.items():
+        frac = min(1.0, 8.0 * quota / max(cnt, 1))
+        cut = f"{min(0xFFFFFFFF, int(frac * 0x100000000)):08x}"
+        cond = (F.col("lang") == F.lit(lang)) & (
+            (F.substring("sample_key", 1, 8) < F.lit(cut)) | F.lit(frac >= 1.0)
+        )
+        cut_expr = cond if cut_expr is None else (cut_expr | cond)
+    survivors = docs.filter(cut_expr)
+    scnt = {
+        r["lang"]: r["cnt"]
+        for r in survivors.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    short = [
+        lang for lang, cnt in counts.items() if scnt.get(lang, 0) < min(quota, cnt)
+    ]
+    if short:  # hash-tail shortfall: exact fallback for just those languages
+        survivors = survivors.union(docs.filter(F.col("lang").isin(short)))
+    w = Window.partitionBy("lang").orderBy("sample_key", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= quota)
+        .select("doc_id", "lang", "sample_key", "rk")
+        .orderBy("lang", "rk")
+    )

@@ -315,3 +315,28 @@ def test_clear_session_cache_drops_persisted_buckets(spark):
     assert any(k[0] == app for k in dedup._STACKED_CACHE)
     dedup.clear_session_cache(spark)
     assert not any(k[0] == app for k in dedup._STACKED_CACHE)
+
+
+def test_lang_quota_sample_equals_naive_window(spark):
+    """The scale-shaped plan (count agg + hash-cutoff pre-filter + window
+    over survivors, exact fallback on shortfall) must equal the naive
+    global window definition exactly — including when quota exceeds a
+    language's population (frac >= 1 keeps everything)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from curator_spark.ops import load, text
+
+    for quota in (7, 10_000):  # pre-filtered path; frac>=1 keep-all path
+        got = text.lang_quota_sample(spark, SF_DIR, quota=quota).toPandas()
+        docs = load(spark, SF_DIR, "documents").select(
+            "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("sample_key")
+        )
+        w = Window.partitionBy("lang").orderBy("sample_key", "doc_id")
+        want = (
+            docs.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= quota)
+            .orderBy("lang", "rk")
+            .toPandas()
+        )
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True)), quota
