@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_features": multimodal.audio_decode_features,
         "audio_segments": multimodal.audio_segments,
         "speech_rate": multimodal.speech_rate,
+        "audio_fingerprints": multimodal.audio_fingerprints,
+        "audio_dup_pairs": multimodal.audio_dup_pairs,
         "image_decode_features": multimodal.image_decode_features,
         "clip_keep_summary": multimodal.clip_keep_summary,
     }
@@ -503,6 +505,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
     # functions (curator_spark/scoring/audio_sql.py). Degrades to rows-only
     # if the fixture cannot be written.
     audio_feat_sql = audio_seg_sql = audio_rate_sql = None
+    audio_fp_sql = audio_dup_sql = None
     try:
         from curator_spark.scoring import audio_sql
 
@@ -510,6 +513,9 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
         audio_feat_sql = audio_sql.audio_decode_features_sql(_clip_path)
         audio_seg_sql = audio_sql.audio_segments_sql(_clip_path)
         audio_rate_sql = audio_sql.speech_rate_sql(_clip_path)
+        audio_fp_sql = audio_sql.audio_fingerprints_sql(_clip_path)
+        _dup_path = audio_sql.ensure_near_dup_fixture()
+        audio_dup_sql = audio_sql.audio_dup_pairs_sql(_dup_path)
     except OSError as e:
         import warnings
 
@@ -962,6 +968,8 @@ SELECT doc_id, lang, sample_key, rk FROM (
         out["audio_decode_features"] = audio_feat_sql
         out["audio_segments"] = audio_seg_sql
         out["speech_rate"] = audio_rate_sql
+        out["audio_fingerprints"] = audio_fp_sql
+        out["audio_dup_pairs"] = audio_dup_sql
     if image_feat_sql is not None:
         out["image_decode_features"] = image_feat_sql
     if pipe_sql is not None:

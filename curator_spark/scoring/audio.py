@@ -123,3 +123,35 @@ def decode_features(blob: bytes, codec: str, sr_hz: int, dur_ms: int) -> dict[st
         # the task (≙ per-row retry→failure path, SURVEY §2.8 T2)
         return {"rms_db": float("nan"), "silence_ratio": 1.0, "clip_ratio": 1.0, "dur_err_ms": 1e9}
     return features(pcm, sr_hz, dur_ms)
+
+
+N_FP_SLICES = 64  # fingerprint resolution: one bit per time slice
+
+
+def fingerprint(pcm: np.ndarray, n_slices: int = N_FP_SLICES) -> list[int]:
+    """Energy-shape fingerprint: 64 bits packed as four 16-bit block keys.
+
+    Bit ``s`` is set iff time-slice ``s``'s mean energy exceeds the CLIP's
+    mean energy — a relative threshold, so the fingerprint is (near-)
+    gain-invariant: re-encoded or volume-normalized copies of the same
+    recording land at Hamming distance ~0 while unrelated clips sit at
+    ~32/64 (measured on the seeded corpus; see tests/test_scoring_core.py).
+    Slice of sample ``k`` is ``k * 64 // n`` — the same integer expression
+    the SQL oracle uses, so slicing is bit-exact across engines; only the
+    energy-mean comparison is float (the house frames-RMS precedent).
+
+    The four 16-bit blocks double as LSH band keys: any pair at Hamming
+    <= 3 shares at least one identical block (pigeonhole), so the banded
+    self-join is candidate-complete at that threshold.
+    """
+    n = pcm.shape[0]
+    if n == 0:
+        return [0, 0, 0, 0]
+    sl = (np.arange(n, dtype=np.int64) * n_slices) // n
+    e = np.bincount(sl, weights=pcm * pcm, minlength=n_slices)
+    c = np.bincount(sl, minlength=n_slices).astype(np.float64)
+    tot = float((pcm * pcm).sum()) / n
+    bits = [1 if (c[s] > 0 and e[s] / c[s] > tot) else 0 for s in range(n_slices)]
+    return [
+        sum(bits[16 * j + t] << t for t in range(16)) for j in range(n_slices // 16)
+    ]

@@ -167,6 +167,113 @@ ORDER BY m.clip_id
 """
 
 
+def ensure_near_dup_fixture(n: int = 200, every: int = 20) -> str:
+    """Base clips + planted volume-scaled re-encodes, as parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..synth import clips
+
+    path = os.path.join(FIXTURE_DIR, f"clips_neardup{n}_{every}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        pdf = clips.clips_with_near_dups_pandas(n, every)
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _fingerprint_ctes() -> str:
+    """Appended to ``_samples_cte``: per-slice energies → relative-threshold
+    bits → four 16-bit block keys (scoring/audio.py:fingerprint). Slicing
+    is the same exact integer ``k * 64 // n``; only the energy-mean compare
+    is float (frames-RMS precedent). ``grid``+``COALESCE`` covers slices and
+    blocks with no samples (bit 0), matching numpy's minlength."""
+    return """en AS (
+  SELECT s.clip_id, (s.k * 64) // m.n AS sl, SUM(s.x * s.x) AS e, COUNT(*) AS c
+  FROM sampx s JOIN meta m USING (clip_id)
+  GROUP BY s.clip_id, (s.k * 64) // m.n
+), tot AS (
+  SELECT clip_id, SUM(x * x) / COUNT(*) AS tot FROM sampx GROUP BY clip_id
+), bits AS (
+  SELECT e.clip_id, e.sl,
+    CASE WHEN e.e / e.c > t.tot THEN 1 ELSE 0 END AS b
+  FROM en e JOIN tot t USING (clip_id)
+), grid AS (
+  SELECT clip_id, unnest([0, 1, 2, 3]) AS band FROM meta WHERE ok
+), blk AS (
+  SELECT clip_id, CAST(sl // 16 AS INT) AS band,
+    CAST(SUM(b * (1 << CAST(sl % 16 AS INT))) AS INT) AS key
+  FROM bits GROUP BY clip_id, CAST(sl // 16 AS INT)
+), blocks AS (
+  SELECT g.clip_id, g.band, COALESCE(k.key, 0) AS key
+  FROM grid g LEFT JOIN blk k USING (clip_id, band)
+), fp AS (
+  SELECT clip_id,
+    MAX(CASE WHEN band = 0 THEN key END) AS b0,
+    MAX(CASE WHEN band = 1 THEN key END) AS b1,
+    MAX(CASE WHEN band = 2 THEN key END) AS b2,
+    MAX(CASE WHEN band = 3 THEN key END) AS b3
+  FROM blocks GROUP BY clip_id
+)"""
+
+
+def audio_fingerprints_sql(path: str) -> str:
+    """Oracle for ``audio_fingerprints``."""
+    return f"""WITH {_samples_cte(path)},
+{_fingerprint_ctes()}
+SELECT m.clip_id,
+  CASE WHEN m.ok THEN f.b0 END AS b0,
+  CASE WHEN m.ok THEN f.b1 END AS b1,
+  CASE WHEN m.ok THEN f.b2 END AS b2,
+  CASE WHEN m.ok THEN f.b3 END AS b3,
+  m.ok AS decode_ok
+FROM meta m LEFT JOIN fp f USING (clip_id)
+ORDER BY m.clip_id
+"""
+
+
+def audio_dup_pairs_sql(path: str, max_hamming: int = 3) -> str:
+    """Oracle for ``audio_dup_pairs``: banded block join → popcount +
+    feature verify (ops/multimodal.py:audio_dup_pairs)."""
+    return f"""WITH {_samples_cte(path)},
+{_fingerprint_ctes()},
+feat AS (
+  SELECT clip_id,
+    20.0 * log10(GREATEST(sqrt(SUM(x * x) / COUNT(*)), 1e-6)) AS rms_db,
+    COUNT(*) FILTER (WHERE abs(x) < 0.01) / CAST(COUNT(*) AS DOUBLE) AS silence_ratio
+  FROM sampx GROUP BY clip_id
+), fpv AS (
+  SELECT m.clip_id, m.dur_ms, m.sr_hz,
+    COALESCE(ft.rms_db, -120.0) AS rms_db,
+    COALESCE(ft.silence_ratio, 1.0) AS silence_ratio,
+    f.b0, f.b1, f.b2, f.b3
+  FROM meta m
+  JOIN fp f USING (clip_id)
+  LEFT JOIN feat ft USING (clip_id)
+  WHERE m.ok
+), cand AS (
+  SELECT a.clip_id AS clip_a, b.clip_id AS clip_b
+  FROM blocks a JOIN blocks b
+    ON a.band = b.band AND a.key = b.key AND a.clip_id < b.clip_id
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT c.clip_a, c.clip_b,
+    CAST(bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+       + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) AS INT) AS hamming
+  FROM cand c
+  JOIN fpv fa ON fa.clip_id = c.clip_a
+  JOIN fpv fb ON fb.clip_id = c.clip_b
+  WHERE fa.dur_ms = fb.dur_ms AND fa.sr_hz = fb.sr_hz
+    AND abs(fa.rms_db - fb.rms_db) <= 1.0
+    AND abs(fa.silence_ratio - fb.silence_ratio) <= 0.02
+) WHERE hamming <= {max_hamming}
+ORDER BY clip_a, clip_b
+"""
+
+
 def speech_rate_sql(path: str) -> str:
     """Oracle for ``speech_rate``: frames → speech_ratio → the identical
     words/(ratio·duration) division chain (ops/multimodal.py:speech_rate)."""

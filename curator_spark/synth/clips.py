@@ -60,3 +60,59 @@ def write_clips(spark: SparkSession, n: int, path: str) -> None:
 def clips_pandas(n: int) -> pd.DataFrame:
     """Single-node generation for the oracle / tiny unit tests."""
     return pd.DataFrame([clip_row(i) for i in range(n)])
+
+
+NEAR_DUP_GAIN = 0.98  # volume-normalized re-encode: same recording, new gain
+
+
+def near_dup_row(i: int, gain: float = NEAR_DUP_GAIN) -> dict:
+    """A volume-scaled re-encode of clip ``i`` — the classic near-duplicate
+    a fingerprint dedup must catch (same recording, different mastering).
+    Decode → scale → clip → re-encode through the SAME codec, so the copy
+    is byte-different (exact dedup misses it) but energy-shape identical.
+    Lives in the DATA-GENERATION layer by design: operators stay pure over
+    their input (round-2 ADVICE on the embedding fixture)."""
+    import numpy as np
+
+    from ..scoring import audio as audio_scoring
+    from . import audiogen
+
+    r = clip_row(i)
+    pcm = audio_scoring.decode(r["bytes"], r["codec"], r["sr_hz"])
+    g = np.clip(pcm * gain, -1.0, 1.0)
+    blob = (
+        audiogen.pcm16_to_wav(g, r["sr_hz"])
+        if r["codec"] == "pcm_s16le"
+        else audiogen.mulaw_encode(g)
+    )
+    return {**r, "clip_id": "dup_" + r["clip_id"], "bytes": blob}
+
+
+def clips_with_near_dups_pandas(n: int, every: int = 20) -> pd.DataFrame:
+    """Base clips 0..n-1 plus a near-dup of every ``every``-th — the
+    single-node face of :func:`generate_clips_with_near_dups`."""
+    rows = [clip_row(i) for i in range(n)]
+    rows += [near_dup_row(i) for i in range(0, n, every)]
+    return pd.DataFrame(rows)
+
+
+def generate_clips_with_near_dups(
+    spark: SparkSession, n: int, every: int = 20, n_partitions: int = 4
+) -> DataFrame:
+    """Distributed base + planted near-dups (ids are still pure functions
+    of the index, so the oracle regenerates the same table)."""
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i < n:
+                    rows.append(clip_row(i))
+                else:  # tail indices map to the planted dups
+                    rows.append(near_dup_row((i - n) * every))
+            yield pd.DataFrame(rows)
+
+    n_dups = len(range(0, n, every))
+    return spark.range(0, n + n_dups, 1, n_partitions).mapInPandas(
+        _gen, schema=CLIPS_SCHEMA
+    )

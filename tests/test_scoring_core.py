@@ -262,3 +262,35 @@ def test_pipeline_sql_per_clip_label_parity():
     assert got["clip_id"].tolist() == gold["clip_id"].tolist()
     assert got["lang"].tolist() == gold["lang"].tolist()
     assert got["keep"].tolist() == gold["keep"].tolist()
+
+
+def test_audio_fingerprint_gain_invariance():
+    """The energy-shape fingerprint is the near-dup key: volume-scaled
+    copies must land at Hamming ~0 while unrelated clips stay far — and
+    a planted re-encode pair must be bit-identical after the full
+    decode→scale→clip→re-encode round trip."""
+    import numpy as np
+
+    from curator_spark.scoring import audio as audio_scoring
+    from curator_spark.synth import clips as clips_mod
+
+    def hd(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    fps = []
+    for i in range(30):
+        r = clips_mod.clip_row(i)
+        pcm = audio_scoring.decode(r["bytes"], r["codec"], r["sr_hz"])
+        f = audio_scoring.fingerprint(pcm)
+        assert all(0 <= b <= 0xFFFF for b in f)
+        # in-memory gain scale: exact relative threshold → distance 0
+        assert hd(f, audio_scoring.fingerprint(np.clip(pcm * 0.9, -1, 1))) == 0
+        # full re-encode round trip (int16/mu-law quantization wiggles a
+        # few boundary slices): must stay within the op's Hamming-3 gate
+        d = clips_mod.near_dup_row(i)
+        pcm_d = audio_scoring.decode(d["bytes"], d["codec"], d["sr_hz"])
+        assert hd(f, audio_scoring.fingerprint(pcm_d)) <= 3
+        fps.append(f)
+    dists = [hd(fps[i], fps[j]) for i in range(30) for j in range(i + 1, 30)]
+    # unrelated clips: median far out; the verify stage handles the tail
+    assert sorted(dists)[len(dists) // 2] >= 16
