@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speech_rate": multimodal.speech_rate,
         "audio_fingerprints": multimodal.audio_fingerprints,
         "audio_dup_pairs": multimodal.audio_dup_pairs,
+        "audio_dup_groups": multimodal.audio_dup_groups,
         "image_decode_features": multimodal.image_decode_features,
         "clip_keep_summary": multimodal.clip_keep_summary,
     }
@@ -505,7 +506,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
     # functions (curator_spark/scoring/audio_sql.py). Degrades to rows-only
     # if the fixture cannot be written.
     audio_feat_sql = audio_seg_sql = audio_rate_sql = None
-    audio_fp_sql = audio_dup_sql = None
+    audio_fp_sql = audio_dup_sql = audio_groups_sql = None
     try:
         from curator_spark.scoring import audio_sql
 
@@ -516,6 +517,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
         audio_fp_sql = audio_sql.audio_fingerprints_sql(_clip_path)
         _dup_path = audio_sql.ensure_near_dup_fixture()
         audio_dup_sql = audio_sql.audio_dup_pairs_sql(_dup_path)
+        audio_groups_sql = audio_sql.audio_dup_groups_sql(_dup_path)
     except OSError as e:
         import warnings
 
@@ -970,6 +972,7 @@ SELECT doc_id, lang, sample_key, rk FROM (
         out["speech_rate"] = audio_rate_sql
         out["audio_fingerprints"] = audio_fp_sql
         out["audio_dup_pairs"] = audio_dup_sql
+        out["audio_dup_groups"] = audio_groups_sql
     if image_feat_sql is not None:
         out["image_decode_features"] = image_feat_sql
     if pipe_sql is not None:

@@ -266,6 +266,41 @@ def audio_dup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> D
     )
 
 
+def audio_dup_groups(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over the audio near-dup graph →
+    (group_id, clip_id, is_canonical) — completes the AUDIO dedup DAG the
+    same way dup_groups/simhash_dup_groups complete the text families:
+    fingerprint LSH → feature verify → components → canonical decision.
+    group_id is the component's min clip_id, so the base clip (``clip_…``)
+    always wins over its re-encode (``dup_clip_…``) and a curation filter
+    is simply ``WHERE is_canonical``. Clips with no near-dup edge are
+    singleton canonicals. Oracle: recursive transitive closure over the
+    identical SQL-decoded pair CTE (audio_sql.audio_dup_groups_sql).
+
+    Reference analog: content-identity dedup (llm/llm.py:139-164) lifted
+    to the media payload."""
+    from ..synth import clips
+    from .dedup import _min_label_components
+
+    df = clips.generate_clips_with_near_dups(spark, 200, 20, 4)
+    edges = audio_dup_pairs(spark, sf_dir, max_hamming).select("clip_a", "clip_b")
+    groups = _min_label_components(
+        edges, "clip_a", "clip_b", "clip_id", max_iters, "audio_dup_groups"
+    )
+    return (
+        df.select("clip_id")
+        .join(groups, "clip_id", "left")
+        .select(
+            F.coalesce("group_id", F.col("clip_id")).alias("group_id"),
+            "clip_id",
+            (F.coalesce("group_id", F.col("clip_id")) == F.col("clip_id")).alias("is_canonical"),
+        )
+        .orderBy("group_id", "clip_id")
+    )
+
+
 IMAGES_SCHEMA = "image_id long, fmt string, width int, height int, data binary"
 IMAGE_FEATURES_SCHEMA = (
     "image_id long, fmt string, mean_lum double, contrast double, entropy double, "

@@ -234,12 +234,10 @@ ORDER BY m.clip_id
 """
 
 
-def audio_dup_pairs_sql(path: str, max_hamming: int = 3) -> str:
-    """Oracle for ``audio_dup_pairs``: banded block join → popcount +
-    feature verify (ops/multimodal.py:audio_dup_pairs)."""
-    return f"""WITH {_samples_cte(path)},
-{_fingerprint_ctes()},
-feat AS (
+def _dup_pairs_ctes(max_hamming: int) -> str:
+    """Verified near-dup ``pairs`` CTE chain, appended to samples +
+    fingerprint CTEs. Shared by the pairs and groups oracles."""
+    return f"""feat AS (
   SELECT clip_id,
     20.0 * log10(GREATEST(sqrt(SUM(x * x) / COUNT(*)), 1e-6)) AS rms_db,
     COUNT(*) FILTER (WHERE abs(x) < 0.01) / CAST(COUNT(*) AS DOUBLE) AS silence_ratio
@@ -258,19 +256,56 @@ feat AS (
   FROM blocks a JOIN blocks b
     ON a.band = b.band AND a.key = b.key AND a.clip_id < b.clip_id
   GROUP BY 1, 2
+), pairs AS (
+  SELECT * FROM (
+    SELECT c.clip_a, c.clip_b,
+      CAST(bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+         + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) AS INT) AS hamming
+    FROM cand c
+    JOIN fpv fa ON fa.clip_id = c.clip_a
+    JOIN fpv fb ON fb.clip_id = c.clip_b
+    WHERE fa.dur_ms = fb.dur_ms AND fa.sr_hz = fb.sr_hz
+      AND abs(fa.rms_db - fb.rms_db) <= 1.0
+      AND abs(fa.silence_ratio - fb.silence_ratio) <= 0.02
+  ) WHERE hamming <= {max_hamming}
+)"""
+
+
+def audio_dup_pairs_sql(path: str, max_hamming: int = 3) -> str:
+    """Oracle for ``audio_dup_pairs``: banded block join → popcount +
+    feature verify (ops/multimodal.py:audio_dup_pairs)."""
+    return f"""WITH {_samples_cte(path)},
+{_fingerprint_ctes()},
+{_dup_pairs_ctes(max_hamming)}
+SELECT clip_a, clip_b, hamming FROM pairs ORDER BY clip_a, clip_b
+"""
+
+
+def audio_dup_groups_sql(path: str, max_hamming: int = 3) -> str:
+    """Oracle for ``audio_dup_groups``: recursive transitive closure over
+    the identical SQL-decoded verified-pair CTE, min-id canonicals,
+    singletons via left join against the full clip table
+    (ops/multimodal.py:audio_dup_groups)."""
+    return f"""WITH RECURSIVE {_samples_cte(path)},
+{_fingerprint_ctes()},
+{_dup_pairs_ctes(max_hamming)},
+aedges AS (
+  SELECT clip_a AS a, clip_b AS b FROM pairs
+  UNION ALL SELECT clip_b, clip_a FROM pairs
+), anodes AS (
+  SELECT DISTINCT a AS clip_id FROM aedges
+), areach AS (
+  SELECT clip_id AS src, clip_id AS dst FROM anodes
+  UNION
+  SELECT r.src, e.b FROM areach r JOIN aedges e ON r.dst = e.a
+), agroups AS (
+  SELECT src AS clip_id, MIN(dst) AS group_id FROM areach GROUP BY src
 )
-SELECT * FROM (
-  SELECT c.clip_a, c.clip_b,
-    CAST(bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
-       + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) AS INT) AS hamming
-  FROM cand c
-  JOIN fpv fa ON fa.clip_id = c.clip_a
-  JOIN fpv fb ON fb.clip_id = c.clip_b
-  WHERE fa.dur_ms = fb.dur_ms AND fa.sr_hz = fb.sr_hz
-    AND abs(fa.rms_db - fb.rms_db) <= 1.0
-    AND abs(fa.silence_ratio - fb.silence_ratio) <= 0.02
-) WHERE hamming <= {max_hamming}
-ORDER BY clip_a, clip_b
+SELECT COALESCE(g.group_id, c.clip_id) AS group_id, c.clip_id,
+  COALESCE(g.group_id, c.clip_id) = c.clip_id AS is_canonical
+FROM (SELECT clip_id FROM read_parquet('{path}')) c
+LEFT JOIN agroups g USING (clip_id)
+ORDER BY group_id, clip_id
 """
 
 

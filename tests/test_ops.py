@@ -276,6 +276,24 @@ def test_dup_groups_matches_union_find(spark):
     assert got == want_groups
 
 
+def test_audio_dup_groups_planted_structure(spark):
+    """The audio dedup DAG's composed decision: every planted re-encode
+    (``dup_clip_…``) must land in its base clip's component with the base
+    as canonical; every un-planted clip must be a singleton canonical."""
+    from curator_spark.ops import multimodal
+
+    rows = multimodal.audio_dup_groups(spark, SF_DIR).collect()
+    by_id = {r["clip_id"]: r for r in rows}
+    assert len(rows) == 210  # 200 base + 10 planted re-encodes
+    for i in range(0, 200, 20):
+        base, dup = f"clip_{i:012d}", f"dup_clip_{i:012d}"
+        assert by_id[dup]["group_id"] == base
+        assert not by_id[dup]["is_canonical"]
+        assert by_id[base]["group_id"] == base and by_id[base]["is_canonical"]
+    singles = [r for r in rows if r["clip_id"].startswith("clip_") and int(r["clip_id"][5:]) % 20]
+    assert all(r["is_canonical"] and r["group_id"] == r["clip_id"] for r in singles)
+
+
 def test_salted_skew_join_parity(spark):
     """Explicit salting for skewed join keys (the north rule's named
     technique): one hot key dominating the fact side is salted into S
