@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprints": multimodal.audio_fingerprints,
         "audio_dup_pairs": multimodal.audio_dup_pairs,
         "audio_dup_groups": multimodal.audio_dup_groups,
+        "loudness_normalize": multimodal.loudness_normalize,
         "image_decode_features": multimodal.image_decode_features,
         "clip_keep_summary": multimodal.clip_keep_summary,
     }
@@ -506,7 +507,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
     # functions (curator_spark/scoring/audio_sql.py). Degrades to rows-only
     # if the fixture cannot be written.
     audio_feat_sql = audio_seg_sql = audio_rate_sql = None
-    audio_fp_sql = audio_dup_sql = audio_groups_sql = None
+    audio_fp_sql = audio_dup_sql = audio_groups_sql = audio_loud_sql = None
     try:
         from curator_spark.scoring import audio_sql
 
@@ -518,6 +519,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
         _dup_path = audio_sql.ensure_near_dup_fixture()
         audio_dup_sql = audio_sql.audio_dup_pairs_sql(_dup_path)
         audio_groups_sql = audio_sql.audio_dup_groups_sql(_dup_path)
+        audio_loud_sql = audio_sql.loudness_normalize_sql(_clip_path)
     except OSError as e:
         import warnings
 
@@ -973,6 +975,7 @@ SELECT doc_id, lang, sample_key, rk FROM (
         out["audio_fingerprints"] = audio_fp_sql
         out["audio_dup_pairs"] = audio_dup_sql
         out["audio_dup_groups"] = audio_groups_sql
+        out["loudness_normalize"] = audio_loud_sql
     if image_feat_sql is not None:
         out["image_decode_features"] = image_feat_sql
     if pipe_sql is not None:

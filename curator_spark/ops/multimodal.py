@@ -266,6 +266,75 @@ def audio_dup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> D
     )
 
 
+LOUDNESS_SCHEMA = (
+    "clip_id string, rms_db double, gain_db double, post_gain_clip_ratio double, "
+    "decode_ok boolean"
+)
+
+
+def loudness_stage(df: DataFrame, target_db: float | None = None) -> DataFrame:
+    """Per-clip loudness-normalization plan over the binary column: one
+    decode per Arrow batch → gain to the target RMS + predicted post-gain
+    clipping (scoring/audio.loudness); PCM dropped inside the batch,
+    malformed rows quarantine (``decode_ok = false``)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..scoring import audio as audio_scoring
+
+    tgt = audio_scoring.DEFAULT_TARGET_RMS_DB if target_db is None else target_db
+    cols = [f.split()[0] for f in LOUDNESS_SCHEMA.split(", ")]
+
+    def _loud(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for b, c, sr, cid in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["clip_id"]):
+                try:
+                    pcm = audio_scoring.decode(bytes(b), c, int(sr))
+                    rows.append(
+                        {"clip_id": cid, **audio_scoring.loudness(pcm, tgt), "decode_ok": True}
+                    )
+                except Exception:  # noqa: BLE001 - quarantine semantics
+                    rows.append(
+                        {
+                            "clip_id": cid,
+                            "rms_db": None,
+                            "gain_db": None,
+                            "post_gain_clip_ratio": None,
+                            "decode_ok": False,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(_loud, schema=LOUDNESS_SCHEMA)
+
+
+def loudness_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness-normalization plan per clip — the standard speech-corpus
+    preprocessing step (gain every clip to a common RMS target, flag clips
+    that would clip after amplification so the pipeline attenuates or
+    drops them instead). Full oracle: the SQL side decodes the audio and
+    replays rms → quantized gain → per-sample |x|·g clip check
+    (audio_sql.loudness_normalize_sql).
+
+    Reference analog: per-row derived media stats (SURVEY.md §2.5 A1)."""
+    from ..synth import clips
+
+    df = clips.generate_clips(spark, 200, 4)
+    return (
+        loudness_stage(df)
+        .select(
+            "clip_id",
+            F.round("rms_db", 6).alias("rms_db"),
+            F.round("gain_db", 6).alias("gain_db"),
+            F.round("post_gain_clip_ratio", 6).alias("post_gain_clip_ratio"),
+            "decode_ok",
+        )
+        .orderBy("clip_id")
+    )
+
+
 def audio_dup_groups(
     spark: SparkSession, sf_dir: str, max_hamming: int = 3, max_iters: int = 20
 ) -> DataFrame:

@@ -55,6 +55,34 @@ def features(pcm: np.ndarray, sr_hz: int, dur_ms: int) -> dict[str, float]:
     }
 
 
+DEFAULT_TARGET_RMS_DB = -20.0  # common speech-corpus normalization target
+CLIP_AMPLITUDE = 0.985         # same "clipped sample" threshold as clip_ratio
+
+
+def loudness(
+    pcm: np.ndarray, target_db: float = DEFAULT_TARGET_RMS_DB
+) -> dict[str, float]:
+    """Loudness-normalization plan for one clip: the gain (dB) that moves
+    its RMS to ``target_db``, plus the fraction of samples that would clip
+    AFTER that gain (the pipeline's signal for "attenuate or drop instead
+    of amplify"). The gain is quantized to 1e-6 dB before the clip check so
+    the Spark UDF and the SQL oracle compare bit-identical |x|·g products
+    (same precedent as the fingerprint oracle's energy-mean compare)."""
+    n = pcm.shape[0]
+    if n == 0:
+        return {
+            "rms_db": -120.0,
+            "gain_db": round(target_db + 120.0, 6),
+            "post_gain_clip_ratio": 0.0,
+        }
+    rms = float(np.sqrt(np.dot(pcm, pcm) / n))
+    rms_db = 20.0 * np.log10(max(rms, 1e-6))
+    gain_db = round(target_db - rms_db, 6)
+    g = 10.0 ** (gain_db / 20.0)
+    post = float(np.count_nonzero(np.abs(pcm) * g > CLIP_AMPLITUDE) / n)
+    return {"rms_db": float(rms_db), "gain_db": gain_db, "post_gain_clip_ratio": post}
+
+
 FRAME_MS = 20          # standard VAD frame size
 SPEECH_RMS_THRESH = 0.01  # matches the silence_ratio amplitude threshold
 

@@ -167,6 +167,37 @@ ORDER BY m.clip_id
 """
 
 
+def loudness_normalize_sql(path: str, target_db: float = -20.0) -> str:
+    """Oracle for ``loudness_normalize``: rms → gain quantized to 1e-6 dB →
+    per-sample |x|·g post-gain clip check (scoring/audio.py:loudness). The
+    gain quantization makes the per-sample products comparable across
+    engines; the compare itself is the fingerprint oracle's float-aggregate
+    precedent."""
+    return f"""WITH {_samples_cte(path)},
+feat AS (
+  SELECT clip_id,
+    20.0 * log10(GREATEST(sqrt(SUM(x * x) / COUNT(*)), 1e-6)) AS rms_db
+  FROM sampx GROUP BY clip_id
+), gains AS (
+  SELECT clip_id, rms_db, round({target_db!r} - rms_db, 6) AS gain_db FROM feat
+), post AS (
+  SELECT s.clip_id,
+    CAST(COUNT(*) FILTER (WHERE abs(s.x) * pow(10.0, g.gain_db / 20.0) > 0.985)
+         AS DOUBLE) / COUNT(*) AS pr
+  FROM sampx s JOIN gains g USING (clip_id) GROUP BY s.clip_id
+)
+SELECT m.clip_id,
+  CASE WHEN m.ok THEN round(g.rms_db, 6) END AS rms_db,
+  CASE WHEN m.ok THEN round(g.gain_db, 6) END AS gain_db,
+  CASE WHEN m.ok THEN round(COALESCE(p.pr, 0.0), 6) END AS post_gain_clip_ratio,
+  m.ok AS decode_ok
+FROM meta m
+LEFT JOIN gains g USING (clip_id)
+LEFT JOIN post p USING (clip_id)
+ORDER BY m.clip_id
+"""
+
+
 def ensure_near_dup_fixture(n: int = 200, every: int = 20) -> str:
     """Base clips + planted volume-scaled re-encodes, as parquet."""
     import pyarrow as pa

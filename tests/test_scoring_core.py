@@ -264,6 +264,31 @@ def test_pipeline_sql_per_clip_label_parity():
     assert got["keep"].tolist() == gold["keep"].tolist()
 
 
+def test_loudness_plan_invariants():
+    """gain_db must be exactly what moves rms to the target (up to the
+    1e-6 dB quantization); amplification toward a LOUDER target increases
+    the predicted post-gain clip fraction; attenuation never clips."""
+    import numpy as np
+
+    from curator_spark.scoring import audio as audio_scoring
+    from curator_spark.synth import clips as clips_mod
+
+    for i in range(20):
+        r = clips_mod.clip_row(i)
+        pcm = audio_scoring.decode(r["bytes"], r["codec"], r["sr_hz"])
+        out = audio_scoring.loudness(pcm)
+        assert abs((out["rms_db"] + out["gain_db"]) - (-20.0)) < 1e-5
+        louder = audio_scoring.loudness(pcm, target_db=0.0)
+        assert louder["post_gain_clip_ratio"] >= out["post_gain_clip_ratio"]
+        quiet = audio_scoring.loudness(pcm, target_db=-60.0)
+        assert quiet["post_gain_clip_ratio"] == 0.0
+        # applying the plan's gain really lands the RMS on target
+        g = 10.0 ** (out["gain_db"] / 20.0)
+        scaled = pcm * g
+        got_db = 20.0 * np.log10(np.sqrt(np.dot(scaled, scaled) / len(scaled)))
+        assert abs(got_db - (-20.0)) < 1e-5
+
+
 def test_audio_fingerprint_gain_invariance():
     """The energy-shape fingerprint is the near-dup key: volume-scaled
     copies must land at Hamming ~0 while unrelated clips stay far — and
