@@ -335,6 +335,50 @@ def loudness_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clip_windows(
+    spark: SparkSession, sf_dir: str, window_ms: int = 500, min_tail_ms: int = 100
+) -> DataFrame:
+    """Fixed-size training-window segmentation plan per clip — how an ASR
+    pipeline chunks long audio before featurization. Emits one row per
+    window: ``floor(dur/window)`` full windows plus the tail iff it is at
+    least ``min_tail_ms`` (a clip shorter than one window is always its own
+    single window). Pure Catalyst arithmetic (``sequence`` + ``explode``) —
+    no decode, no Python, no shuffle: the plan is a single whole-stage-
+    codegen projection over (clip_id, dur_ms), so it runs at any scale as a
+    narrow map. Byte slicing happens downstream at the decode stage, which
+    already receives (start_ms, end_ms) offsets.
+
+    Reference analog: size-balanced chunking (SURVEY.md §2.6 O4) applied
+    to the media timeline instead of the row count."""
+    from ..synth import clips
+
+    df = clips.generate_clips(spark, 200, 4).select("clip_id", "dur_ms")
+    k = F.floor(F.col("dur_ms") / F.lit(window_ms))
+    tail = F.col("dur_ms") - k * window_ms
+    n_win = F.greatest(
+        F.lit(1), (k + F.when(tail >= min_tail_ms, 1).otherwise(0)).cast("int")
+    )
+    return (
+        df.withColumn("n_windows", n_win)
+        .select(
+            "clip_id",
+            "dur_ms",
+            "n_windows",
+            F.explode(F.sequence(F.lit(0), F.col("n_windows") - 1)).alias("win_idx"),
+        )
+        .select(
+            "clip_id",
+            "win_idx",
+            (F.col("win_idx") * window_ms).cast("int").alias("start_ms"),
+            F.least(F.col("win_idx") * window_ms + window_ms, F.col("dur_ms"))
+            .cast("int")
+            .alias("end_ms"),
+            "n_windows",
+        )
+        .orderBy("clip_id", "win_idx")
+    )
+
+
 def audio_dup_groups(
     spark: SparkSession, sf_dir: str, max_hamming: int = 3, max_iters: int = 20
 ) -> DataFrame:

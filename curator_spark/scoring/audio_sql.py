@@ -198,6 +198,27 @@ ORDER BY m.clip_id
 """
 
 
+def clip_windows_sql(path: str, window_ms: int = 500, min_tail_ms: int = 100) -> str:
+    """Oracle for ``clip_windows``: the identical full-windows + tail
+    arithmetic (ops/multimodal.py:clip_windows)."""
+    return f"""WITH c AS (
+  SELECT clip_id, dur_ms FROM read_parquet('{path}')
+), n AS (
+  SELECT clip_id, dur_ms,
+    GREATEST(1, CAST(dur_ms // {window_ms}
+      + CASE WHEN dur_ms - (dur_ms // {window_ms}) * {window_ms} >= {min_tail_ms}
+             THEN 1 ELSE 0 END AS INT)) AS n_windows
+  FROM c
+)
+SELECT clip_id, CAST(k AS INT) AS win_idx,
+  CAST(k * {window_ms} AS INT) AS start_ms,
+  CAST(LEAST(k * {window_ms} + {window_ms}, dur_ms) AS INT) AS end_ms,
+  n_windows
+FROM n, LATERAL (SELECT unnest(range(0, n_windows)) AS k) ks
+ORDER BY clip_id, win_idx
+"""
+
+
 def ensure_near_dup_fixture(n: int = 200, every: int = 20) -> str:
     """Base clips + planted volume-scaled re-encodes, as parquet."""
     import pyarrow as pa

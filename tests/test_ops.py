@@ -294,6 +294,36 @@ def test_audio_dup_groups_planted_structure(spark):
     assert all(r["is_canonical"] and r["group_id"] == r["clip_id"] for r in singles)
 
 
+def test_clip_windows_tiling(spark):
+    """Windows must tile each clip in order without gaps or overlap; a
+    dropped tail is strictly shorter than min_tail_ms; a sub-window clip is
+    exactly one whole-clip window."""
+    from curator_spark.ops import multimodal
+    from curator_spark.synth import clips as clips_mod
+
+    win, tail_min = 500, 100
+    rows = multimodal.clip_windows(spark, SF_DIR, win, tail_min).collect()
+    durs = {clips_mod.clip_row(i)["clip_id"]: clips_mod.clip_row(i)["dur_ms"] for i in range(200)}
+    per_clip: dict[str, list] = {}
+    for r in rows:
+        per_clip.setdefault(r["clip_id"], []).append(r)
+    assert set(per_clip) == set(durs)
+    for cid, ws in per_clip.items():
+        ws.sort(key=lambda r: r["win_idx"])
+        dur = durs[cid]
+        assert [w["win_idx"] for w in ws] == list(range(len(ws)))
+        assert all(w["n_windows"] == len(ws) for w in ws)
+        assert ws[0]["start_ms"] == 0
+        for prev, nxt in zip(ws, ws[1:]):
+            assert nxt["start_ms"] == prev["end_ms"]  # gapless, no overlap
+        covered = ws[-1]["end_ms"]
+        assert covered <= dur and dur - covered < tail_min
+        if dur <= win:
+            assert len(ws) == 1 and ws[0]["end_ms"] == dur
+        for w in ws:
+            assert 0 < w["end_ms"] - w["start_ms"] <= win
+
+
 def test_salted_skew_join_parity(spark):
     """Explicit salting for skewed join keys (the north rule's named
     technique): one hot key dominating the fact side is salted into S
