@@ -379,6 +379,64 @@ def clip_windows(
     )
 
 
+def duration_batches(
+    spark: SparkSession, sf_dir: str, max_batch_ms: int = 4000, n_ranges: int = 8
+) -> DataFrame:
+    """Duration-bucketed training-batch packing — the ASR-training step
+    that groups similar-length clips into batches capped at a total
+    duration, so pad-to-longest waste stays small. Clips are globally
+    ordered by (dur_ms, clip_id) and assigned
+    ``batch_id = floor(cum_before / max_batch_ms)`` (contiguous
+    fixed-capacity packing); the output is one row per batch with its
+    padding cost.
+
+    Scale shape: a global running sum is NOT a single-partition window
+    (the classic scale-killer) — it is the distributed prefix sum:
+    ``repartitionByRange`` on the order keys → per-partition running sums
+    (window PARTITIONED by spark_partition_id) → per-partition totals
+    (one tiny row each) cumulated and broadcast back as offsets. Every
+    stage is a narrow map or a bounded shuffle; no task ever sees more
+    than its range slice.
+
+    Reference analog: size-balanced chunking (SURVEY.md §2.6 O4,
+    base_batch_request_processor partitioning) lifted to the media
+    timeline."""
+    from pyspark.sql import Window as W
+
+    from ..synth import clips
+
+    df = clips.generate_clips(spark, 200, 4).select("clip_id", "dur_ms")
+    ranged = df.repartitionByRange(n_ranges, "dur_ms", "clip_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local_w = W.partitionBy("pid").orderBy("dur_ms", "clip_id")
+    local = ranged.withColumn("local_cum", F.sum("dur_ms").over(local_w))
+    # per-partition totals: n_ranges rows — the offset table is broadcast
+    off_w = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.sum("dur_ms").alias("ptot"))
+        .select("pid", F.coalesce(F.sum("ptot").over(off_w), F.lit(0)).alias("offset"))
+    )
+    assigned = (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("cum_before", F.col("local_cum") + F.col("offset") - F.col("dur_ms"))
+        .withColumn("batch_id", F.floor(F.col("cum_before") / max_batch_ms).cast("int"))
+    )
+    return (
+        assigned.groupBy("batch_id")
+        .agg(
+            F.count("*").cast("int").alias("n_clips"),
+            F.sum("dur_ms").cast("bigint").alias("total_ms"),
+            F.max("dur_ms").cast("int").alias("max_ms"),
+            (F.max("dur_ms") * F.count("*") - F.sum("dur_ms"))
+            .cast("bigint")
+            .alias("padding_ms"),
+        )
+        .orderBy("batch_id")
+    )
+
+
 def audio_dup_groups(
     spark: SparkSession, sf_dir: str, max_hamming: int = 3, max_iters: int = 20
 ) -> DataFrame:

@@ -219,6 +219,28 @@ ORDER BY clip_id, win_idx
 """
 
 
+def duration_batches_sql(path: str, max_batch_ms: int = 4000) -> str:
+    """Oracle for ``duration_batches``: single-node window cumsum over the
+    same (dur_ms, clip_id) total order — exactly what the distributed
+    prefix sum must equal (ops/multimodal.py:duration_batches)."""
+    return f"""WITH c AS (
+  SELECT clip_id, dur_ms,
+    SUM(dur_ms) OVER (ORDER BY dur_ms, clip_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
+  FROM read_parquet('{path}')
+), assigned AS (
+  SELECT clip_id, dur_ms,
+    CAST(COALESCE(cum_before, 0) // {max_batch_ms} AS INT) AS batch_id
+  FROM c
+)
+SELECT batch_id, CAST(COUNT(*) AS INT) AS n_clips,
+  CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+  CAST(MAX(dur_ms) AS INT) AS max_ms,
+  CAST(MAX(dur_ms) * COUNT(*) - SUM(dur_ms) AS BIGINT) AS padding_ms
+FROM assigned GROUP BY batch_id ORDER BY batch_id
+"""
+
+
 def ensure_near_dup_fixture(n: int = 200, every: int = 20) -> str:
     """Base clips + planted volume-scaled re-encodes, as parquet."""
     import pyarrow as pa

@@ -324,6 +324,42 @@ def test_clip_windows_tiling(spark):
             assert 0 < w["end_ms"] - w["start_ms"] <= win
 
 
+def test_duration_batches_prefix_sum_and_packing(spark):
+    """The distributed prefix sum must equal the single-node cumsum over
+    the same total order, every batch's duration stays within cap + one
+    clip (overflow packing), and duration-sorted packing beats the
+    pad-to-longest cost of id-ordered packing."""
+    from curator_spark.ops import multimodal
+    from curator_spark.synth import clips as clips_mod
+
+    cap = 4000
+    rows = multimodal.duration_batches(spark, SF_DIR, cap).collect()
+    durs = sorted(
+        (clips_mod.clip_row(i)["dur_ms"], clips_mod.clip_row(i)["clip_id"]) for i in range(200)
+    )
+    want: dict[int, list[int]] = {}
+    cum = 0
+    for d, _ in durs:
+        want.setdefault(cum // cap, []).append(d)
+        cum += d
+    got = {r["batch_id"]: r for r in rows}
+    assert set(got) == set(want)
+    for bid, ds in want.items():
+        r = got[bid]
+        assert r["n_clips"] == len(ds) and r["total_ms"] == sum(ds)
+        assert r["max_ms"] == max(ds)
+        assert r["padding_ms"] == max(ds) * len(ds) - sum(ds)
+        assert r["total_ms"] < cap + max(ds)
+    sorted_pad = sum(r["padding_ms"] for r in rows)
+    unsorted: dict[int, list[int]] = {}
+    cum = 0
+    for d, _ in sorted(durs, key=lambda t: t[1]):  # id order = random durations
+        unsorted.setdefault(cum // cap, []).append(d)
+        cum += d
+    unsorted_pad = sum(max(ds) * len(ds) - sum(ds) for ds in unsorted.values())
+    assert sorted_pad < unsorted_pad / 4  # packing by length pays for itself
+
+
 def test_salted_skew_join_parity(spark):
     """Explicit salting for skewed join keys (the north rule's named
     technique): one hot key dominating the fact side is salted into S
