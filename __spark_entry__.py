@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_pairs": dedup.minhash_dup_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "cross_doc_dup_spans": dedup.cross_doc_dup_spans,
+        "decontaminate_ngrams": dedup.decontaminate_ngrams,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_near_pairs": dedup.simhash_near_pairs,
         "simhash_dup_groups": dedup.simhash_dup_groups,
@@ -718,6 +719,29 @@ SELECT t.doc_id, t.n_spans, COALESCE(d.dup_spans, 0) AS dup_spans,
   ROUND(CAST(COALESCE(d.dup_spans, 0) AS DOUBLE) / t.n_spans, 6) AS dup_span_frac
 FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
 ORDER BY t.doc_id
+""",
+        # decontaminate_ngrams: same word-split + md5-gram vocabulary as the
+        # Spark side; eval slice is the deterministic doc_id % 97 == 0 set
+        "decontaminate_ngrams": """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id, md5(array_to_string(ws[i+1:i+8], ' ')) AS gram
+  FROM w, UNNEST(range(0, CAST(GREATEST(len(ws) - 7, 0) AS BIGINT))) AS p(i)
+), eg AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT g.doc_id, CAST(COUNT(*) AS INT) AS hit_grams
+  FROM grams g JOIN eg USING (gram) WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id
+)
+SELECT w.doc_id, CAST(GREATEST(len(w.ws) - 7, 0) AS INT) AS n_grams,
+  COALESCE(h.hit_grams, 0) AS hit_grams,
+  COALESCE(h.hit_grams, 0) > 0 AS contaminated
+FROM w LEFT JOIN hits h USING (doc_id)
+WHERE w.doc_id % 97 <> 0
+ORDER BY w.doc_id
 """,
         "embedding_near_dups": emb_near_sql,
         "embedding_dup_groups": emb_groups_sql,

@@ -448,6 +448,65 @@ def cross_doc_dup_spans(
     )
 
 
+DECON_EVAL_MOD = 97   # deterministic eval-set stand-in: doc_id % 97 == 0
+DECON_NGRAM = 8       # word n-gram width (public decontamination practice)
+
+
+def decontaminate_ngrams(
+    spark: SparkSession, sf_dir: str, n: int = DECON_NGRAM, eval_mod: int = DECON_EVAL_MOD
+) -> DataFrame:
+    """Benchmark decontamination — flag every TRAIN document sharing a
+    verbatim word ``n``-gram with the held-out EVAL set (the public
+    GPT-3/PaLM-style contamination check; eval here is the deterministic
+    ``doc_id % eval_mod == 0`` slice so the op needs no external data).
+    Emits (doc_id, n_grams, hit_grams, contaminated) per train doc.
+
+    Scale shape (100 TB): gram extraction is a narrow codegen projection
+    (split → slice → md5 — only 32-hex digests leave the scan, never
+    text). The eval side is small by construction (benchmarks are MBs
+    against TBs of train), so the membership test is an explicitly
+    BROADCAST semi-side: train grams never shuffle. A corpus-universal
+    gram (boilerplate) inflates only the per-doc count it belongs to —
+    there is no skewed reduce key because the aggregate is keyed by
+    doc_id, not gram.
+
+    Reference analog: content identity (llm/llm.py:139-164) applied
+    across the train/eval boundary."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.coalesce("text", F.lit("")), " ", -1), lambda w: w != F.lit(""))
+    n_grams = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = docs.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        F.explode_outer(
+            F.when(
+                n_grams > 0,
+                F.transform(
+                    F.sequence(F.lit(0), n_grams - 1),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, n))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    is_eval = F.col("doc_id") % eval_mod == 0
+    eval_grams = grams.filter(is_eval & F.col("gram").isNotNull()).select("gram").distinct()
+    train = grams.filter(~is_eval)
+    hits = train.join(F.broadcast(eval_grams), "gram", "left_semi")
+    hit_counts = hits.groupBy("doc_id").agg(F.count("*").cast("int").alias("hit_grams"))
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id", n_grams.cast("int").alias("n_grams"))
+        .join(hit_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("hit_grams", F.lit(0)).alias("hit_grams"),
+            (F.coalesce("hit_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _simhash_batch(texts) -> np.ndarray:
     """(n,) int64 SimHash fingerprints for one batch of texts.
 

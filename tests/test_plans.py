@@ -48,6 +48,17 @@ def test_resume_anti_join_is_broadcast_anti(spark):
     assert "LeftAnti" in plan
 
 
+def test_decontaminate_eval_side_broadcast_no_python(spark):
+    """The eval-gram membership test must be a BROADCAST left-semi join
+    (train grams never shuffle) and the whole op stays JVM-side."""
+    from curator_spark.ops import dedup
+
+    plan = _plan(dedup.decontaminate_ngrams(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    for node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert node not in plan
+
+
 def test_clip_stages_single_python_pass(spark):
     """The fused decode+score stage is the ONLY Python node in the clip
     DAG — the scrub/rules/decide suffix must stay JVM-side."""
