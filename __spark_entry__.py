@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": text.doc_fingerprint,
         "lang_distribution": text.lang_distribution,
         "dup_ngram_fraction": text.dup_ngram_fraction,
+        "bigram_self_ppl": text.bigram_self_ppl,
         "langid_docs": text.langid_docs,              # full oracle (inlined weights)
         "doc_quality_filter": text.doc_quality_filter,
         "doc_perplexity": text.doc_perplexity,        # full oracle (inlined LM)
@@ -778,6 +779,39 @@ SELECT COALESCE(event_type, '<all>') AS event_type,
   COUNT(*) AS n,
   CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY ROLLUP(event_type) ORDER BY is_total, event_type
+""",
+        # bigram_self_ppl: the corpus-trained LM replayed in SQL — same
+        # split vocabulary, Laplace-smoothed conditionals, and the identical
+        # 1e-9-quantized DECIMAL log summation (order-exact on both sides)
+        "bigram_self_ppl": """
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents
+), toks AS (
+  SELECT doc_id, unnest(ws) AS tok FROM w
+), uni AS (
+  SELECT tok AS wd, COUNT(*) AS cu FROM toks GROUP BY tok
+), v AS (
+  SELECT COUNT(*) AS v FROM uni
+), bigr AS (
+  SELECT doc_id, ws[CAST(i + 1 AS INT)] AS a,
+    array_to_string(ws[i+1:i+2], ' ') AS pair
+  FROM w, UNNEST(range(0, CAST(GREATEST(len(ws) - 1, 0) AS BIGINT))) AS p(i)
+), cbt AS (
+  SELECT pair, COUNT(*) AS cb FROM bigr GROUP BY pair
+), scored AS (
+  SELECT b.doc_id,
+    CAST(round(log2(CAST(c.cb + 1 AS DOUBLE) / (u.cu + v.v)), 9) AS DECIMAL(28,9)) AS term
+  FROM bigr b JOIN cbt c USING (pair) JOIN uni u ON b.a = u.wd CROSS JOIN v
+), per_doc AS (
+  SELECT doc_id, SUM(term) AS logsum FROM scored GROUP BY doc_id
+)
+SELECT w.doc_id, CAST(GREATEST(len(w.ws) - 1, 0) AS INT) AS n_bigrams,
+  CASE WHEN len(w.ws) > 1
+       THEN round(-CAST(p.logsum AS DOUBLE) / (len(w.ws) - 1), 6) END AS h_bits,
+  CASE WHEN len(w.ws) > 1
+       THEN round(pow(2.0, -CAST(p.logsum AS DOUBLE) / (len(w.ws) - 1)), 6) END AS ppl
+FROM w LEFT JOIN per_doc p USING (doc_id)
+ORDER BY w.doc_id
 """,
         "dup_ngram_fraction": """
 WITH g AS (

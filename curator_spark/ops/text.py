@@ -234,6 +234,72 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_self_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram perplexity — the CCNet-style quality signal
+    where the LM is trained ON the corpus being scored (vs
+    ``doc_perplexity``'s fixed inlined weights): docs whose word
+    transitions are unusual for the corpus score high and get filtered.
+    Laplace-smoothed conditional P(b|a) = (C(a,b)+1) / (C(a)+V); per-doc
+    cross-entropy in bits and its 2^H perplexity.
+
+    Scale shape (100 TB): training IS the scoring pass — bigram counts
+    come from a window over the bigram key partitioning (no separate
+    count table or self-join), unigram counts are one groupBy joined back
+    on the left word (AQE splits the stopword-skewed keys), and V is a
+    single-scalar agg (bounded collect). Per-term logs are quantized to
+    1e-9 and summed as DECIMAL so the doc aggregate is order-exact —
+    bit-identical between Spark's nondeterministic partial-agg order and
+    the oracle's sequential sum.
+
+    Reference analog: the perplexity score feeding the keep/drop rules
+    (SURVEY.md §2.7 math; scoring/lm.py is the fixed-weight twin)."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    words = _words()
+    toks = docs.select("doc_id", F.explode(words).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("cu"))
+    v = uni.count()  # vocabulary size: one scalar, bounded
+    npairs = F.greatest(F.size(words) - 1, F.lit(0))
+    bigr = docs.select(
+        "doc_id",
+        npairs.alias("n_bigrams"),
+        F.explode_outer(
+            F.when(
+                npairs > 0,
+                F.transform(
+                    F.sequence(F.lit(0), npairs - 1),
+                    lambda i: F.struct(
+                        F.element_at(words, i + 1).alias("a"),
+                        F.concat_ws(" ", F.slice(words, i + 1, 2)).alias("pair"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,pair:string>>"))
+        ).alias("bg"),
+    ).select("doc_id", "n_bigrams", F.col("bg.a").alias("a"), F.col("bg.pair").alias("pair"))
+    cb = F.count("*").over(W.partitionBy("pair"))
+    counted = bigr.filter(F.col("pair").isNotNull()).withColumn("cb", cb)
+    scored = counted.join(uni, counted.a == uni.w).withColumn(
+        "term",
+        F.round(F.log2((F.col("cb") + 1) / (F.col("cu") + F.lit(v))), 9).cast(
+            "decimal(28,9)"
+        ),
+    )
+    per_doc = scored.groupBy("doc_id").agg(F.sum("term").alias("logsum"))
+    base = docs.select("doc_id", npairs.cast("int").alias("n_bigrams"))
+    h = -F.col("logsum").cast("double") / F.col("n_bigrams")
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.when(F.col("n_bigrams") > 0, F.round(h, 6)).alias("h_bits"),
+            F.when(F.col("n_bigrams") > 0, F.round(F.pow(F.lit(2.0), h), 6)).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def dup_ngram_fraction(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     """Gopher-style repetition rule: fraction of a document's character
     k-gram OCCURRENCES that belong to k-grams appearing more than once in

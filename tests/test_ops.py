@@ -360,6 +360,38 @@ def test_duration_batches_prefix_sum_and_packing(spark):
     assert sorted_pad < unsorted_pad / 4  # packing by length pays for itself
 
 
+def test_bigram_self_ppl_invariants(spark):
+    """ppl must be 2^h_bits row-by-row, h positive and bounded by
+    log2(V + max unigram count) (Laplace floor), and byte-identical docs
+    must score byte-identical perplexity."""
+    import math
+
+    import duckdb
+
+    from curator_spark.ops import text as text_ops
+
+    rows = text_ops.bigram_self_ppl(spark, SF_DIR).collect()
+    con = duckdb.connect()
+    vocab, = con.sql(
+        f"SELECT COUNT(DISTINCT tok) FROM (SELECT unnest(list_filter("
+        f"string_split(text, ' '), x -> x <> '')) AS tok FROM '{SF_DIR}/documents.parquet')"
+    ).fetchone()
+    dup_texts = con.sql(
+        f"SELECT list(doc_id) FROM '{SF_DIR}/documents.parquet' "
+        "GROUP BY text HAVING COUNT(*) > 1"
+    ).fetchall()
+    by_id = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        if r["n_bigrams"] == 0:
+            assert r["h_bits"] is None and r["ppl"] is None
+            continue
+        assert 0 < r["h_bits"] <= math.log2(vocab * 2)
+        assert abs(r["ppl"] - 2 ** r["h_bits"]) <= 1e-4 * r["ppl"]
+    for (ids,) in dup_texts:  # if the corpus has exact dups, scores agree
+        vals = {by_id[i]["ppl"] for i in ids if i in by_id}
+        assert len(vals) == 1
+
+
 def test_salted_skew_join_parity(spark):
     """Explicit salting for skewed join keys (the north rule's named
     technique): one hot key dominating the fact side is salted into S
