@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loudness_normalize": multimodal.loudness_normalize,
         "clip_windows": multimodal.clip_windows,
         "duration_batches": multimodal.duration_batches,
+        "window_decode_features": multimodal.window_decode_features,
         "image_decode_features": multimodal.image_decode_features,
         "clip_keep_summary": multimodal.clip_keep_summary,
     }
@@ -512,7 +513,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
     # if the fixture cannot be written.
     audio_feat_sql = audio_seg_sql = audio_rate_sql = None
     audio_fp_sql = audio_dup_sql = audio_groups_sql = audio_loud_sql = None
-    audio_win_sql = audio_batch_sql = None
+    audio_win_sql = audio_batch_sql = audio_winfeat_sql = None
     try:
         from curator_spark.scoring import audio_sql
 
@@ -527,6 +528,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
         audio_loud_sql = audio_sql.loudness_normalize_sql(_clip_path)
         audio_win_sql = audio_sql.clip_windows_sql(_clip_path)
         audio_batch_sql = audio_sql.duration_batches_sql(_clip_path)
+        audio_winfeat_sql = audio_sql.window_decode_features_sql(_clip_path)
     except OSError as e:
         import warnings
 
@@ -1041,6 +1043,7 @@ SELECT doc_id, lang, sample_key, rk FROM (
         out["loudness_normalize"] = audio_loud_sql
         out["clip_windows"] = audio_win_sql
         out["duration_batches"] = audio_batch_sql
+        out["window_decode_features"] = audio_winfeat_sql
     if image_feat_sql is not None:
         out["image_decode_features"] = image_feat_sql
     if pipe_sql is not None:

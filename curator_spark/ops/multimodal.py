@@ -345,8 +345,9 @@ def clip_windows(
     single window). Pure Catalyst arithmetic (``sequence`` + ``explode``) —
     no decode, no Python, no shuffle: the plan is a single whole-stage-
     codegen projection over (clip_id, dur_ms), so it runs at any scale as a
-    narrow map. Byte slicing happens downstream at the decode stage, which
-    already receives (start_ms, end_ms) offsets.
+    narrow map. PCM slicing happens downstream in
+    :func:`window_decode_stage`, which decodes once per clip and slices per
+    window using the identical arithmetic.
 
     Reference analog: size-balanced chunking (SURVEY.md §2.6 O4) applied
     to the media timeline instead of the row count."""
@@ -374,6 +375,114 @@ def clip_windows(
             .cast("int")
             .alias("end_ms"),
             "n_windows",
+        )
+        .orderBy("clip_id", "win_idx")
+    )
+
+
+WINDOW_FEATURES_SCHEMA = (
+    "clip_id string, win_idx int, start_ms int, end_ms int, n_windows int, "
+    "rms_db double, silence_ratio double, decode_ok boolean"
+)
+
+
+def window_decode_stage(
+    df: DataFrame, window_ms: int = 500, min_tail_ms: int = 100
+) -> DataFrame:
+    """Per-WINDOW audio features with one decode per CLIP: the window
+    fan-out happens INSIDE the Arrow batch (decode once, slice the PCM per
+    window, emit one small row per window) — bytes never duplicate across
+    window rows and never shuffle. The window arithmetic is byte-identical
+    to :func:`clip_windows` (full windows + qualifying tail)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..scoring import audio as audio_scoring
+
+    cols = [f.split()[0] for f in WINDOW_FEATURES_SCHEMA.split(", ")]
+
+    def _wins(dur_ms: int) -> list[tuple[int, int, int]]:
+        k = dur_ms // window_ms
+        tail = dur_ms - k * window_ms
+        n = max(1, k + (1 if tail >= min_tail_ms else 0))
+        return [(i, i * window_ms, min((i + 1) * window_ms, dur_ms)) for i in range(n)]
+
+    def _stage(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for b, c, sr, dur, cid in zip(
+                pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["dur_ms"], pdf["clip_id"]
+            ):
+                wins = _wins(int(dur))
+                try:
+                    pcm = audio_scoring.decode(bytes(b), c, int(sr))
+                    n = pcm.shape[0]
+                    for i, s_ms, e_ms in wins:
+                        s0 = min((s_ms * int(sr)) // 1000, n)
+                        s1 = min((e_ms * int(sr)) // 1000, n)
+                        seg = pcm[s0:s1]
+                        if seg.shape[0]:
+                            rms = float(np.sqrt(np.dot(seg, seg) / seg.shape[0]))
+                            rms_db = 20.0 * np.log10(max(rms, 1e-6))
+                            sil = float(np.count_nonzero(np.abs(seg) < 0.01) / seg.shape[0])
+                        else:
+                            rms_db, sil = -120.0, 1.0
+                        rows.append(
+                            {
+                                "clip_id": cid,
+                                "win_idx": i,
+                                "start_ms": s_ms,
+                                "end_ms": e_ms,
+                                "n_windows": len(wins),
+                                "rms_db": rms_db,
+                                "silence_ratio": sil,
+                                "decode_ok": True,
+                            }
+                        )
+                except Exception:  # noqa: BLE001 - quarantine semantics
+                    for i, s_ms, e_ms in wins:
+                        rows.append(
+                            {
+                                "clip_id": cid,
+                                "win_idx": i,
+                                "start_ms": s_ms,
+                                "end_ms": e_ms,
+                                "n_windows": len(wins),
+                                "rms_db": None,
+                                "silence_ratio": None,
+                                "decode_ok": False,
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(_stage, schema=WINDOW_FEATURES_SCHEMA)
+
+
+def window_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window features (rms/silence per window) — what actually
+    feeds a curation rule like "drop windows that are pure silence". One
+    decode per clip, window fan-out inside the batch; full oracle: the SQL
+    side restricts the decoded sample index to each window's
+    [start_sample, end_sample) range (audio_sql.window_decode_features_sql).
+
+    Reference analog: parse fan-out (SURVEY.md §2.3 M4) applied to the
+    media timeline."""
+    from ..synth import clips
+
+    df = clips.generate_clips(spark, 200, 4)
+    return (
+        window_decode_stage(df)
+        .select(
+            "clip_id",
+            "win_idx",
+            "start_ms",
+            "end_ms",
+            "n_windows",
+            F.round("rms_db", 6).alias("rms_db"),
+            F.round("silence_ratio", 6).alias("silence_ratio"),
+            "decode_ok",
         )
         .orderBy("clip_id", "win_idx")
     )

@@ -219,6 +219,43 @@ ORDER BY clip_id, win_idx
 """
 
 
+def window_decode_features_sql(
+    path: str, window_ms: int = 500, min_tail_ms: int = 100
+) -> str:
+    """Oracle for ``window_decode_features``: the clip_windows arithmetic
+    joined against the SQL-decoded samples, sample index restricted to each
+    window's [start*sr//1000, end*sr//1000) range
+    (ops/multimodal.py:window_decode_stage)."""
+    return f"""WITH {_samples_cte(path)},
+wins AS (
+  SELECT m.clip_id, m.sr_hz, m.ok, m.n, CAST(k AS INT) AS win_idx,
+    CAST(k * {window_ms} AS INT) AS start_ms,
+    CAST(LEAST(k * {window_ms} + {window_ms}, m.dur_ms) AS INT) AS end_ms,
+    GREATEST(1, CAST(m.dur_ms // {window_ms}
+      + CASE WHEN m.dur_ms - (m.dur_ms // {window_ms}) * {window_ms} >= {min_tail_ms}
+             THEN 1 ELSE 0 END AS INT)) AS n_windows
+  FROM meta m, LATERAL (SELECT unnest(range(0,
+    GREATEST(1, CAST(m.dur_ms // {window_ms}
+      + CASE WHEN m.dur_ms - (m.dur_ms // {window_ms}) * {window_ms} >= {min_tail_ms}
+             THEN 1 ELSE 0 END AS BIGINT)))) AS k) ks
+), seg AS (
+  SELECT w.clip_id, w.win_idx,
+    20.0 * log10(GREATEST(sqrt(SUM(s.x * s.x) / COUNT(*)), 1e-6)) AS rms_db,
+    CAST(COUNT(*) FILTER (WHERE abs(s.x) < 0.01) AS DOUBLE) / COUNT(*) AS silence_ratio
+  FROM wins w JOIN sampx s ON s.clip_id = w.clip_id
+    AND s.k >= LEAST((w.start_ms * w.sr_hz) // 1000, w.n)
+    AND s.k < LEAST((w.end_ms * w.sr_hz) // 1000, w.n)
+  GROUP BY w.clip_id, w.win_idx
+)
+SELECT w.clip_id, w.win_idx, w.start_ms, w.end_ms, w.n_windows,
+  CASE WHEN w.ok THEN round(COALESCE(g.rms_db, -120.0), 6) END AS rms_db,
+  CASE WHEN w.ok THEN round(COALESCE(g.silence_ratio, 1.0), 6) END AS silence_ratio,
+  w.ok AS decode_ok
+FROM wins w LEFT JOIN seg g ON g.clip_id = w.clip_id AND g.win_idx = w.win_idx
+ORDER BY w.clip_id, w.win_idx
+"""
+
+
 def duration_batches_sql(path: str, max_batch_ms: int = 4000) -> str:
     """Oracle for ``duration_batches``: single-node window cumsum over the
     same (dur_ms, clip_id) total order — exactly what the distributed

@@ -324,6 +324,35 @@ def test_clip_windows_tiling(spark):
             assert 0 < w["end_ms"] - w["start_ms"] <= win
 
 
+def test_window_features_match_pcm_slices(spark):
+    """Per-window rms/silence must equal the pure-numpy slice of the
+    clip's full decode, and the window set must equal clip_windows'."""
+    import numpy as np
+
+    from curator_spark.ops import multimodal
+    from curator_spark.scoring import audio as audio_scoring
+    from curator_spark.synth import clips as clips_mod
+
+    rows = [r for r in multimodal.window_decode_features(spark, SF_DIR).collect()]
+    tiling = {(r["clip_id"], r["win_idx"]): (r["start_ms"], r["end_ms"], r["n_windows"])
+              for r in multimodal.clip_windows(spark, SF_DIR).collect()}
+    assert {(r["clip_id"], r["win_idx"]) for r in rows} == set(tiling)
+    for r in rows[:80]:
+        assert tiling[(r["clip_id"], r["win_idx"])] == (
+            r["start_ms"], r["end_ms"], r["n_windows"]
+        )
+        i = int(r["clip_id"].split("_")[1])
+        c = clips_mod.clip_row(i)
+        pcm = audio_scoring.decode(c["bytes"], c["codec"], c["sr_hz"])
+        s0 = min(r["start_ms"] * c["sr_hz"] // 1000, pcm.shape[0])
+        s1 = min(r["end_ms"] * c["sr_hz"] // 1000, pcm.shape[0])
+        seg = pcm[s0:s1]
+        assert seg.shape[0] > 0
+        want_rms = 20.0 * np.log10(max(float(np.sqrt(np.dot(seg, seg) / len(seg))), 1e-6))
+        assert abs(r["rms_db"] - want_rms) < 1e-5
+        assert abs(r["silence_ratio"] - np.count_nonzero(np.abs(seg) < 0.01) / len(seg)) < 1e-5
+
+
 def test_duration_batches_prefix_sum_and_packing(spark):
     """The distributed prefix sum must equal the single-node cumsum over
     the same total order, every batch's duration stays within cap + one
