@@ -116,6 +116,10 @@ def main() -> None:
         "dup_ngram_fraction": text.dup_ngram_fraction,
         # round-3 family: cross-document exact-substring spans (Lee et al.)
         "cross_doc_dup_spans": dedup.cross_doc_dup_spans,
+        # round-3 additions: eval-set decontamination (broadcast semi-join
+        # membership) and the corpus-trained bigram LM scoring pass
+        "decontaminate_ngrams": dedup.decontaminate_ngrams,
+        "bigram_self_ppl": text.bigram_self_ppl,
     }
 
     samples: dict[str, list[float]] = {n: [] for n in ["clip_pipeline", *bench_queries]}
