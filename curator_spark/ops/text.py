@@ -372,9 +372,15 @@ def lang_quota_sample(spark: SparkSession, sf_dir: str, quota: int = 40) -> Data
     Reference analog: deterministic subset selection / seeded sampling of a
     Dataset before generation (SURVEY.md §2.6 O2 limit/take lifted to
     per-group budgets)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return _quota_sample(docs, quota)
+
+
+def _quota_sample(docs: DataFrame, quota: int) -> DataFrame:
+    """Core of :func:`lang_quota_sample` over any (doc_id, lang) frame —
+    split out so the hash-tail shortfall path is unit-testable."""
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     docs = docs.withColumn("sample_key", F.md5(F.col("doc_id").cast("string")))
     counts = {
         r["lang"]: r["cnt"]
@@ -397,7 +403,12 @@ def lang_quota_sample(spark: SparkSession, sf_dir: str, quota: int = 40) -> Data
         lang for lang, cnt in counts.items() if scnt.get(lang, 0) < min(quota, cnt)
     ]
     if short:  # hash-tail shortfall: exact fallback for just those languages
-        survivors = survivors.union(docs.filter(F.col("lang").isin(short)))
+        # the short language's cut-survivors are ALSO in the unfiltered
+        # fallback slice — drop them from the cut side or they'd appear
+        # twice and double-count against the quota
+        survivors = survivors.filter(~F.col("lang").isin(short)).union(
+            docs.filter(F.col("lang").isin(short))
+        )
     w = Window.partitionBy("lang").orderBy("sample_key", "doc_id")
     return (
         survivors.withColumn("rk", F.row_number().over(w).cast("long"))

@@ -389,6 +389,43 @@ def test_duration_batches_prefix_sum_and_packing(spark):
     assert sorted_pad < unsorted_pad / 4  # packing by length pays for itself
 
 
+def test_quota_sample_shortfall_no_duplicates(spark):
+    """When a language's hash-cutoff survivors fall short of the quota,
+    the exact fallback must not re-admit its cut-survivors (a duplicated
+    doc would double-count against the quota). Adversarial input: every
+    doc of the short language hashes ABOVE the 8x cutoff."""
+    import hashlib
+
+    import pandas as pd
+
+    from curator_spark.ops.text import _quota_sample
+
+    quota, n = 5, 1000
+    cut = f"{min(0xFFFFFFFF, int(min(1.0, 8.0 * quota / n) * 0x100000000)):08x}"
+    ids, i = [], 0
+    while len(ids) < n:  # ~96% of ints land above the 4% cutoff
+        if hashlib.md5(str(i).encode()).hexdigest()[:8] >= cut:
+            ids.append(i)
+        i += 1
+    # one healthy language alongside the adversarial short one
+    pdf = pd.DataFrame(
+        {"doc_id": ids + list(range(10_000, 10_400)),
+         "lang": ["short"] * n + ["ok"] * 400}
+    )
+    out = _quota_sample(spark.createDataFrame(pdf), quota).collect()
+    per_lang: dict[str, list] = {}
+    for r in out:
+        per_lang.setdefault(r["lang"], []).append(r)
+    assert len(per_lang["short"]) == quota and len(per_lang["ok"]) == quota
+    for rows in per_lang.values():
+        assert len({r["doc_id"] for r in rows}) == len(rows)  # no duplicates
+        assert sorted(r["rk"] for r in rows) == list(range(1, quota + 1))
+    # exact global definition: the quota smallest md5 keys per language
+    for lang, pool in (("short", ids), ("ok", list(range(10_000, 10_400)))):
+        want = sorted(pool, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))[:quota]
+        assert sorted(r["doc_id"] for r in per_lang[lang]) == sorted(want)
+
+
 def test_bigram_self_ppl_invariants(spark):
     """ppl must be 2^h_bits row-by-row, h positive and bounded by
     log2(V + max unigram count) (Laplace floor), and byte-identical docs
