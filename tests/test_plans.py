@@ -48,6 +48,30 @@ def test_resume_anti_join_is_broadcast_anti(spark):
     assert "LeftAnti" in plan
 
 
+def test_no_gate_query_compiles_to_cartesian_or_row_python(spark):
+    """Fleet-wide plan hygiene: NO driver-gate query may compile to a
+    CartesianProduct (all-pairs — the scale killer every dedup op here
+    exists to avoid), a BroadcastNestedLoopJoin (its broadcast twin), or
+    BatchEvalPython (row-at-a-time Python). Catches a regressed join key
+    or a UDF downgrade anywhere in the 60+ query surface."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    flagged = {}
+    for name, fn in entry.queries().items():
+        plan = _plan(fn(spark, SF_DIR))
+        hits = [
+            p
+            for p in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+            if p in plan
+        ]
+        if hits:
+            flagged[name] = hits
+    assert not flagged, flagged
+
+
 def test_decontaminate_eval_side_broadcast_no_python(spark):
     """The eval-gram membership test must be a BROADCAST left-semi join
     (train grams never shuffle) and the whole op stays JVM-side."""
