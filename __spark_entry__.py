@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_windows": multimodal.clip_windows,
         "duration_batches": multimodal.duration_batches,
         "window_decode_features": multimodal.window_decode_features,
+        "audio_zcr": multimodal.audio_zcr,
         "image_decode_features": multimodal.image_decode_features,
         "clip_keep_summary": multimodal.clip_keep_summary,
     }
@@ -513,7 +514,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
     # if the fixture cannot be written.
     audio_feat_sql = audio_seg_sql = audio_rate_sql = None
     audio_fp_sql = audio_dup_sql = audio_groups_sql = audio_loud_sql = None
-    audio_win_sql = audio_batch_sql = audio_winfeat_sql = None
+    audio_win_sql = audio_batch_sql = audio_winfeat_sql = audio_zcr_sql = None
     try:
         from curator_spark.scoring import audio_sql
 
@@ -529,6 +530,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
         audio_win_sql = audio_sql.clip_windows_sql(_clip_path)
         audio_batch_sql = audio_sql.duration_batches_sql(_clip_path)
         audio_winfeat_sql = audio_sql.window_decode_features_sql(_clip_path)
+        audio_zcr_sql = audio_sql.audio_zcr_sql(_clip_path)
     except OSError as e:
         import warnings
 
@@ -1044,6 +1046,7 @@ SELECT doc_id, lang, sample_key, rk FROM (
         out["clip_windows"] = audio_win_sql
         out["duration_batches"] = audio_batch_sql
         out["window_decode_features"] = audio_winfeat_sql
+        out["audio_zcr"] = audio_zcr_sql
     if image_feat_sql is not None:
         out["image_decode_features"] = image_feat_sql
     if pipe_sql is not None:

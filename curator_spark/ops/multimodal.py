@@ -335,6 +335,57 @@ def loudness_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZCR_SCHEMA = "clip_id string, zcr double, est_freq_hz double, peak double, decode_ok boolean"
+
+
+def audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing rate, fundamental-frequency proxy, and peak level per
+    clip — the cheap voiced/unvoiced + hot-signal features a curation rule
+    consumes before anything spectral. One fused decode pass; full oracle:
+    the SQL side decodes the audio and counts strict sign flips with a lag
+    window (audio_sql.audio_zcr_sql) — no float-summation exposure (zcr is
+    a count, peak a MAX).
+
+    Reference analog: per-row derived media stats (SURVEY.md §2.5 A1)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..scoring import audio as audio_scoring
+    from ..synth import clips
+
+    cols = [f.split()[0] for f in ZCR_SCHEMA.split(", ")]
+
+    def _zcr(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for b, c, sr, cid in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["clip_id"]):
+                try:
+                    pcm = audio_scoring.decode(bytes(b), c, int(sr))
+                    rows.append(
+                        {"clip_id": cid, **audio_scoring.zcr_stats(pcm, int(sr)), "decode_ok": True}
+                    )
+                except Exception:  # noqa: BLE001 - quarantine semantics
+                    rows.append(
+                        {"clip_id": cid, "zcr": None, "est_freq_hz": None,
+                         "peak": None, "decode_ok": False}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    df = clips.generate_clips(spark, 200, 4)
+    return (
+        df.mapInPandas(_zcr, schema=ZCR_SCHEMA)
+        .select(
+            "clip_id",
+            F.round("zcr", 6).alias("zcr"),
+            F.round("est_freq_hz", 6).alias("est_freq_hz"),
+            F.round("peak", 6).alias("peak"),
+            "decode_ok",
+        )
+        .orderBy("clip_id")
+    )
+
+
 def clip_windows(
     spark: SparkSession, sf_dir: str, window_ms: int = 500, min_tail_ms: int = 100
 ) -> DataFrame:

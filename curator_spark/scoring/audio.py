@@ -55,6 +55,25 @@ def features(pcm: np.ndarray, sr_hz: int, dur_ms: int) -> dict[str, float]:
     }
 
 
+def zcr_stats(pcm: np.ndarray, sr_hz: int) -> dict[str, float]:
+    """Zero-crossing rate + peak level — the classic cheap voiced/unvoiced
+    and hot-signal discriminators. A crossing is a strict sign flip
+    (``x[k-1]·x[k] < 0``): products of bit-identical doubles, so the SQL
+    oracle compares exactly (no float-summation exposure anywhere here —
+    peak is a MAX, zcr a count). ``est_freq_hz`` is the standard zcr·sr/2
+    fundamental-frequency proxy."""
+    n = pcm.shape[0]
+    if n < 2:
+        return {"zcr": 0.0, "est_freq_hz": 0.0, "peak": float(np.abs(pcm).max()) if n else 0.0}
+    crossings = int(np.count_nonzero(pcm[:-1] * pcm[1:] < 0.0))
+    zcr = crossings / (n - 1)
+    return {
+        "zcr": float(zcr),
+        "est_freq_hz": float(zcr * sr_hz / 2.0),
+        "peak": float(np.abs(pcm).max()),
+    }
+
+
 DEFAULT_TARGET_RMS_DB = -20.0  # common speech-corpus normalization target
 CLIP_AMPLITUDE = 0.985         # same "clipped sample" threshold as clip_ratio
 

@@ -219,6 +219,31 @@ ORDER BY clip_id, win_idx
 """
 
 
+def audio_zcr_sql(path: str) -> str:
+    """Oracle for ``audio_zcr``: strict sign-flip count via a lag window,
+    peak via MAX — both exact on bit-identical decoded samples
+    (scoring/audio.py:zcr_stats)."""
+    return f"""WITH {_samples_cte(path)},
+lagd AS (
+  SELECT clip_id, x, lag(x) OVER (PARTITION BY clip_id ORDER BY k) AS px
+  FROM sampx
+), zs AS (
+  SELECT clip_id,
+    CAST(COUNT(*) FILTER (WHERE px IS NOT NULL AND px * x < 0.0) AS DOUBLE)
+      / NULLIF(COUNT(*) - 1, 0) AS zcr,
+    MAX(abs(x)) AS peak
+  FROM lagd GROUP BY clip_id
+)
+SELECT m.clip_id,
+  CASE WHEN m.ok THEN round(COALESCE(z.zcr, 0.0), 6) END AS zcr,
+  CASE WHEN m.ok THEN round(COALESCE(z.zcr, 0.0) * m.sr_hz / 2.0, 6) END AS est_freq_hz,
+  CASE WHEN m.ok THEN round(COALESCE(z.peak, 0.0), 6) END AS peak,
+  m.ok AS decode_ok
+FROM meta m LEFT JOIN zs z USING (clip_id)
+ORDER BY m.clip_id
+"""
+
+
 def window_decode_features_sql(
     path: str, window_ms: int = 500, min_tail_ms: int = 100
 ) -> str:

@@ -289,6 +289,26 @@ def test_loudness_plan_invariants():
         assert abs(got_db - (-20.0)) < 1e-5
 
 
+def test_zcr_tracks_tone_frequency():
+    """For a pure sine at frequency f, zcr·sr/2 must estimate f within a
+    few percent; totality on degenerate inputs (empty, single sample,
+    constant) must hold."""
+    import numpy as np
+
+    from curator_spark.scoring import audio as audio_scoring
+
+    sr = 16000
+    for f in (220.0, 440.0, 1000.0):
+        t = np.arange(sr) / sr
+        out = audio_scoring.zcr_stats(np.sin(2 * np.pi * f * t), sr)
+        assert abs(out["est_freq_hz"] - f) / f < 0.02
+        assert abs(out["peak"] - 1.0) < 1e-6
+    assert audio_scoring.zcr_stats(np.array([]), sr) == {
+        "zcr": 0.0, "est_freq_hz": 0.0, "peak": 0.0}
+    assert audio_scoring.zcr_stats(np.array([0.5]), sr)["peak"] == 0.5
+    assert audio_scoring.zcr_stats(np.full(100, 0.3), sr)["zcr"] == 0.0
+
+
 def test_audio_fingerprint_gain_invariance():
     """The energy-shape fingerprint is the near-dup key: volume-scaled
     copies must land at Hamming ~0 while unrelated clips stay far — and
