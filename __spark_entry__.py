@@ -1035,18 +1035,26 @@ SELECT doc_id, lang, sample_key, rk FROM (
     out["langid_docs"] = langid_sql
     if ppl_sql is not None:
         out["doc_perplexity"] = ppl_sql
-    if audio_feat_sql is not None:
-        out["audio_decode_features"] = audio_feat_sql
-        out["audio_segments"] = audio_seg_sql
-        out["speech_rate"] = audio_rate_sql
-        out["audio_fingerprints"] = audio_fp_sql
-        out["audio_dup_pairs"] = audio_dup_sql
-        out["audio_dup_groups"] = audio_groups_sql
-        out["loudness_normalize"] = audio_loud_sql
-        out["clip_windows"] = audio_win_sql
-        out["duration_batches"] = audio_batch_sql
-        out["window_decode_features"] = audio_winfeat_sql
-        out["audio_zcr"] = audio_zcr_sql
+    # guard each audio oracle on ITS OWN value: a partial failure inside
+    # the fixture try block (e.g. clips fixture cached, near-dup fixture
+    # ENOSPC) leaves a non-None prefix and None tail — registering the
+    # tail would hand the driver None as oracle SQL instead of degrading
+    # those queries to rows-only
+    for _k, _v in {
+        "audio_decode_features": audio_feat_sql,
+        "audio_segments": audio_seg_sql,
+        "speech_rate": audio_rate_sql,
+        "audio_fingerprints": audio_fp_sql,
+        "audio_dup_pairs": audio_dup_sql,
+        "audio_dup_groups": audio_groups_sql,
+        "loudness_normalize": audio_loud_sql,
+        "clip_windows": audio_win_sql,
+        "duration_batches": audio_batch_sql,
+        "window_decode_features": audio_winfeat_sql,
+        "audio_zcr": audio_zcr_sql,
+    }.items():
+        if _v is not None:
+            out[_k] = _v
     if image_feat_sql is not None:
         out["image_decode_features"] = image_feat_sql
     if pipe_sql is not None:

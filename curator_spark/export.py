@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 def _stats(df: DataFrame) -> dict:
     agg = df.agg(
         F.count("*").alias("n_rows"),
-        F.avg(F.col("keep").cast("double")).alias("keep_rate"),
         F.avg("ppl").alias("mean_ppl"),
         F.avg("lang_conf").alias("mean_lang_conf"),
         F.sum("scrub_hits").alias("total_scrub_hits"),
@@ -32,7 +31,6 @@ def _stats(df: DataFrame) -> dict:
     }
     return {
         "n_rows": int(agg["n_rows"]),
-        "keep_rate": None if agg["keep_rate"] is None else round(float(agg["keep_rate"]), 6),
         "mean_ppl": None if agg["mean_ppl"] is None else round(float(agg["mean_ppl"]), 4),
         "mean_lang_conf": (
             None if agg["mean_lang_conf"] is None else round(float(agg["mean_lang_conf"]), 4)

@@ -128,9 +128,14 @@ def decode_score_splits(
     Returns the same schema as ``stages.decode_score_stage`` plus
     ``part_key`` — bytes-free scored rows, ready for the Catalyst
     scrub/rules/decide suffix. ``with_src`` additionally carries the
-    source file path (``src_file``) for row-provenance consumers (the
-    exact-dedup stage's cross-file duplicate marks); the column-scan
-    twin is ``input_file_name()``."""
+    source file path (``src_file``) and the content digest (``digest``)
+    for the exact-dedup stage's duplicate-mark joins; the column-scan
+    twins are ``input_file_name()`` / ``stages.transcript_digest()``.
+    The digest is hashed here from the RAW transcript (hashlib md5 of
+    UTF-8, the exact value Spark's ``F.md5`` produces — parity asserted
+    in tests/test_pipeline_resume.py) because ``score_clip_pdf``
+    normalizes NULL transcripts to '' and the marks were computed against
+    the raw column."""
     from . import stages
 
     # the reader materializes exactly the clip schema (pipeline.run guards
@@ -145,8 +150,8 @@ def decode_score_splits(
         + ", lang string, lang_conf double, ppl double"
     )
     if with_src:
-        out_cols = [*out_cols, "src_file"]
-        schema += ", src_file string"
+        out_cols = [*out_cols, "src_file", "digest"]
+        schema += ", src_file string, digest string"
 
     # Cluster splits by part_key, one manifest partition per core: rows
     # come out of the stage already grouped by their output partition, so
@@ -161,6 +166,8 @@ def decode_score_splits(
     man_df = spark.createDataFrame(splits).repartitionByRange(n_parts, "part_key")
 
     def _proc(it):
+        import hashlib
+
         import pyarrow.parquet as pq
 
         for mpdf in it:
@@ -175,6 +182,12 @@ def decode_score_splits(
                 pdf["part_key"] = pd.array([int(key)] * len(pdf), dtype="int32")
                 if with_src:
                     pdf["src_file"] = [str(path)] * len(pdf)
+                    pdf["digest"] = [
+                        hashlib.md5(
+                            (t if isinstance(t, str) else "\x00null").encode("utf-8")
+                        ).hexdigest()
+                        for t in pdf["transcript"]
+                    ]
                 yield stages.score_clip_pdf(pdf, out_cols)
 
     return man_df.mapInPandas(_proc, schema=schema)

@@ -615,13 +615,16 @@ def audio_dup_groups(
     from ..synth import clips
     from .dedup import _min_label_components
 
-    df = clips.generate_clips_with_near_dups(spark, 200, 20, 4)
+    # id universe only — audio_dup_pairs already pays the one decode pass;
+    # synthesizing the clips a second time just to enumerate clip_ids
+    # would double the fixture's waveform+encode cost
+    ids = clips.near_dup_clip_ids(spark, 200, 20, 4)
     edges = audio_dup_pairs(spark, sf_dir, max_hamming).select("clip_a", "clip_b")
     groups = _min_label_components(
         edges, "clip_a", "clip_b", "clip_id", max_iters, "audio_dup_groups"
     )
     return (
-        df.select("clip_id")
+        ids
         .join(groups, "clip_id", "left")
         .select(
             F.coalesce("group_id", F.col("clip_id")).alias("group_id"),

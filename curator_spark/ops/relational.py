@@ -316,6 +316,16 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     expands to a (day, user_id) pre-aggregate before the final count, so
     a hot day cannot funnel raw rows into one reducer."""
     ev = load(spark, sf_dir, "events")
+    # same TIMESTAMP_NTZ hazard as events_sessionize: date_format renders
+    # the wall-clock in the SESSION timezone while the oracle's strftime
+    # renders the stored instant — a foreign non-UTC session would bucket
+    # near-midnight events into different days. Guard, don't guess.
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise ValueError(
+            f"distinct_users_daily requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): day bucketing is only oracle-stable under UTC"
+        )
     # day as a STRING: Spark DateType and DuckDB DATE render to different
     # pandas dtypes in the driver's hash compare; a formatted string is
     # dtype-stable across both engines

@@ -386,6 +386,10 @@ def _quota_sample(docs: DataFrame, quota: int) -> DataFrame:
         r["lang"]: r["cnt"]
         for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
     }
+    if not counts:  # empty input: typed empty result, not filter(None)
+        return docs.select(
+            "doc_id", "lang", "sample_key", F.lit(0).cast("long").alias("rk")
+        ).limit(0)
     cut_expr = None
     for lang, cnt in counts.items():
         frac = min(1.0, 8.0 * quota / max(cnt, 1))

@@ -224,11 +224,43 @@ class Pipeline:
         if cfg.dedup_exact:
             t1 = time.monotonic()
             dup_marks = self._dedup_marks(raw)
+            if base is not None and "clip_id" in raw.columns and base is raw:
+                # _apply_dedup's within-file row_number is group-LOCAL, so
+                # its correctness needs every row of a clip_id in ONE
+                # commit group. The hash-derived part_key guarantees that;
+                # a pre-partitioned input's plain part_key column does not
+                # (two identical rows could carry different in-range keys).
+                # One column-pruned agg validates; on violation recompute
+                # part_key from clip_id — correctness over pruning, same
+                # stance as the range-validation fallback above.
+                split_ids = (
+                    raw.groupBy("clip_id")
+                    .agg(F.count_distinct("part_key").alias("nk"))
+                    .filter(F.col("nk") > 1)
+                    .head(1)
+                )
+                if split_ids:
+                    import warnings
+
+                    warnings.warn(
+                        "dedup_exact: input part_key is not a function of clip_id "
+                        f"(e.g. clip_id={split_ids[0]['clip_id']!r} spans "
+                        f"{split_ids[0]['nk']} keys); recomputing part_key from "
+                        "clip_id so duplicate rows share a commit group",
+                        stacklevel=2,
+                    )
+                    base = raw.drop("part_key").withColumn(
+                        "part_key", hash_part_key(cfg.n_partitions)
+                    )
             res.timings["plan_dedup"] = time.monotonic() - t1
             if base is not None:
-                # row provenance for the cross-file same-id case (see
-                # _apply_dedup); the manifest path carries it natively
-                base = base.withColumn("src_file", _src_file_expr())
+                # row provenance for the cross-file same-id case plus the
+                # content digest, hashed BEFORE the scoring stages
+                # normalize NULL transcripts to '' (see _apply_dedup); the
+                # manifest path carries both natively
+                base = base.withColumn("src_file", _src_file_expr()).withColumn(
+                    "digest", stages.transcript_digest()
+                )
 
         groups_done = 0
         for g in range(cfg.commit_batches):
@@ -301,20 +333,23 @@ class Pipeline:
     def _dedup_marks(self, raw: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Global duplicate-mark frames: ``(id_marks, file_marks)``.
 
-        - ``id_marks``: DISTINCT clip_ids that are NON-canonical holders
-          of some transcript (canonical = global min clip_id per content
-          digest, the same choice ``ops.dedup.dedup_exact`` and the
-          streaming dedup make). Every row under such an id is a
-          duplicate.
-        - ``file_marks``: for CANONICAL ids that appear in several source
-          files (the identical-file-re-landed case — same clip_id, same
-          content, different file), the (clip_id, src_file) pairs of every
-          file except the first (min path). An id-keyed mark here would
-          hit every copy and drop the content entirely; the file key lets
-          exactly the canonical file's copy survive. Within-ONE-file
-          copies are handled per row in ``_apply_dedup`` — a file's rows
-          always share a commit group (manifest mode keys per file;
-          column mode keys per clip_id hash).
+        - ``id_marks``: DISTINCT (clip_id, digest) pairs whose clip_id is
+          a NON-canonical holder of that transcript (canonical = global
+          min clip_id per content digest, the same choice
+          ``ops.dedup.dedup_exact`` and the streaming dedup make). Keyed
+          at (id, digest) grain — an id-only mark would also hit a
+          DIFFERENT transcript that happens to live under the same
+          clip_id (a re-landed id carrying one duped + one corrected row)
+          and drop the corrected content entirely.
+        - ``file_marks``: for CANONICAL (id, digest) rows that appear in
+          several source files (the identical-file-re-landed case — same
+          clip_id, same content, different file), the (clip_id, digest,
+          src_file) triples of every file except the first (min path).
+          The file key lets exactly the canonical file's copy survive.
+          Within-ONE-file copies are handled per row in ``_apply_dedup``
+          — a file's rows always share a commit group (manifest mode keys
+          per file; column mode keys per clip_id hash, enforced for
+          pre-partitioned inputs in :meth:`run`).
 
         One column-pruned scan (clip_id + transcript + file name — the
         parquet reader never touches ``bytes``), one digest shuffle,
@@ -333,12 +368,12 @@ class Pipeline:
             W.partitionBy("digest", "clip_id")
         )
         marked = rows.select(
-            "clip_id", "src_file", id_dup.alias("id_dup"), file_dup.alias("file_dup")
+            "clip_id", "digest", "src_file", id_dup.alias("id_dup"), file_dup.alias("file_dup")
         ).localCheckpoint(eager=True)
-        id_marks = marked.filter("id_dup").select("clip_id").distinct()
+        id_marks = marked.filter("id_dup").select("clip_id", "digest").distinct()
         file_marks = (
             marked.filter(~F.col("id_dup") & F.col("file_dup"))
-            .select("clip_id", "src_file")
+            .select("clip_id", "digest", "src_file")
             .distinct()
         )
         return id_marks, file_marks
@@ -348,11 +383,15 @@ class Pipeline:
         """Label duplicate clips keep=false with 'duplicate' appended to
         reasons (≙ the reference's cache-identity skip, F5 — the row is
         retained for lineage/audit rather than silently vanishing). Three
-        duplicate classes (see ``_dedup_marks``): non-canonical ids
-        (global id join), canonical ids re-landed in later files (global
-        (id, file) join), and extra copies within one file (group-local
-        row_number — safe because a file's rows share the commit group).
-        Exactly one row per distinct transcript survives unmarked.
+        duplicate classes (see ``_dedup_marks``): non-canonical (id,
+        digest) holders, canonical rows re-landed in later files (global
+        (id, digest, file) join), and extra copies within one file
+        (group-local row_number — safe because a file's rows share the
+        commit group). ``labeled`` must carry ``digest`` and ``src_file``
+        columns (threaded through the decode pass — the digest is hashed
+        BEFORE null-transcript normalization so it agrees with the marks'
+        raw-side hash). Exactly one row per distinct transcript survives
+        unmarked.
 
         The joins broadcast when the duplicate sets are small (AQE
         decides); at 10^12 clips with a large dup set they degrade to
@@ -364,15 +403,17 @@ class Pipeline:
         fm = file_marks.withColumn("_file_dup", F.lit(True))
         # within-file copies are identical rows — any survivor is right,
         # so the constant orderBy's nondeterminism is harmless
-        rn = F.row_number().over(W.partitionBy("clip_id", "src_file").orderBy(F.lit(1)))
+        rn = F.row_number().over(
+            W.partitionBy("clip_id", "digest", "src_file").orderBy(F.lit(1))
+        )
         is_dup = (
             F.coalesce(F.col("_id_dup"), F.lit(False))
             | F.coalesce(F.col("_file_dup"), F.lit(False))
             | (rn > 1)
         )
         return (
-            labeled.join(im, "clip_id", "left")
-            .join(fm, ["clip_id", "src_file"], "left")
+            labeled.join(im, ["clip_id", "digest"], "left")
+            .join(fm, ["clip_id", "digest", "src_file"], "left")
             .withColumn("_is_dup", is_dup)
             .withColumn("keep", F.when(F.col("_is_dup"), F.lit(False)).otherwise(F.col("keep")))
             .withColumn(
@@ -381,7 +422,7 @@ class Pipeline:
                     F.col("_is_dup"), F.concat("reasons", F.array(F.lit("duplicate")))
                 ).otherwise(F.col("reasons")),
             )
-            .drop("_id_dup", "_file_dup", "_is_dup", "src_file")
+            .drop("_id_dup", "_file_dup", "_is_dup", "src_file", "digest")
         )
 
     # -- runs catalog ------------------------------------------------------

@@ -116,3 +116,22 @@ def generate_clips_with_near_dups(
     return spark.range(0, n + n_dups, 1, n_partitions).mapInPandas(
         _gen, schema=CLIPS_SCHEMA
     )
+
+
+def near_dup_clip_ids(
+    spark: SparkSession, n: int, every: int = 20, n_partitions: int = 4
+) -> DataFrame:
+    """The clip_id universe of :func:`generate_clips_with_near_dups`
+    WITHOUT synthesizing any audio — ids are pure functions of the index
+    (``clip_row``/``near_dup_row`` above), so consumers that only need the
+    id column (e.g. the dedup components' singleton left join) get a pure
+    Catalyst frame instead of a second full waveform+encode pass."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, n, 1, n_partitions).select(
+        F.format_string("clip_%012d", "id").alias("clip_id")
+    )
+    dups = spark.range(0, len(range(0, n, every))).select(
+        F.format_string("dup_clip_%012d", F.col("id") * every).alias("clip_id")
+    )
+    return base.union(dups)

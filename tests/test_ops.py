@@ -522,3 +522,27 @@ def test_lang_quota_sample_equals_naive_window(spark):
             .toPandas()
         )
         assert got.reset_index(drop=True).equals(want.reset_index(drop=True)), quota
+
+
+def test_near_dup_clip_ids_match_full_generator(spark):
+    """The Catalyst-only id universe must equal the full generator's ids
+    exactly — a naming drift would silently desync audio_dup_groups'
+    singleton left join from the edge frame."""
+    from curator_spark.synth import clips
+
+    full = {r["clip_id"] for r in
+            clips.generate_clips_with_near_dups(spark, 60, 20, 2).select("clip_id").collect()}
+    fast = {r["clip_id"] for r in clips.near_dup_clip_ids(spark, 60, 20, 2).collect()}
+    assert fast == full
+
+
+def test_quota_sample_empty_input(spark):
+    """Empty documents frame → typed empty result, not filter(None)."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.ops import text
+
+    empty = spark.createDataFrame([], "doc_id long, lang string")
+    out = text._quota_sample(empty, quota=5)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "lang", "sample_key", "rk"]

@@ -89,7 +89,19 @@ def test_dedup_stage_drops_reingested_duplicate(env, workdir):
         "clip_id", F.concat(F.col("clip_id"), F.lit("_copy"))
     )
     exact_row = src.filter(F.col("clip_id") == exact["clip_id"])
-    dup_row.unionByName(exact_row).coalesce(1).write.mode("append").parquet(inp)
+    # grain-collapse case: ONE clip_id holding TWO distinct transcripts —
+    # a dup of the victim's content plus a corrected (unique) transcript.
+    # Marks must be (id, digest)-keyed: an id-only mark would drop the
+    # corrected content along with the dup (silent data loss).
+    mixed = src.filter(F.col("clip_id") == victim["clip_id"]).withColumn(
+        "clip_id", F.concat(F.col("clip_id"), F.lit("_mixed"))
+    )
+    mixed_fixed = mixed.withColumn(
+        "transcript", F.concat(F.col("transcript"), F.lit(" corrected"))
+    )
+    dup_row.unionByName(exact_row).unionByName(mixed).unionByName(
+        mixed_fixed
+    ).coalesce(1).write.mode("append").parquet(inp)
 
     cfg = PipelineConfig(
         n_partitions=cfg.n_partitions, commit_batches=cfg.commit_batches, dedup_exact=True
@@ -112,9 +124,15 @@ def test_dedup_stage_drops_reingested_duplicate(env, workdir):
     assert len(exact_rows) == 2
     dup_flags = sorted("duplicate" in r["reasons"] for r in exact_rows)
     assert dup_flags == [False, True]
+    # mixed id: the duped transcript is marked, the corrected one survives
+    mixed_rows = out[victim["clip_id"] + "_mixed"]
+    assert len(mixed_rows) == 2
+    by_fixed = {r["transcript"].endswith(" corrected"): r for r in mixed_rows}
+    assert "duplicate" not in by_fixed[True]["reasons"]
+    assert "duplicate" in by_fixed[False]["reasons"]
     # nothing else is touched by the stage
     n_dup_labeled = sum("duplicate" in r["reasons"] for r in rows)
-    assert n_dup_labeled == 2 and len(rows) == N + 2
+    assert n_dup_labeled == 3 and len(rows) == N + 4
 
 
 def test_export_dataset_card(env, workdir):
