@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": text.lang_distribution,
         "dup_ngram_fraction": text.dup_ngram_fraction,
         "bigram_self_ppl": text.bigram_self_ppl,
+        "dataset_split": text.dataset_split,
+        "tfidf_top_terms": text.tfidf_top_terms,
         "langid_docs": text.langid_docs,              # full oracle (inlined weights)
         "doc_quality_filter": text.doc_quality_filter,
         "doc_perplexity": text.doc_perplexity,        # full oracle (inlined LM)
@@ -186,6 +188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duration_batches": multimodal.duration_batches,
         "window_decode_features": multimodal.window_decode_features,
         "audio_zcr": multimodal.audio_zcr,
+        "cmvn_features": multimodal.cmvn_features,
         "image_decode_features": multimodal.image_decode_features,
         "clip_keep_summary": multimodal.clip_keep_summary,
     }
@@ -515,6 +518,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
     audio_feat_sql = audio_seg_sql = audio_rate_sql = None
     audio_fp_sql = audio_dup_sql = audio_groups_sql = audio_loud_sql = None
     audio_win_sql = audio_batch_sql = audio_winfeat_sql = audio_zcr_sql = None
+    audio_cmvn_sql = None
     try:
         from curator_spark.scoring import audio_sql
 
@@ -531,6 +535,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
         audio_batch_sql = audio_sql.duration_batches_sql(_clip_path)
         audio_winfeat_sql = audio_sql.window_decode_features_sql(_clip_path)
         audio_zcr_sql = audio_sql.audio_zcr_sql(_clip_path)
+        audio_cmvn_sql = audio_sql.cmvn_features_sql(_clip_path)
     except OSError as e:
         import warnings
 
@@ -1029,6 +1034,41 @@ SELECT doc_id, lang, sample_key, rk FROM (
   FROM documents
 ) WHERE rk <= 40 ORDER BY lang, rk
 """,
+        # dataset_split: md5-prefix fraction (exact: x/2^32 is a dyadic
+        # division, identical in IEEE double on both engines)
+        "dataset_split": """
+SELECT doc_id, lang,
+  CASE WHEN frac < 0.1 THEN 'test'
+       WHEN frac < 0.2 THEN 'val'
+       ELSE 'train' END AS split
+FROM (
+  SELECT doc_id, lang,
+    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 AS frac
+  FROM documents
+) ORDER BY doc_id
+""",
+        # tfidf_top_terms: hash-compared columns are the exact INTEGER
+        # (tf, df) evidence; the float score only orders (ties → term)
+        "tfidf_top_terms": """
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    row_number() OVER (
+      PARTITION BY tf.doc_id
+      ORDER BY tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) DESC, tf.term
+    ) AS rk
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, rk, term, tf, df FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+""",
     }
     if ivf_sql is not None:
         out["ivf_topk"] = ivf_sql
@@ -1052,6 +1092,7 @@ SELECT doc_id, lang, sample_key, rk FROM (
         "duration_batches": audio_batch_sql,
         "window_decode_features": audio_winfeat_sql,
         "audio_zcr": audio_zcr_sql,
+        "cmvn_features": audio_cmvn_sql,
     }.items():
         if _v is not None:
             out[_k] = _v

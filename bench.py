@@ -120,6 +120,9 @@ def main() -> None:
         # membership) and the corpus-trained bigram LM scoring pass
         "decontaminate_ngrams": dedup.decontaminate_ngrams,
         "bigram_self_ppl": text.bigram_self_ppl,
+        # round-3 additions: per-doc TF-IDF keywords (explode + two partial
+        # aggs + broadcast df join) — the heaviest new text pass
+        "tfidf_top_terms": text.tfidf_top_terms,
     }
 
     samples: dict[str, list[float]] = {n: [] for n in ["clip_pipeline", *bench_queries]}

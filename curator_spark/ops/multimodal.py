@@ -635,6 +635,66 @@ def audio_dup_groups(
     )
 
 
+CMVN_COLS = ("rms_db", "silence_ratio", "clip_ratio")
+
+
+def cmvn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mean-variance normalization (CMVN) of the per-clip decode
+    features — the classic speech-pipeline feature-normalization step
+    (per-corpus z-score so downstream models see zero-mean/unit-variance
+    inputs regardless of mastering levels).
+
+    Two jobs: ONE decode pass → rounded per-clip features (persisted so
+    the stats pass and the z-score pass share it), then a 7-scalar moment
+    aggregate (count + per-feature sum / sum-of-squares as exact DECIMAL,
+    so partition order can never perturb the moments) broadcast back into
+    a pure-codegen z-score projection. At 10^12 clips the moment agg is a
+    partial-aggregate tree over 3 decimals/row and the second pass is
+    shuffle-free — CMVN costs one extra scan of the (bytes-free) feature
+    frame, never a second decode. Full oracle: audio_sql.cmvn_features_sql
+    decodes the audio in SQL and replays the identical moment arithmetic
+    (double mean/std derived from the same exact decimal sums).
+
+    Reference analog: generation-side batch normalization has no direct
+    reference twin; this extends the audio scoring family
+    (scoring/audio.py, S9) the way a training pipeline consumes it."""
+    import math
+
+    from .. import stages
+    from ..synth import clips
+
+    df = clips.generate_clips(spark, 200, 4)
+    feats = (
+        stages.decode_stage(df)
+        .filter(F.col("decode_ok"))
+        .select("clip_id", *[F.round(c, 6).alias(c) for c in CMVN_COLS])
+        .persist()
+    )
+    aggs = [F.count("*").alias("n")]
+    for c in CMVN_COLS:
+        aggs.append(F.sum(F.col(c).cast("decimal(28,6)")).alias(f"s1_{c}"))
+        # x² is not 6dp — round BEFORE the decimal cast so both engines
+        # quantize identically (same trick as the rounded feature columns)
+        aggs.append(
+            F.sum(F.round(F.col(c) * F.col(c), 6).cast("decimal(28,6)")).alias(f"s2_{c}")
+        )
+    m = feats.agg(*aggs).head()
+    n = int(m["n"] or 0)
+    if n == 0:
+        return feats.select(
+            "clip_id", *[F.lit(0.0).alias(f"{c}_z") for c in CMVN_COLS]
+        ).limit(0)
+    cols = [F.col("clip_id")]
+    for c in CMVN_COLS:
+        mean = float(m[f"s1_{c}"]) / n
+        var = max(float(m[f"s2_{c}"]) / n - mean * mean, 0.0)
+        std = math.sqrt(var)
+        if not std > 1e-12:  # constant feature: z := x - mean = 0
+            std = 1.0
+        cols.append(F.round((F.col(c) - F.lit(mean)) / F.lit(std), 6).alias(f"{c}_z"))
+    return feats.select(*cols).orderBy("clip_id")
+
+
 IMAGES_SCHEMA = "image_id long, fmt string, width int, height int, data binary"
 IMAGE_FEATURES_SCHEMA = (
     "image_id long, fmt string, mean_lum double, contrast double, entropy double, "

@@ -420,3 +420,72 @@ def _quota_sample(docs: DataFrame, quota: int) -> DataFrame:
         .select("doc_id", "lang", "sample_key", "rk")
         .orderBy("lang", "rk")
     )
+
+
+def dataset_split(
+    spark: SparkSession, sf_dir: str, val_frac: float = 0.1, test_frac: float = 0.1
+) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment per document —
+    the leakage-safe split a training pipeline needs at 10^12 rows: the
+    assignment is a pure function of doc_id (md5 prefix as a uniform
+    fraction), so it is reproducible across runs, stable under
+    repartitioning/cluster size, and needs ZERO shuffle (narrow codegen
+    map; no sampling pass, no global sort, no driver state). The same
+    hash-cutoff trick as lang_quota_sample's pre-filter, promoted to the
+    assignment itself.
+
+    Reference analog: deterministic subset selection before generation
+    (SURVEY.md §2.6 O2) — lifted from take-N to partitioned assignment."""
+    docs = load(spark, sf_dir, "documents")
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        / F.lit(float(0x100000000))
+    )
+    split = (
+        F.when(frac < test_frac, F.lit("test"))
+        .when(frac < test_frac + val_frac, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select("doc_id", "lang", split.alias("split")).orderBy("doc_id")
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document (idf = ln((N+1)/(df+1)) + 1, the
+    smoothed scikit-style form) — the classic content-signature /
+    keyword-extraction pass of a text curation pipeline.
+
+    Plan shape at scale: explode → (doc, term) count [shuffle 1] →
+    term-level document frequency [shuffle 2, partial aggs both] → the
+    ~vocabulary-sized df table BROADCAST back onto the tf frame (never a
+    row-level shuffle join: vocab grows ~log of corpus), then the per-doc
+    top-k window rides the tf groupBy's existing doc_id partitioning.
+    Output carries the INTEGER (tf, df) evidence rather than the float
+    score: ranking uses the score, but equality across engines is anchored
+    on exact ints (ties broken by term so the order is total).
+
+    Reference analog: prompt/text feature extraction has no direct twin;
+    extends the §2.7 string-function family the way SURVEY.md §2's text
+    operators are graded."""
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(_words()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") * idf).desc(), F.col("term")
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "rk", "term", "tf", F.col("df").cast("long").alias("df"))
+        .orderBy("doc_id", "rk")
+    )

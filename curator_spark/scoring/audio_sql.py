@@ -244,6 +244,50 @@ ORDER BY m.clip_id
 """
 
 
+def cmvn_features_sql(path: str) -> str:
+    """Oracle for ``cmvn_features``: per-clip rounded features → exact
+    DECIMAL(28,6) corpus moments → double mean/std → z-scores. The moment
+    arithmetic mirrors the Spark op term for term: s1 = Σ round(x,6) and
+    s2 = Σ round(x²,6) as decimals (partition-order-proof), then every
+    downstream step (cast to double, /n, var, sqrt, guard, round) is
+    deterministic IEEE double math identical in both engines."""
+    zcols = []
+    for c in ("rms_db", "silence_ratio", "clip_ratio"):
+        std = (
+            f"(CASE WHEN sqrt(GREATEST(CAST(mo.s2_{c} AS DOUBLE) / mo.n"
+            f" - (CAST(mo.s1_{c} AS DOUBLE) / mo.n) * (CAST(mo.s1_{c} AS DOUBLE) / mo.n),"
+            f" 0.0)) > 1e-12 THEN sqrt(GREATEST(CAST(mo.s2_{c} AS DOUBLE) / mo.n"
+            f" - (CAST(mo.s1_{c} AS DOUBLE) / mo.n) * (CAST(mo.s1_{c} AS DOUBLE) / mo.n),"
+            f" 0.0)) ELSE 1.0 END)"
+        )
+        zcols.append(
+            f"round((f.{c} - CAST(mo.s1_{c} AS DOUBLE) / mo.n) / {std}, 6) AS {c}_z"
+        )
+    moments = ", ".join(
+        f"SUM(CAST({c} AS DECIMAL(28,6))) AS s1_{c}, "
+        f"SUM(CAST(round({c} * {c}, 6) AS DECIMAL(28,6))) AS s2_{c}"
+        for c in ("rms_db", "silence_ratio", "clip_ratio")
+    )
+    return f"""WITH {_samples_cte(path)},
+feat0 AS (
+  SELECT clip_id,
+    round(20.0 * log10(GREATEST(sqrt(SUM(x * x) / COUNT(*)), 1e-6)), 6) AS rms_db,
+    round(CAST(COUNT(*) FILTER (WHERE abs(x) < 0.01) AS DOUBLE) / COUNT(*), 6) AS silence_ratio,
+    round(CAST(COUNT(*) FILTER (WHERE abs(x) > 0.985) AS DOUBLE) / COUNT(*), 6) AS clip_ratio
+  FROM sampx GROUP BY clip_id
+),
+okf AS (
+  SELECT f.* FROM feat0 f JOIN meta m USING (clip_id) WHERE m.ok
+),
+mo AS (
+  SELECT COUNT(*) AS n, {moments} FROM okf
+)
+SELECT f.clip_id, {", ".join(zcols)}
+FROM okf f, mo
+ORDER BY f.clip_id
+"""
+
+
 def window_decode_features_sql(
     path: str, window_ms: int = 500, min_tail_ms: int = 100
 ) -> str:

@@ -546,3 +546,32 @@ def test_quota_sample_empty_input(spark):
     out = text._quota_sample(empty, quota=5)
     assert out.count() == 0
     assert out.columns == ["doc_id", "lang", "sample_key", "rk"]
+
+
+def test_dataset_split_deterministic_and_balanced(spark):
+    """Assignment is a pure function of doc_id: identical across runs and
+    parallelism (no sampling state), with fractions near the requested
+    ratios."""
+    from curator_spark.ops import text
+
+    a = text.dataset_split(spark, SF_DIR).toPandas()
+    b = text.dataset_split(spark, SF_DIR).repartition(7).orderBy("doc_id").toPandas()
+    assert a[["doc_id", "split"]].equals(b[["doc_id", "split"]].reset_index(drop=True))
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac.get("test", 0) - 0.1) < 0.05
+    assert abs(frac.get("val", 0) - 0.1) < 0.05
+    assert frac.get("train", 0) > 0.7
+
+
+def test_cmvn_features_zero_mean_unit_var(spark):
+    """z-scored features have ~zero mean and ~unit variance over the
+    corpus (exactly the CMVN contract); constant features map to 0."""
+    import numpy as np
+
+    from curator_spark.ops import multimodal
+
+    z = multimodal.cmvn_features(spark, SF_DIR).toPandas()
+    for c in ("rms_db_z", "silence_ratio_z", "clip_ratio_z"):
+        v = z[c].to_numpy()
+        assert abs(v.mean()) < 1e-4
+        assert v.std() < 1e-4 or abs(v.std() - 1.0) < 1e-3
