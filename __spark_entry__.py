@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_zcr": multimodal.audio_zcr,
         "cmvn_features": multimodal.cmvn_features,
         "image_decode_features": multimodal.image_decode_features,
+        "video_frame_features": multimodal.video_frame_features,
         "clip_keep_summary": multimodal.clip_keep_summary,
     }
     return {name: _wrap(fn) for name, fn in qs.items()}
@@ -579,6 +580,24 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
         warnings.warn(
             f"image oracle fixture unavailable ({e}); driver will record "
             "a rows-only check for image_decode_features",
+            stacklevel=2,
+        )
+
+    # video_frame_features: same move again — decode the gray8_seq frames
+    # in SQL (hex byte tokens, lag()-window motion, integer-exact cut
+    # flag) over the deterministic fixture (scoring/video_sql.py)
+    video_feat_sql = None
+    try:
+        from curator_spark.scoring import video_sql
+
+        _vid_path = video_sql.ensure_video_fixture()
+        video_feat_sql = video_sql.video_frame_features_sql(_vid_path)
+    except OSError as e:
+        import warnings
+
+        warnings.warn(
+            f"video oracle fixture unavailable ({e}); driver will record "
+            "a rows-only check for video_frame_features",
             stacklevel=2,
         )
 
@@ -1098,6 +1117,8 @@ SELECT doc_id, rk, term, tf, df FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
             out[_k] = _v
     if image_feat_sql is not None:
         out["image_decode_features"] = image_feat_sql
+    if video_feat_sql is not None:
+        out["video_frame_features"] = video_feat_sql
     if pipe_sql is not None:
         out["clip_keep_summary"] = pipe_sql
     # token_count_bpe: trained merge ranks inlined as VALUES, the greedy

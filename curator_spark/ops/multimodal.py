@@ -799,6 +799,105 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VIDEOS_SCHEMA = (
+    "video_id long, fmt string, width int, height int, n_frames int, fps int, data binary"
+)
+VIDEO_FEATURES_SCHEMA = (
+    "video_id long, fmt string, frame_idx int, mean_lum double, motion double, "
+    "is_cut boolean, decode_ok boolean"
+)
+
+
+def generate_videos(spark: SparkSession, n: int, n_partitions: int = 4) -> DataFrame:
+    """Distributed synthetic video table (pure function of video_id —
+    same driver-free seeding pattern as synth/clips.py)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..synth import videogen
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame([videogen.make_video(int(i)) for i in pdf["id"]])
+
+    return spark.range(0, n, 1, n_partitions).mapInPandas(_gen, schema=VIDEOS_SCHEMA)
+
+
+def video_decode_stage(df: DataFrame, sample_every: int = 2) -> DataFrame:
+    """Batched decode + frame-sample + per-frame features for the video
+    payload — the third face of the binary-column pattern (decode once per
+    Arrow batch, frames dropped before anything shuffles, undecodable
+    codecs quarantined with ``decode_ok = false``). Fan-out stage: one
+    input row → one row per SAMPLED frame (or one quarantine row), the
+    video analog of the parse flatMap (SURVEY §2.2 M4) fused with decode
+    so the bytes cross the Arrow socket exactly once."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..scoring import video as vid
+
+    cols = [f.split()[0] for f in VIDEO_FEATURES_SCHEMA.split(", ")]
+
+    def _decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                rid = None if pd.isna(r.video_id) else int(r.video_id)
+                rfmt = None if pd.isna(r.fmt) else str(r.fmt)
+                try:
+                    feats = vid.decode_features(
+                        bytes(r.data), rfmt, int(r.width), int(r.height),
+                        int(r.n_frames), sample_every,
+                    )
+                    rows.extend(
+                        {"video_id": rid, "fmt": rfmt, **f, "decode_ok": True}
+                        for f in feats
+                    )
+                except (ValueError, NotImplementedError, TypeError):
+                    rows.append(
+                        {
+                            "video_id": rid,
+                            "fmt": rfmt,
+                            "frame_idx": None,
+                            "mean_lum": None,
+                            "motion": None,
+                            # False, not NULL: a nullable boolean hashes
+                            # differently across engines (None vs NaN);
+                            # decode_ok already marks quarantine rows
+                            "is_cut": False,
+                            "decode_ok": False,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(_decode, schema=VIDEO_FEATURES_SCHEMA)
+
+
+def video_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third media modality under the driver gate — full value-hash oracle
+    (scoring/video_sql.py decodes the frames in SQL over the deterministic
+    fixture; exact integer sums keep both sides bit-identical). Covers the
+    frame-sampling + per-frame feature + scene-cut pass a vision training
+    pipeline runs before its models, with real header-parsing decode and
+    quarantine-not-fail for external codecs (the ``h264`` stub rows)."""
+    vids = generate_videos(spark, 60)
+    return (
+        video_decode_stage(vids)
+        .select(
+            "video_id",
+            "fmt",
+            "frame_idx",
+            F.round("mean_lum", 6).alias("mean_lum"),
+            F.round("motion", 6).alias("motion"),
+            "is_cut",
+            "decode_ok",
+        )
+        .orderBy("video_id", "frame_idx")
+    )
+
+
 def clip_keep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete north-rule DAG (decode -> langid+ppl -> rules -> scrub
     -> keep/drop) over a deterministic seeded clip batch, rolled up per
