@@ -456,14 +456,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     smoothed scikit-style form) — the classic content-signature /
     keyword-extraction pass of a text curation pipeline.
 
-    Plan shape at scale: explode → (doc, term) count [shuffle 1] →
-    term-level document frequency [shuffle 2, partial aggs both] → the
-    ~vocabulary-sized df table BROADCAST back onto the tf frame (never a
-    row-level shuffle join: vocab grows ~log of corpus), then the per-doc
-    top-k window rides the tf groupBy's existing doc_id partitioning.
-    Output carries the INTEGER (tf, df) evidence rather than the float
-    score: ranking uses the score, but equality across engines is anchored
-    on exact ints (ties broken by term so the order is total).
+    Plan shape at scale: explode → (doc, term) count [shuffle 1,
+    map-side combine] → tf MATERIALIZED once (localCheckpoint — without
+    it Catalyst re-derives tf from a second full corpus scan for the df
+    branch) → term-level document frequency [shuffle 2 over the already
+    tiny tf frame] → the ~vocabulary-sized df table BROADCAST back onto
+    tf (never a row-level shuffle join: vocab grows ~log of corpus).
+    The per-doc top-k window does add a doc_id exchange, but Spark's
+    WindowGroupLimit pushes a partial top-k BELOW it, so only ~k rows
+    per (doc, partition) move. Output carries the INTEGER (tf, df)
+    evidence rather than the float score: ranking uses the score, but
+    equality across engines is anchored on exact ints (ties broken by
+    term so the order is total).
 
     Reference analog: prompt/text feature extraction has no direct twin;
     extends the §2.7 string-function family the way SURVEY.md §2's text
@@ -474,6 +478,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         docs.select("doc_id", F.explode(_words()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
