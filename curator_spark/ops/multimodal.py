@@ -210,6 +210,13 @@ def audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (n clips, plant a near-dup every k-th, partitions) — ONE tuple shared
+# by the edge frame (audio_dup_pairs) and the id universe
+# (audio_dup_groups): call-site drift would silently desync group
+# membership from the pair graph
+NEAR_DUP_FIXTURE = (200, 20, 4)
+
+
 def audio_dup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
     """Audio-native near-duplicate pairs — the dedup family extended to the
     media payload itself (a volume-renormalized re-encode defeats byte
@@ -230,7 +237,7 @@ def audio_dup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> D
     over its input)."""
     from ..synth import clips
 
-    df = clips.generate_clips_with_near_dups(spark, 200, 20, 4)
+    df = clips.generate_clips_with_near_dups(spark, *NEAR_DUP_FIXTURE)
     fp = audio_fingerprint_stage(df).filter(F.col("decode_ok"))
     carry = ["b0", "b1", "b2", "b3", "dur_ms", "sr_hz", "rms_db", "silence_ratio"]
     bands = fp.select(
@@ -618,7 +625,7 @@ def audio_dup_groups(
     # id universe only — audio_dup_pairs already pays the one decode pass;
     # synthesizing the clips a second time just to enumerate clip_ids
     # would double the fixture's waveform+encode cost
-    ids = clips.near_dup_clip_ids(spark, 200, 20, 4)
+    ids = clips.near_dup_clip_ids(spark, *NEAR_DUP_FIXTURE)
     edges = audio_dup_pairs(spark, sf_dir, max_hamming).select("clip_a", "clip_b")
     groups = _min_label_components(
         edges, "clip_a", "clip_b", "clip_id", max_iters, "audio_dup_groups"
@@ -664,11 +671,14 @@ def cmvn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..synth import clips
 
     df = clips.generate_clips(spark, 200, 4)
+    # localCheckpoint, not persist: blocks are freed when the RDD is
+    # GC'd, so repeated gate/bench invocations don't pin cache for the
+    # app lifetime (the api.py / tfidf convention)
     feats = (
         stages.decode_stage(df)
         .filter(F.col("decode_ok"))
         .select("clip_id", *[F.round(c, 6).alias(c) for c in CMVN_COLS])
-        .persist()
+        .localCheckpoint(eager=True)
     )
     aggs = [F.count("*").alias("n")]
     for c in CMVN_COLS:
@@ -849,7 +859,7 @@ def video_decode_stage(df: DataFrame, sample_every: int = 2) -> DataFrame:
                 try:
                     feats = vid.decode_features(
                         bytes(r.data), rfmt, int(r.width), int(r.height),
-                        int(r.n_frames), sample_every,
+                        int(r.n_frames), sample_every, fps=int(r.fps),
                     )
                     rows.extend(
                         {"video_id": rid, "fmt": rfmt, **f, "decode_ok": True}

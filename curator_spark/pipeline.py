@@ -254,6 +254,16 @@ class Pipeline:
                     )
             res.timings["plan_dedup"] = time.monotonic() - t1
             if base is not None:
+                # the stage reserves these two names; silently overwriting
+                # (and later dropping) a user column of the same name would
+                # lose input data that a dedup_exact=False run preserves
+                clash = {"src_file", "digest"} & set(base.columns)
+                if clash:
+                    raise ValueError(
+                        f"dedup_exact reserves column(s) {sorted(clash)} for "
+                        "row provenance; rename them in the input or disable "
+                        "the stage"
+                    )
                 # row provenance for the cross-file same-id case plus the
                 # content digest, hashed BEFORE the scoring stages
                 # normalize NULL transcripts to '' (see _apply_dedup); the

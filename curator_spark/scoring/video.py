@@ -33,9 +33,14 @@ import numpy as np
 CUT_THRESH = 40  # mean-|diff| gray levels; integer-exact comparison
 
 
-def decode(blob: bytes, fmt: str, width: int, height: int, n_frames: int) -> np.ndarray:
+def decode(
+    blob: bytes, fmt: str, width: int, height: int, n_frames: int, fps: int | None = None
+) -> np.ndarray:
     """bytes → (n_frames, h, w) uint8. Pure function of the row; raises on
-    malformed payloads or metadata mismatch."""
+    malformed payloads or metadata mismatch. ``fps``, when provided, is
+    validated against the header too — the SQL oracle reconstructs the
+    FULL header (fps included) from the metadata columns, so a silent
+    fps mismatch here would diverge from its quarantine decision."""
     if width is None or height is None or width <= 0 or height <= 0:
         raise ValueError(f"invalid dims {width}x{height}")
     if n_frames is None or n_frames <= 0:
@@ -48,11 +53,13 @@ def decode(blob: bytes, fmt: str, width: int, height: int, n_frames: int) -> np.
         parts = blob.split(b"\n", 2)
         if len(parts) < 3:
             raise ValueError("truncated gray8_seq header")
-        w, h, n, _fps = (int(x) for x in parts[1].split())
+        w, h, n, hdr_fps = (int(x) for x in parts[1].split())
         if (w, h, n) != (width, height, n_frames):
             raise ValueError(
                 f"dims mismatch: payload={w}x{h}x{n} meta={width}x{height}x{n_frames}"
             )
+        if fps is not None and hdr_fps != fps:
+            raise ValueError(f"fps mismatch: payload={hdr_fps} meta={fps}")
         px = np.frombuffer(parts[2], dtype=np.uint8)
         if px.size != w * h * n:
             raise ValueError("gray8_seq payload size mismatch")
@@ -84,8 +91,14 @@ def frame_features(frames: np.ndarray, sample_every: int = 2) -> list[dict]:
 
 
 def decode_features(
-    blob: bytes, fmt: str, width: int, height: int, n_frames: int, sample_every: int = 2
+    blob: bytes,
+    fmt: str,
+    width: int,
+    height: int,
+    n_frames: int,
+    sample_every: int = 2,
+    fps: int | None = None,
 ) -> list[dict]:
     """decode → frame-sample → features; the frames never persist past
     the call."""
-    return frame_features(decode(blob, fmt, width, height, n_frames), sample_every)
+    return frame_features(decode(blob, fmt, width, height, n_frames, fps), sample_every)

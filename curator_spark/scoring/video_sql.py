@@ -92,8 +92,7 @@ def video_frame_features_sql(path: str, sample_every: int = 2) -> str:
   -- exact integer sums: s1 <= 255*1600*14 < 2^53, dsum likewise
   SELECT video_id, f, npx,
     SUM(v) AS s1,
-    COALESCE(SUM(abs(v - pv)) FILTER (WHERE pv IS NOT NULL), 0) AS dsum,
-    COUNT(*) FILTER (WHERE pv IS NOT NULL) AS n_prev
+    COALESCE(SUM(abs(v - pv)) FILTER (WHERE pv IS NOT NULL), 0) AS dsum
   FROM lagd GROUP BY video_id, f, npx
 )
 SELECT m.video_id, m.fmt,
