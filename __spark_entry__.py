@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_decode_features": multimodal.window_decode_features,
         "audio_zcr": multimodal.audio_zcr,
         "cmvn_features": multimodal.cmvn_features,
+        "audio_resample_stats": multimodal.audio_resample_stats,
         "image_decode_features": multimodal.image_decode_features,
         "video_frame_features": multimodal.video_frame_features,
         "clip_keep_summary": multimodal.clip_keep_summary,
@@ -519,7 +520,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
     audio_feat_sql = audio_seg_sql = audio_rate_sql = None
     audio_fp_sql = audio_dup_sql = audio_groups_sql = audio_loud_sql = None
     audio_win_sql = audio_batch_sql = audio_winfeat_sql = audio_zcr_sql = None
-    audio_cmvn_sql = None
+    audio_cmvn_sql = audio_resample_sql = None
     try:
         from curator_spark.scoring import audio_sql
 
@@ -537,6 +538,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
         audio_winfeat_sql = audio_sql.window_decode_features_sql(_clip_path)
         audio_zcr_sql = audio_sql.audio_zcr_sql(_clip_path)
         audio_cmvn_sql = audio_sql.cmvn_features_sql(_clip_path)
+        audio_resample_sql = audio_sql.audio_resample_stats_sql(_clip_path)
     except OSError as e:
         import warnings
 
@@ -1112,6 +1114,7 @@ SELECT doc_id, rk, term, tf, df FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
         "window_decode_features": audio_winfeat_sql,
         "audio_zcr": audio_zcr_sql,
         "cmvn_features": audio_cmvn_sql,
+        "audio_resample_stats": audio_resample_sql,
     }.items():
         if _v is not None:
             out[_k] = _v

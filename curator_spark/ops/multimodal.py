@@ -642,6 +642,75 @@ def audio_dup_groups(
     )
 
 
+RESAMPLE_SCHEMA = (
+    "clip_id string, sr_hz int, n_in long, n_out long, rms_db_out double, "
+    "decode_ok boolean"
+)
+
+
+def audio_resample_stats(
+    spark: SparkSession, sf_dir: str, target_hz: int = 8000
+) -> DataFrame:
+    """Sample-rate normalization — the audio 'resize' every mixed-corpus
+    training pipeline runs before feature models: decode once per Arrow
+    batch, nearest-neighbor resample to ``target_hz``
+    (scoring/audio.resample_nn — pure integer index selection), emit the
+    post-resample energy so a gain regression in the resampler is
+    observable. One fused ``MapInPandas``; the PCM (original and
+    resampled) never leaves the batch. Full oracle: the SQL side decodes
+    the audio and re-selects the identical integer sample indices
+    (audio_sql.audio_resample_stats_sql).
+
+    Reference analog: media normalization before scoring (SURVEY §2.1 S9
+    lifted to the sample-rate axis)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..scoring import audio as audio_scoring
+    from ..synth import clips
+
+    df = clips.generate_clips(spark, 200, 4)
+    cols = [f.split()[0] for f in RESAMPLE_SCHEMA.split(", ")]
+
+    def _res(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for b, c, sr, cid in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["clip_id"]):
+                base = {"clip_id": cid, "sr_hz": int(sr)}
+                try:
+                    pcm = audio_scoring.decode(bytes(b), c, int(sr))
+                    out = audio_scoring.resample_nn(pcm, int(sr), target_hz)
+                    m = out.shape[0]
+                    if m == 0:
+                        rms_db = -120.0
+                    else:
+                        rms = float(np.sqrt(np.dot(out, out) / m))
+                        rms_db = 20.0 * float(np.log10(max(rms, 1e-6)))
+                    rows.append(
+                        {
+                            **base,
+                            "n_in": int(pcm.shape[0]),
+                            "n_out": int(m),
+                            "rms_db_out": rms_db,
+                            "decode_ok": True,
+                        }
+                    )
+                except Exception:  # noqa: BLE001 - quarantine semantics
+                    rows.append(
+                        {**base, "n_in": None, "n_out": None, "rms_db_out": None,
+                         "decode_ok": False}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        df.mapInPandas(_res, schema=RESAMPLE_SCHEMA)
+        .withColumn("rms_db_out", F.round("rms_db_out", 6))
+        .orderBy("clip_id")
+    )
+
+
 CMVN_COLS = ("rms_db", "silence_ratio", "clip_ratio")
 
 

@@ -202,3 +202,23 @@ def fingerprint(pcm: np.ndarray, n_slices: int = N_FP_SLICES) -> list[int]:
     return [
         sum(bits[16 * j + t] << t for t in range(16)) for j in range(n_slices // 16)
     ]
+
+
+def resample_nn(pcm, sr_hz: int, target_hz: int):
+    """Nearest-neighbor (zero-order-hold) resample — the audio 'resize'
+    step training pipelines run to normalize heterogeneous sample rates
+    before feature models. Pure INTEGER index arithmetic
+    (``k = (j * sr) // target`` over ``m = (n * target) // sr`` output
+    samples), so the selected-sample set is bit-identical between numpy
+    and the SQL oracle (scoring/audio_sql.audio_resample_stats_sql).
+    Production pipelines would use a polyphase filter (scipy/soxr — not
+    in this container); the selection plumbing and batch shape are what
+    this engine owns either way."""
+    import numpy as np
+
+    n = pcm.shape[0]
+    m = (n * int(target_hz)) // int(sr_hz)
+    if m <= 0:
+        return pcm[:0]
+    idx = (np.arange(m, dtype=np.int64) * int(sr_hz)) // int(target_hz)
+    return pcm[idx]

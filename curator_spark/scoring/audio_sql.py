@@ -244,6 +244,37 @@ ORDER BY m.clip_id
 """
 
 
+def audio_resample_stats_sql(path: str, target_hz: int = 8000) -> str:
+    """Oracle for ``audio_resample_stats``: re-select the nearest-neighbor
+    sample indices with the IDENTICAL integer arithmetic
+    (``m = n*target // sr``; ``k = j*sr // target`` —
+    scoring/audio.resample_nn) and aggregate the post-resample energy.
+    The float SUM(x²) follows the fingerprint oracle's float-aggregate
+    precedent (rounded to 6 on both sides)."""
+    return f"""WITH {_samples_cte(path)},
+js AS (
+  SELECT clip_id, sr_hz, n, (n * {target_hz}) // sr_hz AS m_out,
+         unnest(range(0, GREATEST((n * {target_hz}) // sr_hz, 0))) AS j
+  FROM meta WHERE ok
+), sel AS (
+  SELECT js.clip_id, js.m_out, s.x
+  FROM js JOIN sampx s
+    ON s.clip_id = js.clip_id AND s.k = (js.j * js.sr_hz) // {target_hz}
+), agg AS (
+  SELECT clip_id, m_out,
+    round(20.0 * log10(GREATEST(sqrt(SUM(x * x) / m_out), 1e-6)), 6) AS rms_db_out
+  FROM sel GROUP BY clip_id, m_out
+)
+SELECT m.clip_id, m.sr_hz,
+  CASE WHEN m.ok THEN CAST(m.n AS BIGINT) END AS n_in,
+  CASE WHEN m.ok THEN CAST(COALESCE(a.m_out, 0) AS BIGINT) END AS n_out,
+  CASE WHEN m.ok THEN COALESCE(a.rms_db_out, -120.0) END AS rms_db_out,
+  m.ok AS decode_ok
+FROM meta m LEFT JOIN agg a USING (clip_id)
+ORDER BY m.clip_id
+"""
+
+
 def cmvn_features_sql(path: str) -> str:
     """Oracle for ``cmvn_features``: per-clip rounded features → exact
     DECIMAL(28,6) corpus moments → double mean/std → z-scores. The moment

@@ -339,3 +339,19 @@ def test_audio_fingerprint_gain_invariance():
     dists = [hd(fps[i], fps[j]) for i in range(30) for j in range(i + 1, 30)]
     # unrelated clips: median far out; the verify stage handles the tail
     assert sorted(dists)[len(dists) // 2] >= 16
+
+
+def test_resample_nn_invariants():
+    """Identity at equal rates; exact integer index selection both ways;
+    empty input stays empty."""
+    import numpy as np
+
+    from curator_spark.scoring import audio
+
+    x = np.linspace(-1, 1, 1000)
+    assert np.array_equal(audio.resample_nn(x, 16000, 16000), x)
+    down = audio.resample_nn(x, 16000, 8000)
+    assert down.shape[0] == 500 and np.array_equal(down, x[::2])
+    up = audio.resample_nn(x, 8000, 16000)
+    assert up.shape[0] == 2000 and np.array_equal(up, np.repeat(x, 2))
+    assert audio.resample_nn(x[:0], 16000, 8000).shape[0] == 0
