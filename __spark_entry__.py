@@ -110,8 +110,76 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from curator_spark.ops import dedup, multimodal, relational, similarity, text, usermap
 
+    # ORDER MATTERS: the driver's correctness harness records the FIRST 50
+    # dict entries. Round 3 registered 70 with the multimodal family at the
+    # tail, so its 20 newest queries (all 16 multimodal + doc_perplexity +
+    # the usermap trio) never got a driver-recorded row (VERDICT r3, top
+    # task). They now lead; the 21 relational entries (green in r01-r03)
+    # rotate to the tail and intentionally fall outside the window.
     qs = {
-        # relational / engine-core operators (SURVEY.md §2)
+        # multimodal (binary column + batched decode UDF) — all full
+        # value-hash oracles: the SQL side decodes the media payloads
+        # itself (scoring/audio_sql.py, image_sql.py, pipeline_sql.py)
+        "clip_keep_summary": multimodal.clip_keep_summary,
+        "audio_decode_features": multimodal.audio_decode_features,
+        "audio_segments": multimodal.audio_segments,
+        "speech_rate": multimodal.speech_rate,
+        "audio_fingerprints": multimodal.audio_fingerprints,
+        "audio_dup_pairs": multimodal.audio_dup_pairs,
+        "audio_dup_groups": multimodal.audio_dup_groups,
+        "loudness_normalize": multimodal.loudness_normalize,
+        "clip_windows": multimodal.clip_windows,
+        "duration_batches": multimodal.duration_batches,
+        "window_decode_features": multimodal.window_decode_features,
+        "audio_zcr": multimodal.audio_zcr,
+        "cmvn_features": multimodal.cmvn_features,
+        "audio_resample_stats": multimodal.audio_resample_stats,
+        "image_decode_features": multimodal.image_decode_features,
+        "video_frame_features": multimodal.video_frame_features,
+        "doc_perplexity": text.doc_perplexity,        # full oracle (inlined LM)
+        # user-defined map surface (M7/M8/T2): retry+quarantine lifecycle,
+        # per-row params override, subprocess code executor
+        "vector_map_retry": usermap.vector_map_retry,
+        "row_params_filter": usermap.row_params_filter,
+        "code_exec_rows": usermap.code_exec_rows,
+        # dedup family
+        "dedup_exact": dedup.dedup_exact,
+        "minhash_signatures": dedup.minhash_signatures,
+        "minhash_signatures_fast": dedup.minhash_signatures_fast,
+        "minhash_dup_pairs": dedup.minhash_dup_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "cross_doc_dup_spans": dedup.cross_doc_dup_spans,
+        "decontaminate_ngrams": dedup.decontaminate_ngrams,
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        "simhash_near_pairs": dedup.simhash_near_pairs,
+        "simhash_dup_groups": dedup.simhash_dup_groups,
+        # fixture-gated: the pure operators take planted=False; the driver
+        # table has no natural near-dups, so the gate queries plant the
+        # deterministic fixture (the oracle plants identically in SQL)
+        "embedding_near_dups": dedup.embedding_near_dups_fixture,
+        "embedding_dup_groups": dedup.embedding_dup_groups_fixture,
+        "dup_groups": dedup.dup_groups,
+        "dedup_keep_list": dedup.dedup_keep_list,
+        # similarity search
+        "ann_cosine_topk": similarity.ann_cosine_topk,
+        "ivf_topk": similarity.ivf_topk,
+        "kmeans_assign": similarity.kmeans_assign,
+        # text analysis (changed-this-round entries first)
+        "bigram_self_ppl": text.bigram_self_ppl,
+        "tfidf_top_terms": text.tfidf_top_terms,
+        "lang_quota_sample": text.lang_quota_sample,
+        "dataset_split": text.dataset_split,
+        "langid_docs": text.langid_docs,              # full oracle (inlined weights)
+        "doc_quality_filter": text.doc_quality_filter,
+        "token_count": text.token_count,
+        "token_count_bpe": text.token_count_bpe,      # full oracle (recursive-CTE BPE)
+        "quality_scores": text.quality_scores,
+        "doc_fingerprint": text.doc_fingerprint,
+        "lang_distribution": text.lang_distribution,
+        "dup_ngram_fraction": text.dup_ngram_fraction,
+        # relational / engine-core operators (SURVEY.md §2) — beyond the
+        # driver's 50-entry window by design: all 21 are hash-green in
+        # CORRECTNESS_r01-r03 and still covered by tools/verify_oracles.py
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_revenue": relational.q3_top_revenue,
         "resume_anti_join": relational.resume_anti_join,
@@ -133,66 +201,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": relational.value_percentiles,
         "distinct_users_daily": relational.distinct_users_daily,
         "events_rollup": relational.events_rollup,
-        # dedup family
-        "dedup_exact": dedup.dedup_exact,
-        "minhash_signatures": dedup.minhash_signatures,
-        "minhash_signatures_fast": dedup.minhash_signatures_fast,
-        "minhash_dup_pairs": dedup.minhash_dup_pairs,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "cross_doc_dup_spans": dedup.cross_doc_dup_spans,
-        "decontaminate_ngrams": dedup.decontaminate_ngrams,
-        "simhash_fingerprints": dedup.simhash_fingerprints,
-        "simhash_near_pairs": dedup.simhash_near_pairs,
-        "simhash_dup_groups": dedup.simhash_dup_groups,
-        # fixture-gated: the pure operators take planted=False; the driver
-        # table has no natural near-dups, so the gate queries plant the
-        # deterministic fixture (the oracle plants identically in SQL)
-        "embedding_near_dups": dedup.embedding_near_dups_fixture,
-        "embedding_dup_groups": dedup.embedding_dup_groups_fixture,
-        # similarity search
-        "ann_cosine_topk": similarity.ann_cosine_topk,
-        "ivf_topk": similarity.ivf_topk,
-        "kmeans_assign": similarity.kmeans_assign,
-        "dup_groups": dedup.dup_groups,
-        "dedup_keep_list": dedup.dedup_keep_list,
-        # text analysis
-        "token_count": text.token_count,
-        "token_count_bpe": text.token_count_bpe,      # full oracle (recursive-CTE BPE)
-        "lang_quota_sample": text.lang_quota_sample,
-        "quality_scores": text.quality_scores,
-        "doc_fingerprint": text.doc_fingerprint,
-        "lang_distribution": text.lang_distribution,
-        "dup_ngram_fraction": text.dup_ngram_fraction,
-        "bigram_self_ppl": text.bigram_self_ppl,
-        "dataset_split": text.dataset_split,
-        "tfidf_top_terms": text.tfidf_top_terms,
-        "langid_docs": text.langid_docs,              # full oracle (inlined weights)
-        "doc_quality_filter": text.doc_quality_filter,
-        "doc_perplexity": text.doc_perplexity,        # full oracle (inlined LM)
-        # user-defined map surface (M7/M8/T2): retry+quarantine lifecycle,
-        # per-row params override, subprocess code executor
-        "vector_map_retry": usermap.vector_map_retry,
-        "row_params_filter": usermap.row_params_filter,
-        "code_exec_rows": usermap.code_exec_rows,
-        # multimodal (binary column + batched decode UDF) — all full
-        # value-hash oracles: the SQL side decodes the media payloads
-        # itself (scoring/audio_sql.py, image_sql.py, pipeline_sql.py)
-        "audio_decode_features": multimodal.audio_decode_features,
-        "audio_segments": multimodal.audio_segments,
-        "speech_rate": multimodal.speech_rate,
-        "audio_fingerprints": multimodal.audio_fingerprints,
-        "audio_dup_pairs": multimodal.audio_dup_pairs,
-        "audio_dup_groups": multimodal.audio_dup_groups,
-        "loudness_normalize": multimodal.loudness_normalize,
-        "clip_windows": multimodal.clip_windows,
-        "duration_batches": multimodal.duration_batches,
-        "window_decode_features": multimodal.window_decode_features,
-        "audio_zcr": multimodal.audio_zcr,
-        "cmvn_features": multimodal.cmvn_features,
-        "audio_resample_stats": multimodal.audio_resample_stats,
-        "image_decode_features": multimodal.image_decode_features,
-        "video_frame_features": multimodal.video_frame_features,
-        "clip_keep_summary": multimodal.clip_keep_summary,
     }
     return {name: _wrap(fn) for name, fn in qs.items()}
 
