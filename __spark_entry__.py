@@ -4,8 +4,10 @@
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
 training-data-pipeline ops); each callable takes (spark, sf_dir).
 ``oracle_sql()`` — DuckDB-equivalent ANSI SQL, alias-matched column for
-column. Ops with no SQL form (SimHash, LSH near-dup, IVF) have no oracle
-entry → driver records rows-only checks.
+column. Every registered query currently ships a full value-hash oracle
+(media ops decode their payloads IN SQL — scoring/audio_sql.py &
+siblings); an entry only degrades to a rows-only check if its oracle
+fixture cannot be materialized (warned explicitly below).
 """
 
 from __future__ import annotations

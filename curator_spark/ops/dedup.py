@@ -1,10 +1,11 @@
 """Deduplication operators over the ``documents`` table.
 
 The large-scale training-data-pipeline family: exact, MinHash+LSH, SimHash,
-n-gram Jaccard, embedding-cosine near-dup. All hashing is md5-based (not
-xxhash64) so the MinHash/exact paths are *also* expressible in DuckDB SQL
-for the driver's oracle; SimHash and embedding near-dup are Spark-side
-(rows-only oracle) but deterministic.
+n-gram Jaccard, embedding-cosine near-dup. Every family has a full
+value-hash DuckDB oracle: the md5-keyed paths replay directly in SQL, the
+mix64 MinHash family as explicit mod-2^64 arithmetic, SimHash via bit-vote
+reconstruction, and embedding SRP-LSH with the hyperplanes inlined as
+literals (see oracle_sql() in __spark_entry__.py).
 
 Scale design (10^9+ docs):
 - exact:   one shuffle on the 32-hex digest (groupBy), no text comparison.
@@ -463,12 +464,15 @@ def decontaminate_ngrams(
 
     Scale shape (100 TB): gram extraction is a narrow codegen projection
     (split → slice → md5 — only 32-hex digests leave the scan, never
-    text). The eval side is small by construction (benchmarks are MBs
-    against TBs of train), so the membership test is an explicitly
-    BROADCAST semi-side: train grams never shuffle. A corpus-universal
-    gram (boilerplate) inflates only the per-doc count it belongs to —
-    there is no skewed reduce key because the aggregate is keyed by
-    doc_id, not gram.
+    text). Against a REAL eval benchmark (MBs vs TBs of train) the
+    semi-join side is broadcast-sized, but the join carries no explicit
+    broadcast hint: this gate's stand-in eval slice (doc_id % 97) grows
+    linearly with the corpus, and a forced broadcast of a non-small side
+    OOMs the driver — AQE picks broadcast when the built side measures
+    small and degrades to a shuffled semi-join otherwise. A
+    corpus-universal gram (boilerplate) inflates only the per-doc count
+    it belongs to — there is no skewed reduce key because the aggregate
+    is keyed by doc_id, not gram.
 
     Reference analog: content identity (llm/llm.py:139-164) applied
     across the train/eval boundary."""
@@ -491,7 +495,7 @@ def decontaminate_ngrams(
     is_eval = F.col("doc_id") % eval_mod == 0
     eval_grams = grams.filter(is_eval & F.col("gram").isNotNull()).select("gram").distinct()
     train = grams.filter(~is_eval)
-    hits = train.join(F.broadcast(eval_grams), "gram", "left_semi")
+    hits = train.join(eval_grams, "gram", "left_semi")
     hit_counts = hits.groupBy("doc_id").agg(F.count("*").cast("int").alias("hit_grams"))
     return (
         docs.filter(~is_eval)

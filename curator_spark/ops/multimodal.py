@@ -20,8 +20,10 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode a deterministic synthetic clip batch and emit per-clip audio
     features (rms_db / silence_ratio / clip_ratio). The input is generated
     in-query (seeded; no external data) because the shared testdata star
-    schema carries no binary columns. Rows-only driver check — PCM math has
-    no SQL form; SNR/allclose invariants live in tests/test_stage_parity.py."""
+    schema carries no binary columns. Full value-hash oracle: the DuckDB
+    side decodes the PCM itself (scoring/audio_sql.py — hex-tokenized
+    PCM16 + inlined μ-law codebook); SNR/allclose invariants additionally
+    live in tests/test_stage_parity.py."""
     from .. import stages
     from ..synth import clips
 
@@ -86,8 +88,9 @@ def audio_segments_stage(df: DataFrame) -> DataFrame:
 
 def audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip speech segmentation stats over a deterministic seeded clip
-    batch (rows-only driver check — PCM math has no SQL form; parity vs
-    the pure-numpy oracle is pytest-asserted). Deepens the audio payload
+    batch (full value-hash oracle — scoring/audio_sql.py replays the
+    20ms-frame VAD run-length pass in SQL; parity vs the pure-numpy
+    oracle is additionally pytest-asserted). Deepens the audio payload
     family: decode → frame RMS → run-length segments, all inside one
     Arrow pass."""
     from ..synth import clips
@@ -739,15 +742,19 @@ def cmvn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import stages
     from ..synth import clips
 
+    from pyspark import StorageLevel
+
     df = clips.generate_clips(spark, 200, 4)
-    # localCheckpoint, not persist: blocks are freed when the RDD is
-    # GC'd, so repeated gate/bench invocations don't pin cache for the
-    # app lifetime (the api.py / tfidf convention)
+    # persist, not localCheckpoint: cached blocks stay RECOMPUTABLE from
+    # lineage if an executor dies mid-query (localCheckpoint truncates
+    # lineage onto executor-local blocks — an executor loss then kills
+    # the job unrecoverably at scale); the moment agg below materializes
+    # it, so the z-score pass never re-decodes
     feats = (
         stages.decode_stage(df)
         .filter(F.col("decode_ok"))
         .select("clip_id", *[F.round(c, 6).alias(c) for c in CMVN_COLS])
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     aggs = [F.count("*").alias("n")]
     for c in CMVN_COLS:
@@ -934,7 +941,10 @@ def video_decode_stage(df: DataFrame, sample_every: int = 2) -> DataFrame:
                         {"video_id": rid, "fmt": rfmt, **f, "decode_ok": True}
                         for f in feats
                     )
-                except (ValueError, NotImplementedError, TypeError):
+                except Exception:  # noqa: BLE001 - quarantine semantics: any
+                    # malformed-payload failure (incl. OverflowError from an
+                    # absurd header) emits a decode_ok=false row, never fails
+                    # the task — same contract as the audio stages
                     rows.append(
                         {
                             "video_id": rid,

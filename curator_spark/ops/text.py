@@ -243,18 +243,19 @@ def bigram_self_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-entropy in bits and its 2^H perplexity.
 
     Scale shape (100 TB): training IS the scoring pass — bigram counts
-    come from a window over the bigram key partitioning (no separate
-    count table or self-join), unigram counts are one groupBy joined back
-    on the left word (AQE splits the stopword-skewed keys), and V is a
-    single-scalar agg (bounded collect). Per-term logs are quantized to
-    1e-9 and summed as DECIMAL so the doc aggregate is order-exact —
-    bit-identical between Spark's nondeterministic partial-agg order and
-    the oracle's sequential sum.
+    are a groupBy('pair').count() (map-side combinable: a stopword-hot
+    pair collapses to one partial per input partition before the
+    exchange) joined back onto the occurrences, where AQE's skew-join
+    splitting can shard the hot key — a COUNT() OVER (PARTITION BY pair)
+    window would funnel every occurrence of the hot pair into a single
+    un-splittable sort task. Unigram counts are one groupBy joined back
+    on the left word, and V is a single-scalar agg (bounded collect).
+    Per-term logs are quantized to 1e-9 and summed as DECIMAL so the doc
+    aggregate is order-exact — bit-identical between Spark's
+    nondeterministic partial-agg order and the oracle's sequential sum.
 
     Reference analog: the perplexity score feeding the keep/drop rules
     (SURVEY.md §2.7 math; scoring/lm.py is the fixed-weight twin)."""
-    from pyspark.sql import Window as W
-
     docs = load(spark, sf_dir, "documents")
     words = _words()
     toks = docs.select("doc_id", F.explode(words).alias("w"))
@@ -277,8 +278,9 @@ def bigram_self_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<struct<a:string,pair:string>>"))
         ).alias("bg"),
     ).select("doc_id", "n_bigrams", F.col("bg.a").alias("a"), F.col("bg.pair").alias("pair"))
-    cb = F.count("*").over(W.partitionBy("pair"))
-    counted = bigr.filter(F.col("pair").isNotNull()).withColumn("cb", cb)
+    occ = bigr.filter(F.col("pair").isNotNull())
+    pair_counts = occ.groupBy("pair").agg(F.count("*").alias("cb"))
+    counted = occ.join(pair_counts, "pair")
     scored = counted.join(uni, counted.a == uni.w).withColumn(
         "term",
         F.round(F.log2((F.col("cb") + 1) / (F.col("cu") + F.lit(v))), 9).cast(
@@ -457,29 +459,42 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     keyword-extraction pass of a text curation pipeline.
 
     Plan shape at scale: explode → (doc, term) count [shuffle 1,
-    map-side combine] → tf MATERIALIZED once (localCheckpoint — without
+    map-side combine] → tf MATERIALIZED once (persist + count — without
     it Catalyst re-derives tf from a second full corpus scan for the df
-    branch) → term-level document frequency [shuffle 2 over the already
-    tiny tf frame] → the ~vocabulary-sized df table BROADCAST back onto
-    tf (never a row-level shuffle join: vocab grows ~log of corpus).
-    The per-doc top-k window does add a doc_id exchange, but Spark's
-    WindowGroupLimit pushes a partial top-k BELOW it, so only ~k rows
-    per (doc, partition) move. Output carries the INTEGER (tf, df)
-    evidence rather than the float score: ranking uses the score, but
-    equality across engines is anchored on exact ints (ties broken by
-    term so the order is total).
+    branch; persist stays recomputable on executor loss, unlike
+    localCheckpoint's lineage truncation) → term-level document
+    frequency [shuffle 2 over the already tiny tf frame] → the
+    ~vocabulary-sized df table BROADCAST back onto tf (never a row-level
+    shuffle join: vocab grows ~log of corpus). N rides the SAME
+    materialization job as an ``observe`` metric on the pre-explode scan
+    — no separate count job over the corpus. The per-doc top-k window
+    does add a doc_id exchange, but Spark's WindowGroupLimit pushes a
+    partial top-k BELOW it, so only ~k rows per (doc, partition) move.
+    Output carries the INTEGER (tf, df) evidence rather than the float
+    score: ranking uses the score, but equality across engines is
+    anchored on exact ints (ties broken by term so the order is total).
+
+    NOTE: constructing this DataFrame runs one real Spark job (the tf
+    materialization that also fills the observation) — plan-only
+    consumers pay that scan once.
 
     Reference analog: prompt/text feature extraction has no direct twin;
     extends the §2.7 string-function family the way SURVEY.md §2's text
     operators are graded."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Observation
+
     docs = load(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    obs = Observation()
     tf = (
-        docs.select("doc_id", F.explode(_words()).alias("term"))
+        docs.observe(obs, F.count(F.lit(1)).alias("n_docs"))
+        .select("doc_id", F.explode(_words()).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    tf.count()  # materialize tf AND fill the observation in one job
+    n_docs = obs.get["n_docs"]
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
     from pyspark.sql import Window

@@ -27,6 +27,7 @@ def build_session(
     shuffle_partitions: int | None = None,
     arrow_max_records: int = 2048,
     extra_conf: dict[str, str] | None = None,
+    builder_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build the session.
 
@@ -93,6 +94,11 @@ def build_session(
             .config("spark.sql.catalog.curator.warehouse", warehouse)
         )
 
+    # builder_conf: settings that only take effect at SparkContext startup
+    # (e.g. spark.ui.showConsoleProgress) — runtime conf.set is too late
+    if builder_conf:
+        for k, v in builder_conf.items():
+            b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if extra_conf:

@@ -72,13 +72,16 @@ def test_no_gate_query_compiles_to_cartesian_or_row_python(spark):
     assert not flagged, flagged
 
 
-def test_decontaminate_eval_side_broadcast_no_python(spark):
-    """The eval-gram membership test must be a BROADCAST left-semi join
-    (train grams never shuffle) and the whole op stays JVM-side."""
+def test_decontaminate_eval_side_semi_join_no_python(spark):
+    """The eval-gram membership test is a LEFT-SEMI join with NO forced
+    broadcast hint (round-3 ADVICE: the gate's stand-in eval slice grows
+    with the corpus, so AQE must be free to fall back to a shuffled
+    semi-join instead of OOMing a forced broadcast) and the whole op
+    stays JVM-side."""
     from curator_spark.ops import dedup
 
     plan = _plan(dedup.decontaminate_ngrams(spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "LeftSemi" in plan
     for node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
         assert node not in plan
 
