@@ -123,6 +123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-hash oracles: the SQL side decodes the media payloads
         # itself (scoring/audio_sql.py, image_sql.py, pipeline_sql.py)
         "clip_keep_summary": multimodal.clip_keep_summary,
+        # mixed-modality row (round-4): transcript + audio + image in ONE
+        # row, one fused decode stage, per-modality quarantine
+        "multimodal_row_features": multimodal.multimodal_row_features,
         "audio_decode_features": multimodal.audio_decode_features,
         "audio_segments": multimodal.audio_segments,
         "speech_rate": multimodal.speech_rate,
@@ -572,6 +575,23 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
         warnings.warn(
             f"pipeline oracle fixture unavailable ({e}); driver will record "
             "a rows-only check for clip_keep_summary",
+            stacklevel=2,
+        )
+
+    # multimodal_row_features: the mixed-modality row op — audio PCM
+    # decode + integer milli-luminance pixel decode + split-words text
+    # features composed over ONE fixture (scoring/mm_sql.py)
+    mm_sql_str = None
+    try:
+        from curator_spark.scoring import mm_sql
+
+        mm_sql_str = mm_sql.multimodal_row_features_sql(mm_sql.ensure_mm_fixture())
+    except OSError as e:
+        import warnings
+
+        warnings.warn(
+            f"mixed-modality oracle fixture unavailable ({e}); driver will "
+            "record a rows-only check for multimodal_row_features",
             stacklevel=2,
         )
 
@@ -1130,6 +1150,8 @@ SELECT doc_id, rk, term, tf, df FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
             out[_k] = _v
     if image_feat_sql is not None:
         out["image_decode_features"] = image_feat_sql
+    if mm_sql_str is not None:
+        out["multimodal_row_features"] = mm_sql_str
     if video_feat_sql is not None:
         out["video_frame_features"] = video_feat_sql
     if pipe_sql is not None:
