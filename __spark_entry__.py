@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_groups": dedup.embedding_dup_groups_fixture,
         "dup_groups": dedup.dup_groups,
         "dedup_keep_list": dedup.dedup_keep_list,
+        # terminal composed decision (round-4): keep-list ∘ quota ∘ split
+        "curation_final_selection": text.curation_final_selection,
         # similarity search
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ivf_topk": similarity.ivf_topk,
@@ -338,6 +340,39 @@ SELECT d.doc_id,
   COALESCE(c.gid, d.doc_id) = d.doc_id AS is_canonical
 FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
 ORDER BY d.doc_id
+"""
+    )
+
+    # the terminal composed decision: dedup keep-list ∘ per-language quota
+    # sample ∘ hash split — stitched from the three proven oracles (the
+    # closure gives non-canonical ids; the quota window and split CASE are
+    # the lang_quota_sample / dataset_split oracle bodies verbatim)
+    curation_sql = (
+        recursive_pairs
+        + closure_cte
+        + """, comp AS (
+  SELECT src AS doc_id, MIN(dst) AS gid FROM reach GROUP BY src
+), canon AS (
+  SELECT d.doc_id, d.lang FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.doc_id
+  WHERE COALESCE(c.gid, d.doc_id) = d.doc_id
+), ranked AS (
+  SELECT doc_id, lang,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM canon
+)
+SELECT doc_id, lang, rk,
+  CASE WHEN frac < 0.1 THEN 'test'
+       WHEN frac < 0.2 THEN 'val'
+       ELSE 'train' END AS split
+FROM (
+  SELECT doc_id, lang, rk,
+    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 AS frac
+  FROM ranked WHERE rk <= 40
+) ORDER BY lang, rk
 """
     )
 
@@ -808,6 +843,7 @@ ORDER BY w.doc_id
         "embedding_dup_groups": emb_groups_sql,
         "dup_groups": dup_groups_sql,
         "dedup_keep_list": keep_list_sql,
+        "curation_final_selection": curation_sql,
         "events_sessionize": """
 WITH s AS (
   SELECT user_id, ts, event_id, value,

@@ -439,18 +439,64 @@ def dataset_split(
     Reference analog: deterministic subset selection before generation
     (SURVEY.md §2.6 O2) — lifted from take-N to partitioned assignment."""
     docs = load(spark, sf_dir, "documents")
+    split = _split_expr(val_frac, test_frac)
+    return docs.select("doc_id", "lang", split.alias("split")).orderBy("doc_id")
+
+
+def _split_expr(val_frac: float, test_frac: float):
+    """The pure-codegen split assignment column (md5 prefix of doc_id as a
+    uniform dyadic fraction — exact IEEE double on both engines). Shared
+    by dataset_split and the composed curation_final_selection."""
     frac = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
             "double"
         )
         / F.lit(float(0x100000000))
     )
-    split = (
+    return (
         F.when(frac < test_frac, F.lit("test"))
         .when(frac < test_frac + val_frac, F.lit("val"))
         .otherwise(F.lit("train"))
     )
-    return docs.select("doc_id", "lang", split.alias("split")).orderBy("doc_id")
+
+
+def curation_final_selection(
+    spark: SparkSession,
+    sf_dir: str,
+    quota: int = 40,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+) -> DataFrame:
+    """The TERMINAL curation decision — the composition a production
+    pipeline actually ships (round-3 VERDICT task #7): MinHash-LSH dedup
+    keep-list ∘ per-language quota sample ∘ leakage-safe hash split, as
+    one query: (1) drop non-canonical near-duplicates, (2) sample the
+    per-language budget from the survivors, (3) assign train/val/test.
+
+    Scale shape: step (1) is a LEFT ANTI join against only the
+    non-canonical ids (dup-group members that lost the MIN-id election)
+    — equivalent to filtering dedup_keep_list on is_canonical but
+    without materializing a full-corpus join. No broadcast hint: on a
+    lightly-duplicated corpus AQE will broadcast the small anti side,
+    while a crawl-scale corpus (30%+ near-dups) degrades safely to a
+    shuffled anti join instead of OOMing a forced broadcast. Steps (2)
+    and (3) inherit the proven shapes of lang_quota_sample
+    (hash-cutoff-bounded window) and dataset_split (zero-shuffle codegen
+    map).
+
+    Reference analog: the keep/drop decision feeding generation (F4 +
+    §2.6 O2) composed end-to-end."""
+    from . import dedup
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    groups = dedup.dup_groups(spark, sf_dir)
+    non_canonical = groups.filter(F.col("group_id") != F.col("doc_id")).select("doc_id")
+    canon = docs.join(non_canonical, "doc_id", "left_anti")
+    sampled = _quota_sample(canon, quota)
+    return (
+        sampled.select("doc_id", "lang", "rk", _split_expr(val_frac, test_frac).alias("split"))
+        .orderBy("lang", "rk")
+    )
 
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:

@@ -34,6 +34,7 @@ PARITY = [
     "token_count",
     "quality_scores",
     "doc_fingerprint",
+    "curation_final_selection",
 ]
 
 
@@ -575,3 +576,20 @@ def test_cmvn_features_zero_mean_unit_var(spark):
         v = z[c].to_numpy()
         assert abs(v.mean()) < 1e-4
         assert v.std() < 1e-4 or abs(v.std() - 1.0) < 1e-3
+
+
+def test_curation_final_selection_composition(spark):
+    """The terminal decision must (a) never select a non-canonical dup,
+    (b) respect the per-language quota, (c) assign the same split
+    dataset_split would assign to the same doc."""
+    from curator_spark.ops import dedup, text
+
+    sel = text.curation_final_selection(spark, SF_DIR, quota=40).toPandas()
+    groups = dedup.dup_groups(spark, SF_DIR).toPandas()
+    non_canonical = set(groups.loc[groups.group_id != groups.doc_id, "doc_id"])
+    assert not (set(sel.doc_id) & non_canonical)
+    assert (sel.groupby("lang").size() <= 40).all()
+    split_map = dict(
+        zip(*(lambda d: (d.doc_id, d.split))(text.dataset_split(spark, SF_DIR).toPandas()))
+    )
+    assert all(split_map[d] == s for d, s in zip(sel.doc_id, sel.split))
