@@ -201,3 +201,59 @@ def test_stream_exact_dedup_state_survives_restart(spark, workdir):
     final = spark.read.parquet(out).toPandas()
     # restart recovered the seen-set: nothing re-emitted for known digests
     assert len(final) == 30 and final["digest"].is_unique
+
+
+def test_stream_audio_features_matches_batch(spark, workdir):
+    """The streaming audio-feature extractor must emit bit-identical
+    features to the batch decode stage over the same clips."""
+    inp = os.path.join(workdir, "af_landing")
+    out = os.path.join(workdir, "af_out")
+    ckpt = os.path.join(workdir, "af_ckpt")
+    _land_clips(spark, inp, N, 4)
+
+    q = streaming.stream_audio_features(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.option("basePath", out).parquet(out)
+        .drop("batch_id")
+        .orderBy("clip_id")
+        .toPandas()
+    )
+    want = (
+        stages.decode_stage(spark.read.parquet(inp).drop("transcript"))
+        .orderBy("clip_id")
+        .toPandas()
+    )
+    assert len(got) == N
+    assert sorted(got.columns) == sorted(want.columns)
+    cols = sorted(want.columns)
+    assert got[cols].reset_index(drop=True).equals(want[cols].reset_index(drop=True))
+
+
+def test_stream_audio_features_exactly_once_on_restart(spark, workdir):
+    """Restart over the same checkpoint must not re-decode consumed
+    files; newly landed files are picked up incrementally."""
+    inp = os.path.join(workdir, "af_landing2")
+    out = os.path.join(workdir, "af_out2")
+    ckpt = os.path.join(workdir, "af_ckpt2")
+    _land_clips(spark, inp, N, 4)
+
+    q = streaming.stream_audio_features(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.option("basePath", out).parquet(out).count() == N
+
+    # restart with no new files -> nothing re-emitted
+    q = streaming.stream_audio_features(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.option("basePath", out).parquet(out).count() == N
+
+    # a second wave lands; only it is processed on the next restart
+    clips.generate_clips(spark, N // 2, 2).withColumn(
+        "clip_id", F.concat(F.lit("wave2_"), F.col("clip_id"))
+    ).repartition(2).write.mode("append").parquet(inp)
+    q = streaming.stream_audio_features(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    df = spark.read.option("basePath", out).parquet(out)
+    assert df.count() == N + N // 2
+    assert df.select("clip_id").distinct().count() == N + N // 2
