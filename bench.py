@@ -123,7 +123,19 @@ def main() -> None:
         # round-3 additions: per-doc TF-IDF keywords (explode + two partial
         # aggs + broadcast df join) — the heaviest new text pass
         "tfidf_top_terms": text.tfidf_top_terms,
+        # round-4 addition: the terminal composed curation decision
+        # (LSH dedup keep-list ∘ per-language quota ∘ hash split)
+        "curation_final_selection": text.curation_final_selection,
     }
+
+    # the FROZEN round-1 workload: bench totals across rounds mix different
+    # query sets, so extra.common_total_sec sums only these nine — directly
+    # comparable against the same sum re-derived from BENCH_r01..r03
+    common_set = (
+        "clip_pipeline", "q1_pricing_summary", "q3_top_revenue",
+        "running_window", "dedup_exact", "minhash_dup_pairs",
+        "simhash_fingerprints", "ann_cosine_topk", "token_count",
+    )
 
     samples: dict[str, list[float]] = {n: [] for n in ["clip_pipeline", *bench_queries]}
     calib: list[float] = []
@@ -140,6 +152,19 @@ def main() -> None:
             samples[name].append(time.monotonic() - t0)
     shutil.rmtree(wh, ignore_errors=True)
 
+    # retrieval-quality artifact (round-3 VERDICT task #8): recall@10 of
+    # the IVF path vs exact brute-force cosine at this SF — the oracle
+    # proves the IVF plan exact, this records what the approximation
+    # actually retrieves. One untimed run outside the sample loop.
+    exact_ids = [r["vec_id"] for r in similarity.ann_cosine_topk(spark, sf_dir, k=10).collect()]
+    recalls = {}
+    for n_probe in (4, 8):  # default probe + half the 16 cells
+        approx = [
+            r["vec_id"]
+            for r in similarity.ivf_topk(spark, sf_dir, k=10, n_probe=n_probe).collect()
+        ]
+        recalls[n_probe] = len(set(exact_ids) & set(approx)) / max(len(exact_ids), 1)
+
     timings = {n: round(statistics.median(v), 3) for n, v in samples.items()}
     extra: dict = {
         "clips_per_sec": round(n_clips / timings["clip_pipeline"], 1),
@@ -147,6 +172,10 @@ def main() -> None:
         "repeats": repeats,
         "calib_sec": calib,  # per-round VM-weather gauge (see calibrate())
         "drift_ratio": round(max(calib) / min(calib), 3) if calib else None,
+        # frozen r01 workload — cross-round-comparable subtotal
+        "common_total_sec": round(sum(timings[n] for n in common_set), 3),
+        "ivf_recall_at_10": round(recalls[4], 3),        # n_probe=4 of 16 cells
+        "ivf_recall_at_10_probe8": round(recalls[8], 3),  # n_probe=8 of 16 cells
     }
     for name, n in rows_out.items():
         extra[f"{name}_rows"] = n
