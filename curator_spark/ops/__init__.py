@@ -13,3 +13,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ad-hoc persisted frames (tfidf's tf, cmvn's feature frame, ...): persist
+# keeps them recomputable on executor loss (unlike localCheckpoint) but
+# the blocks outlive the query — repeated gate/bench invocations would
+# accumulate cache. Registering here lets dedup.clear_session_cache drop
+# them between repeats, keeping memory bounded.
+_TRANSIENT_PERSISTS: list[tuple[str, DataFrame]] = []
+
+
+def register_transient_persist(spark: SparkSession, df: DataFrame) -> None:
+    _TRANSIENT_PERSISTS.append((spark.sparkContext.applicationId, df))
+
+
+def clear_transient_persists(spark: SparkSession) -> None:
+    app = spark.sparkContext.applicationId
+    keep = []
+    for a, df in _TRANSIENT_PERSISTS:
+        if a == app:
+            df.unpersist()
+        else:
+            keep.append((a, df))
+    _TRANSIENT_PERSISTS[:] = keep

@@ -332,13 +332,17 @@ def _stacked_buckets(spark: SparkSession, sf_dir: str, family: str = "mix64") ->
 
 
 def clear_session_cache(spark: SparkSession) -> None:
-    """Unpersist and drop this application's cached bucket tables
-    (benchmarks call this between repeats so each run does full work)."""
+    """Unpersist and drop this application's cached bucket tables and any
+    registered ad-hoc persists (benchmarks call this between repeats so
+    each run does full work and cache never accumulates)."""
+    from . import clear_transient_persists
+
     app = spark.sparkContext.applicationId
     for k in [k for k in _STACKED_CACHE if k[0] == app]:
         _STACKED_CACHE.pop(k).unpersist()
     for k in [k for k in _EMB_AUG_CACHE if k[0] == app]:
         _EMB_AUG_CACHE.pop(k).unpersist()
+    clear_transient_persists(spark)
 
 
 def minhash_dup_pairs(spark: SparkSession, sf_dir: str, family: str = "mix64") -> DataFrame:

@@ -756,6 +756,9 @@ def cmvn_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("clip_id", *[F.round(c, 6).alias(c) for c in CMVN_COLS])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    from . import register_transient_persist
+
+    register_transient_persist(spark, feats)  # freed by clear_session_cache
     aggs = [F.count("*").alias("n")]
     for c in CMVN_COLS:
         aggs.append(F.sum(F.col(c).cast("decimal(28,6)")).alias(f"s1_{c}"))

@@ -539,6 +539,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         .agg(F.count("*").alias("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    from . import register_transient_persist
+
+    register_transient_persist(spark, tf)  # freed by clear_session_cache
     tf.count()  # materialize tf AND fill the observation in one job
     n_docs = obs.get["n_docs"]
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
