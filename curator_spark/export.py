@@ -112,3 +112,105 @@ same config always reproduces this dataset bit-identically.
     with open(os.path.join(out_dir, "README.md"), "w") as fh:
         fh.write(card)
     return info
+
+
+def publish_dataset(
+    pipe,
+    repo_dir: str,
+    fingerprint: str | None = None,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    checksums: bool = True,
+) -> dict:
+    """Hub-style local publish — the reference's ``push_to_hub``
+    (``base_request_processor.py:481-494``) re-expressed as a dataset-repo
+    layout a trainer (or an actual hub uploader) consumes directly:
+
+    ``repo_dir/data/{split}-{i:05d}-of-{n:05d}.parquet`` (hub shard
+    naming), ``README.md`` (card with YAML front-matter incl. the split
+    sizes), ``dataset_info.json`` (machine-readable twin) and
+    ``SHA256SUMS`` (the upload-integrity manifest the hub verifies).
+
+    Splits are the leakage-safe md5-prefix assignment on ``clip_id``
+    (ops/text._split_expr) — reproducible across runs and cluster sizes,
+    so republishing the same fingerprint yields byte-stable membership.
+    The split writes are distributed; only shard renames and (optional)
+    checksum hashing run driver-side. At a 100 TB publish the checksum
+    pass would move into a ``mapPartitions`` over the shard files —
+    driver-side hashing is the local-repo convenience, gated behind
+    ``checksums``."""
+    import hashlib
+    import shutil
+
+    from .ops.text import _split_expr
+
+    labeled = pipe.output(fingerprint)
+    kept = labeled.filter(F.col("keep")).withColumn(
+        "split", _split_expr(val_frac, test_frac, id_col="clip_id")
+    )
+    data_dir = os.path.join(repo_dir, "data")
+    shutil.rmtree(data_dir, ignore_errors=True)
+    os.makedirs(data_dir, exist_ok=True)
+
+    split_rows: dict[str, int] = {}
+    shards: list[str] = []
+    for split in ("train", "val", "test"):
+        tmp = os.path.join(repo_dir, f"_tmp_{split}")
+        part = kept.filter(F.col("split") == split).drop("split")
+        part.write.mode("overwrite").parquet(tmp)
+        files = sorted(
+            f for f in os.listdir(tmp) if f.endswith(".parquet") and not f.startswith(".")
+        )
+        n = len(files)
+        for i, f in enumerate(files):
+            shard = f"{split}-{i:05d}-of-{n:05d}.parquet"
+            os.replace(os.path.join(tmp, f), os.path.join(data_dir, shard))
+            shards.append(shard)
+        shutil.rmtree(tmp, ignore_errors=True)
+        split_rows[split] = pipe.spark.read.parquet(
+            *(os.path.join(data_dir, s) for s in shards if s.startswith(split))
+        ).count() if n else 0
+
+    if checksums:
+        with open(os.path.join(repo_dir, "SHA256SUMS"), "w") as fh:
+            for shard in shards:
+                h = hashlib.sha256()
+                with open(os.path.join(data_dir, shard), "rb") as sf:
+                    for chunk in iter(lambda: sf.read(1 << 20), b""):
+                        h.update(chunk)
+                fh.write(f"{h.hexdigest()}  data/{shard}\n")
+
+    fp = fingerprint or pipe.last_fingerprint
+    info = {
+        "run_fingerprint": fp,
+        "generated_at": datetime.now(timezone.utc).isoformat(),
+        "splits": split_rows,
+        "n_shards": len(shards),
+        "val_frac": val_frac,
+        "test_frac": test_frac,
+        "config_json": pipe.cfg.canonical_json(),
+    }
+    with open(os.path.join(repo_dir, "dataset_info.json"), "w") as fh:
+        json.dump(info, fh, indent=2)
+    split_lines = "\n".join(f"| {k} | {v} |" for k, v in split_rows.items())
+    with open(os.path.join(repo_dir, "README.md"), "w") as fh:
+        fh.write(
+            f"""---
+run_fingerprint: {fp}
+splits: {json.dumps(split_rows)}
+generated_at: {info["generated_at"]}
+---
+
+# Curated clip dataset (published)
+
+Hub-layout publish of run `{fp}` — kept rows only, leakage-safe
+md5(clip_id) split assignment (test < {test_frac} <= val < {test_frac + val_frac} <= train).
+
+| split | rows |
+|---|---|
+{split_lines}
+
+Shard integrity: `sha256sum -c SHA256SUMS` (from this directory).
+"""
+        )
+    return info

@@ -443,12 +443,13 @@ def dataset_split(
     return docs.select("doc_id", "lang", split.alias("split")).orderBy("doc_id")
 
 
-def _split_expr(val_frac: float, test_frac: float):
-    """The pure-codegen split assignment column (md5 prefix of doc_id as a
-    uniform dyadic fraction — exact IEEE double on both engines). Shared
-    by dataset_split and the composed curation_final_selection."""
+def _split_expr(val_frac: float, test_frac: float, id_col: str = "doc_id"):
+    """The pure-codegen split assignment column (md5 prefix of ``id_col``
+    as a uniform dyadic fraction — exact IEEE double on both engines).
+    Shared by dataset_split, curation_final_selection, and the hub-style
+    publisher (export.publish_dataset splits on clip_id)."""
     frac = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
             "double"
         )
         / F.lit(float(0x100000000))

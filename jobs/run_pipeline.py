@@ -45,6 +45,14 @@ def main(argv: list[str] | None = None) -> int:
         "card (README.md/dataset_info.json) to DIR (SURVEY S5)",
     )
     p.add_argument(
+        "--publish",
+        default=None,
+        metavar="DIR",
+        help="after the run, publish the kept rows as a hub-layout dataset "
+        "repo (split shards + SHA256SUMS + card) to DIR — the push_to_hub "
+        "analog (export.publish_dataset)",
+    )
+    p.add_argument(
         "--warmup",
         action="store_true",
         help="pay CPU-ramp/codegen/worker cold-start before the timed run "
@@ -83,6 +91,11 @@ def main(argv: list[str] | None = None) -> int:
         from curator_spark.export import export_dataset
 
         exported = export_dataset(pipe, args.export)["n_rows"]
+    published = None
+    if args.publish:
+        from curator_spark.export import publish_dataset
+
+        published = publish_dataset(pipe, args.publish)["splits"]
     # clips/sec is only meaningful when this invocation did ALL the work —
     # a cached or partially-resumed run divides total rows by partial wall
     full_run = not res.cached and res.partitions_skipped == 0
@@ -97,6 +110,7 @@ def main(argv: list[str] | None = None) -> int:
                 "wall_sec": round(wall, 2),
                 "clips_per_sec": round(n_rows / wall, 1) if wall > 0 and full_run else None,
                 "exported_rows": exported,
+                "published_splits": published,
             }
         )
     )

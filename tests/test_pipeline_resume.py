@@ -447,3 +447,54 @@ def test_pipeline_labels_invariant_across_partitionings(spark, workdir):
         })
     assert outs[0] == outs[1]
     assert len(outs[0]) == 300
+
+
+def test_publish_dataset_hub_layout(env, workdir):
+    """Hub-style publish (the reference's push_to_hub analog): shard
+    naming, split partition, checksum manifest, and leakage-safe
+    membership that matches the standalone split expression."""
+    import hashlib
+    import json
+
+    from pyspark.sql import functions as F
+
+    from curator_spark.export import publish_dataset
+    from curator_spark.ops.text import _split_expr
+
+    spark, inp, cfg, cat = env
+    pipe = Pipeline(spark, cat, cfg)
+    pipe.run(inp)
+    repo = os.path.join(workdir, "hub_repo")
+    info = publish_dataset(pipe, repo)
+
+    # shard naming + split row counts reconcile with the labeled table
+    data = os.path.join(repo, "data")
+    shards = sorted(os.listdir(data))
+    assert all(
+        s.split("-")[0] in ("train", "val", "test") and s.endswith(".parquet")
+        for s in shards
+    )
+    want = {
+        r["split"]: r["n"]
+        for r in pipe.kept()
+        .withColumn("split", _split_expr(0.1, 0.1, id_col="clip_id"))
+        .groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert info["splits"] == {s: want.get(s, 0) for s in ("train", "val", "test")}
+    assert sum(info["splits"].values()) == pipe.kept().count()
+
+    # checksum manifest verifies against the bytes on disk
+    for line in open(os.path.join(repo, "SHA256SUMS")):
+        digest, rel = line.split()
+        h = hashlib.sha256(open(os.path.join(repo, rel), "rb").read()).hexdigest()
+        assert h == digest, rel
+
+    # card front-matter carries the split sizes; info JSON round-trips
+    on_disk = json.load(open(os.path.join(repo, "dataset_info.json")))
+    assert on_disk == info
+    assert json.dumps(info["splits"]) in open(os.path.join(repo, "README.md")).read()
+
+    # split membership is disjoint and covers every published row
+    pub = spark.read.parquet(os.path.join(data, "*.parquet"))
+    assert pub.count() == sum(info["splits"].values())
+    assert pub.select("clip_id").distinct().count() == pub.count()
