@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mixed-modality row (round-4): transcript + audio + image in ONE
         # row, one fused decode stage, per-modality quarantine
         "multimodal_row_features": multimodal.multimodal_row_features,
+        "mm_quality_filter": multimodal.mm_quality_filter,
         "audio_decode_features": multimodal.audio_decode_features,
         "audio_segments": multimodal.audio_segments,
         "speech_rate": multimodal.speech_rate,
@@ -616,17 +617,20 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
     # multimodal_row_features: the mixed-modality row op — audio PCM
     # decode + integer milli-luminance pixel decode + split-words text
     # features composed over ONE fixture (scoring/mm_sql.py)
-    mm_sql_str = None
+    mm_sql_str = mm_filter_sql = None
     try:
         from curator_spark.scoring import mm_sql
 
-        mm_sql_str = mm_sql.multimodal_row_features_sql(mm_sql.ensure_mm_fixture())
+        _mm_path = mm_sql.ensure_mm_fixture()
+        mm_sql_str = mm_sql.multimodal_row_features_sql(_mm_path)
+        mm_filter_sql = mm_sql.mm_quality_filter_sql(_mm_path)
     except OSError as e:
         import warnings
 
         warnings.warn(
             f"mixed-modality oracle fixture unavailable ({e}); driver will "
-            "record a rows-only check for multimodal_row_features",
+            "record rows-only checks for multimodal_row_features / "
+            "mm_quality_filter",
             stacklevel=2,
         )
 
@@ -1188,6 +1192,8 @@ SELECT doc_id, rk, term, tf, df FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
         out["image_decode_features"] = image_feat_sql
     if mm_sql_str is not None:
         out["multimodal_row_features"] = mm_sql_str
+    if mm_filter_sql is not None:
+        out["mm_quality_filter"] = mm_filter_sql
     if video_feat_sql is not None:
         out["video_frame_features"] = video_feat_sql
     if pipe_sql is not None:

@@ -1095,6 +1095,52 @@ def multimodal_row_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("row_id")
 
 
+# multimodal keep/drop rule set: (predicate over the fused features,
+# reason tag). Order is the reasons-string order on both engines.
+MM_RULES_DOC = """audio_decode | image_decode | words_min (n_words<5) |
+silence (silence_ratio>0.6) | quiet (rms_db<-35) | flat_image (contrast<10)"""
+
+
+def mm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop decision over MIXED-MODALITY rows — the quality-filter
+    face (F4) of the `_MultiModalPrompt` family: a row survives only if
+    every modality decoded AND passes its quality rule (text length,
+    audio silence/level, image flatness). Emits the audit-friendly
+    (row_id, keep, reasons) shape the reference's keep/drop idiom uses
+    (doc_quality_filter is the text-only twin).
+
+    All rules are pure Catalyst over the fused stage's output — one
+    MapInPandas (the decode), then codegen predicates. Threshold
+    comparisons happen on the SAME round(x, 6) values on both engines,
+    so boundary behavior is identical by construction. Quarantined
+    modalities short-circuit their feature rules (audio_ok/image_ok
+    guards — a NULL feature never reaches a comparison that could
+    diverge)."""
+    from ..synth import mmrows
+
+    feats = multimodal_row_stage(mmrows.generate_mm_rows(spark, 200, 4))
+    r = [
+        (~F.col("audio_ok"), "audio_decode"),
+        (~F.col("image_ok"), "image_decode"),
+        (F.col("n_words") < 5, "words_min"),
+        (F.col("audio_ok") & (F.round("silence_ratio", 6) > 0.6), "silence"),
+        (F.col("audio_ok") & (F.round("rms_db", 6) < -35.0), "quiet"),
+        (F.col("image_ok") & (F.round("contrast", 6) < 10.0), "flat_image"),
+    ]
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(tag)) for cond, tag in r]),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        feats.select(
+            "row_id",
+            (F.size(reasons) == 0).alias("keep"),
+            F.concat_ws("|", reasons).alias("reasons"),
+        )
+        .orderBy("row_id")
+    )
+
+
 def clip_keep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete north-rule DAG (decode -> langid+ppl -> rules -> scrub
     -> keep/drop) over a deterministic seeded clip batch, rolled up per

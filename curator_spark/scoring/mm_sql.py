@@ -51,8 +51,55 @@ def ensure_mm_fixture(n: int = N_FIXTURE_ROWS) -> str:
 def multimodal_row_features_sql(path: str) -> str:
     """Oracle for ``multimodal_row_features``
     (curator_spark/ops/multimodal.py:multimodal_row_stage)."""
+    return f"""WITH {_mm_ctes(path)}
+SELECT m.clip_id AS row_id, t.n_chars, t.n_words,
+  CASE WHEN m.ok THEN a.rms_db ELSE CAST('nan' AS DOUBLE) END AS rms_db,
+  CASE WHEN m.ok THEN a.silence_ratio ELSE 1.0 END AS silence_ratio,
+  CASE WHEN im.ok THEN s.mean_lum END AS mean_lum,
+  CASE WHEN im.ok THEN s.contrast END AS contrast,
+  m.ok AS audio_ok,
+  im.ok AS image_ok
+FROM meta m
+JOIN txt t USING (clip_id)
+JOIN imeta im USING (clip_id)
+LEFT JOIN afeat a USING (clip_id)
+LEFT JOIN istats s USING (clip_id)
+ORDER BY m.clip_id
+"""
+
+
+def mm_quality_filter_sql(path: str) -> str:
+    """Oracle for ``mm_quality_filter`` — the same fused-feature CTEs,
+    then the rule predicates over the identical round(x, 6) values
+    (curator_spark/ops/multimodal.py:mm_quality_filter / MM_RULES_DOC)."""
+    return f"""WITH {_mm_ctes(path)},
+ruled AS (
+  SELECT m.clip_id, list_filter([
+    CASE WHEN NOT m.ok THEN 'audio_decode' END,
+    CASE WHEN NOT im.ok THEN 'image_decode' END,
+    CASE WHEN t.n_words < 5 THEN 'words_min' END,
+    CASE WHEN m.ok AND a.silence_ratio > 0.6 THEN 'silence' END,
+    CASE WHEN m.ok AND a.rms_db < -35.0 THEN 'quiet' END,
+    CASE WHEN im.ok AND s.contrast < 10.0 THEN 'flat_image' END
+  ], x -> x IS NOT NULL) AS rs
+  FROM meta m
+  JOIN txt t USING (clip_id)
+  JOIN imeta im USING (clip_id)
+  LEFT JOIN afeat a USING (clip_id)
+  LEFT JOIN istats s USING (clip_id)
+)
+SELECT clip_id AS row_id, len(rs) = 0 AS keep,
+  COALESCE(array_to_string(rs, '|'), '') AS reasons
+FROM ruled ORDER BY clip_id
+"""
+
+
+def _mm_ctes(path: str) -> str:
+    """Shared CTE body: audio sample decode (audio_sql verbatim) + text
+    split-words + image integer milli-luminance moments, all rounded to
+    6dp where the Spark side rounds."""
     lum = f"({_chan(1)} * 299 + {_chan(3)} * 587 + {_chan(5)} * 114)"
-    return f"""WITH {audio_sql._samples_cte(path)},
+    return f"""{audio_sql._samples_cte(path)},
 afeat AS (
   SELECT clip_id,
     round(20.0 * log10(GREATEST(sqrt(SUM(x * x) / COUNT(*)), 1e-6)), 6) AS rms_db,
@@ -95,18 +142,4 @@ afeat AS (
       CAST(s2 AS DOUBLE) / npx
       - (CAST(s1 AS DOUBLE) / npx) * (CAST(s1 AS DOUBLE) / npx))) / 1000.0, 6) AS contrast
   FROM imu
-)
-SELECT m.clip_id AS row_id, t.n_chars, t.n_words,
-  CASE WHEN m.ok THEN a.rms_db ELSE CAST('nan' AS DOUBLE) END AS rms_db,
-  CASE WHEN m.ok THEN a.silence_ratio ELSE 1.0 END AS silence_ratio,
-  CASE WHEN im.ok THEN s.mean_lum END AS mean_lum,
-  CASE WHEN im.ok THEN s.contrast END AS contrast,
-  m.ok AS audio_ok,
-  im.ok AS image_ok
-FROM meta m
-JOIN txt t USING (clip_id)
-JOIN imeta im USING (clip_id)
-LEFT JOIN afeat a USING (clip_id)
-LEFT JOIN istats s USING (clip_id)
-ORDER BY m.clip_id
-"""
+)"""

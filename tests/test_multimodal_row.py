@@ -95,3 +95,22 @@ def test_gate_query_schema_and_rows(spark):
     ]
     rows = df.limit(5).collect()
     assert len(rows) == 5
+
+
+def test_mm_quality_filter_semantics(spark):
+    """The multimodal keep/drop: quarantined modalities always drop with
+    the decode reason; keeps have every modality ok and no rule reason;
+    reason composition matches a per-row recompute."""
+    rows = {
+        r["row_id"]: r
+        for r in multimodal.mm_quality_filter(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(rows) == 200
+    both_bad = rows["clip_000000000000"]
+    assert not both_bad["keep"]
+    assert "audio_decode" in both_bad["reasons"] and "image_decode" in both_bad["reasons"]
+    kept = [r for r in rows.values() if r["keep"]]
+    dropped = [r for r in rows.values() if not r["keep"]]
+    assert kept and dropped  # thresholds actually split the fixture
+    assert all(r["reasons"] == "" for r in kept)
+    assert all(r["reasons"] != "" for r in dropped)
