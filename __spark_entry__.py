@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ivf_topk": similarity.ivf_topk,
+        "lsh_topk": similarity.lsh_topk,
         "kmeans_assign": similarity.kmeans_assign,
         # text analysis (changed-this-round entries first)
         "bigram_self_ppl": text.bigram_self_ppl,
@@ -473,6 +474,47 @@ SELECT CAST(MIN(dst) AS BIGINT) AS group_id, src AS vec_id
 FROM vreach GROUP BY src ORDER BY group_id, vec_id
 """
     )
+
+    # lsh_topk: the LSH-bucketed ANN search path — 8x8-bit SRP band keys
+    # with the search-family planes inlined as '%.6e' literals, the same
+    # bucket join the Spark side runs, exact cosine + top-k on candidates
+    from curator_spark.ops.similarity import (
+        ANN_LSH_BANDS, ANN_LSH_BITS, ANN_LSH_DIM, ANN_PLANES,
+    )
+
+    ann_plane_rows = ",\n".join(
+        f"({i}, [{', '.join(f'{v:.6e}' for v in ANN_PLANES[i])}])"
+        for i in range(ANN_LSH_BANDS * ANN_LSH_BITS)
+    )
+    lsh_topk_sql = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
+), aplanes(pid, plane) AS (VALUES
+{ann_plane_rows}
+), abits AS (
+  SELECT v.vec_id, p.pid // {ANN_LSH_BITS} AS band, p.pid % {ANN_LSH_BITS} AS k,
+    CASE WHEN list_sum(list_transform(range(1, {ANN_LSH_DIM + 1}), j -> v.emb[j] * p.plane[j])) > 0
+         THEN 1 ELSE 0 END AS bit
+  FROM base v CROSS JOIN aplanes p
+), akeys AS (
+  SELECT vec_id, band, CAST(SUM(bit * (1 << k)) AS BIGINT) AS bkey
+  FROM abits GROUP BY vec_id, band
+), qk AS (
+  SELECT band, bkey FROM akeys WHERE vec_id = 0
+), cand AS (
+  SELECT DISTINCT a.vec_id FROM akeys a JOIN qk USING (band, bkey)
+), qv AS (SELECT emb AS q FROM base WHERE vec_id = 0),
+scored AS (
+  SELECT b.vec_id,
+    list_sum(list_transform(range(1, {ANN_LSH_DIM + 1}), i -> b.emb[i] * qv.q[i])) AS dot,
+    sqrt(list_sum(list_transform(b.emb, x -> x * x))) AS nx,
+    sqrt(list_sum(list_transform(qv.q, x -> x * x))) AS ny
+  FROM base b JOIN cand USING (vec_id), qv
+)
+SELECT vec_id,
+  round(CASE WHEN nx > 0 AND ny > 0 THEN dot / (nx * ny) ELSE 0.0 END, 6) AS cos_sim
+FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
 
     # ivf_topk: training is deterministic, so the oracle replicates it
     # OUTSIDE Spark (pyarrow read → xxhash64-parity sample → seeded Lloyd,
@@ -1163,6 +1205,7 @@ SELECT doc_id, rk, term, tf, df FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
     }
     if ivf_sql is not None:
         out["ivf_topk"] = ivf_sql
+    out["lsh_topk"] = lsh_topk_sql
     out["langid_docs"] = langid_sql
     if ppl_sql is not None:
         out["doc_perplexity"] = ppl_sql

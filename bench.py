@@ -164,6 +164,8 @@ def main() -> None:
             for r in similarity.ivf_topk(spark, sf_dir, k=10, n_probe=n_probe).collect()
         ]
         recalls[n_probe] = len(set(exact_ids) & set(approx)) / max(len(exact_ids), 1)
+    lsh_ids = [r["vec_id"] for r in similarity.lsh_topk(spark, sf_dir, k=10).collect()]
+    lsh_recall = len(set(exact_ids) & set(lsh_ids)) / max(len(exact_ids), 1)
 
     timings = {n: round(statistics.median(v), 3) for n, v in samples.items()}
     extra: dict = {
@@ -176,6 +178,9 @@ def main() -> None:
         "common_total_sec": round(sum(timings[n] for n in common_set), 3),
         "ivf_recall_at_10": round(recalls[4], 3),        # n_probe=4 of 16 cells
         "ivf_recall_at_10_probe8": round(recalls[8], 3),  # n_probe=8 of 16 cells
+        # 8x8-bit SRP probe (~3% of table); low on this near-random
+        # table by design — see ops/similarity.lsh_topk docstring
+        "lsh_recall_at_10": round(lsh_recall, 3),
     }
     for name, n in rows_out.items():
         extra[f"{name}_rows"] = n

@@ -61,11 +61,90 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
 
 
+def lsh_topk(spark: SparkSession, sf_dir: str, k: int = 10, query_id: int = 0) -> DataFrame:
+    """LSH-bucketed approximate top-k by cosine vs the ``query_id``
+    embedding — the second scale path next to IVF: vectors hash into
+    8x8-bit signed-random-projection band buckets; the query probes ONLY
+    vectors sharing at least one band bucket (expected ≈ bands·n/256 ≈ 3%
+    of the table), exact cosine ranks the candidates (ties → vec_id asc).
+
+    Scale shape: the band-key pass is one vectorized ``ArrowEvalPython``
+    batch matmul over the table — at 10^9+ vectors the stacked
+    (vec_id, bucket) table is materialized ONCE (exactly like
+    ``build_ivf_index``'s cell layout) and each query is a bucket-key
+    lookup + ~3%-scan, never a full-table cosine. The oracle replicates
+    the planes as inlined '%.6e' literals and the same bucket join; the
+    BLAS-vs-sequential sign-flip risk at |dot| ~ 1e-13 is the documented
+    accepted risk shared with ops/dedup.embedding_near_dups."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = np.array([np.float32(v) for v in query_vector(spark, sf_dir, query_id)], dtype=np.float64)
+    if qv.shape[0] != ANN_LSH_DIM:
+        raise ValueError(
+            f"embedding dim {qv.shape[0]} != ANN_LSH_DIM {ANN_LSH_DIM}: regenerate "
+            "ANN_PLANES for this table's dimensionality"
+        )
+    qbits = (qv @ ANN_PLANES.T) > 0
+    probe = [
+        f"{b}:{sum(int(qbits[b * ANN_LSH_BITS + j]) << j for j in range(ANN_LSH_BITS))}"
+        for b in range(ANN_LSH_BANDS)
+    ]
+    planes = ANN_PLANES
+
+    @F.pandas_udf("array<int>")
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (E @ planes.T) > 0
+        keys = np.zeros((len(E), ANN_LSH_BANDS), dtype=np.int64)
+        for b in range(ANN_LSH_BANDS):
+            for j in range(ANN_LSH_BITS):
+                keys[:, b] |= bits[:, b * ANN_LSH_BITS + j].astype(np.int64) << j
+        return pd.Series([row for row in keys.astype(np.int32)])
+
+    stacked = emb.select(
+        "vec_id",
+        F.explode(
+            F.transform(band_keys(F.transform("embedding", lambda x: x.cast("double"))),
+                        lambda key, i: F.concat_ws(":", i, key))
+        ).alias("bucket"),
+    )
+    cand_ids = stacked.filter(F.col("bucket").isin(probe)).select("vec_id").distinct()
+    q = F.array(*[F.lit(float(v)) for v in qv])
+    return (
+        emb.join(cand_ids, "vec_id")
+        .select("vec_id", F.round(_cosine(F.col("embedding"), q), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )
+
+
 def _quantize6e(arr: np.ndarray) -> np.ndarray:
     """Quantize to the exact doubles that '%.6e' SQL literals parse to —
     the same trick EMB_PLANES uses (ops/dedup.py): after this, the Spark
     UDF and the DuckDB oracle hold bit-identical centroid values."""
     return np.array([[float(f"{v:.6e}") for v in row] for row in arr])
+
+
+# LSH-bucketed ANN (the brief's "IVF or LSH-bucketed variant"): 8 bands x
+# 8 bits — COARSER buckets than the dedup family's 4x16 (2^8 = 256
+# buckets/band), because search wants candidate RECALL at moderate
+# similarity, not near-identical pair precision. Expected probe set ≈
+# bands · n / 2^bits ≈ 3% of the table per query.
+ANN_LSH_BANDS = 8
+ANN_LSH_BITS = 8
+ANN_LSH_DIM = 64
+
+
+def _ann_planes() -> np.ndarray:
+    """Deterministic SRP hyperplanes for the search family, quantized to
+    the exact doubles the oracle's '%.6e' literals parse to (the same
+    trick as ops/dedup.EMB_PLANES)."""
+    rng = np.random.default_rng(20260818)
+    return _quantize6e(rng.standard_normal((ANN_LSH_BANDS * ANN_LSH_BITS, ANN_LSH_DIM)))
+
+
+ANN_PLANES = _ann_planes()
 
 
 # XXH64 primes (public algorithm, Collet) — Spark's xxhash64(long) is

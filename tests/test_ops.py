@@ -593,3 +593,21 @@ def test_curation_final_selection_composition(spark):
         zip(*(lambda d: (d.doc_id, d.split))(text.dataset_split(spark, SF_DIR).toPandas()))
     )
     assert all(split_map[d] == s for d, s in zip(sel.doc_id, sel.split))
+
+
+def test_lsh_topk_candidates_and_recall(spark):
+    """LSH-bucketed ANN: the query always retrieves itself (identical
+    band keys), results are a subset of the table ranked by exact cosine,
+    and recall@10 vs brute force is nonzero. On this near-random
+    embedding table weak neighbors (cos ~0.5) legitimately fall outside
+    the probed buckets — high recall here would indicate the probe set
+    degenerated to a full scan, not a better index."""
+    from curator_spark.ops import similarity
+
+    exact = [r["vec_id"] for r in similarity.ann_cosine_topk(spark, SF_DIR, k=10).collect()]
+    lsh = similarity.lsh_topk(spark, SF_DIR, k=10).collect()
+    ids = [r["vec_id"] for r in lsh]
+    assert ids[0] == exact[0] == 0  # the query vector itself
+    assert len(set(exact) & set(ids)) >= 1
+    sims = [r["cos_sim"] for r in lsh]
+    assert sims == sorted(sims, reverse=True)
