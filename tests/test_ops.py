@@ -611,3 +611,46 @@ def test_lsh_topk_candidates_and_recall(spark):
     assert len(set(exact) & set(ids)) >= 1
     sims = [r["cos_sim"] for r in lsh]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_index_partition_pruning(spark, workdir):
+    """The materialized LSH index must (a) return exactly the same top-k
+    as the in-flight lsh_topk and (b) physically open ONLY the probed
+    (band, bkey) directories — one per band."""
+    import os
+    import re
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from curator_spark.ops import similarity
+
+    idx = os.path.join(workdir, "lsh_idx")
+    similarity.build_lsh_index(spark, SF_DIR, idx)
+
+    qv = similarity.query_vector(spark, SF_DIR, 0)
+    got = similarity.lsh_topk_indexed(spark, idx, qv, k=10).collect()
+    want = similarity.lsh_topk(spark, SF_DIR, k=10).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == [
+        (r["vec_id"], r["cos_sim"]) for r in want
+    ]
+
+    q32 = np.asarray([float(np.float32(v)) for v in qv])
+    qbits = (q32 @ similarity.ANN_PLANES.T) > 0
+    expect = {
+        (b, sum(int(qbits[b * similarity.ANN_LSH_BITS + j]) << j
+                for j in range(similarity.ANN_LSH_BITS)))
+        for b in range(similarity.ANN_LSH_BANDS)
+    }
+    vecs = spark.read.parquet(os.path.join(idx, "vectors"))
+    probe = None
+    for b, key in expect:
+        cond = (F.col("band") == b) & (F.col("bkey") == key)
+        probe = cond if probe is None else (probe | cond)
+    touched = {
+        tuple(int(x) for x in re.search(r"band=(\d+)/bkey=(\d+)", f).groups())
+        for (f,) in vecs.filter(probe).select(F.input_file_name()).distinct().collect()
+    }
+    n_dirs = vecs.select("band", "bkey").distinct().count()
+    # only the 8 probed bucket directories were physically opened
+    assert touched <= expect and len(touched) <= similarity.ANN_LSH_BANDS < n_dirs
