@@ -2,10 +2,14 @@
 
 - brute-force cosine top-k: the exact baseline, pure higher-order SQL
   functions (dot product via zip_with + aggregate, JVM-side).
-- IVF top-k: the scale path — k-means-style coarse quantizer (deterministic
+- IVF top-k: scale path #1 — k-means-style coarse quantizer (deterministic
   seeded centroids refined with a few Lloyd iterations on a sample),
   probe the nearest ``n_probe`` cells only. At 10^9 vectors the brute-force
   scan is O(n·d) per query; IVF scans n_probe/n_cells of it.
+- LSH top-k: scale path #2 — 8x8-bit signed-random-projection band
+  buckets; a query probes ~bands/2^bits of the table. Both paths have
+  materialized, partition-pruned index twins (``build_ivf_index`` /
+  ``build_lsh_index``).
 
 All float math is float32→float64 element casts + sequential fold, so the
 brute-force results hash-match the DuckDB oracle exactly.
