@@ -123,6 +123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-hash oracles: the SQL side decodes the media payloads
         # itself (scoring/audio_sql.py, image_sql.py, pipeline_sql.py)
         "clip_keep_summary": multimodal.clip_keep_summary,
+        # round-4: the scrub stage as a first-class audit query — per-rule
+        # hit counts + the scrubbed string itself hash-compared per clip
+        "pii_scrub_detail": multimodal.pii_scrub_detail,
         # mixed-modality row (round-4): transcript + audio + image in ONE
         # row, one fused decode stage, per-modality quarantine
         "multimodal_row_features": multimodal.multimodal_row_features,
@@ -140,6 +143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_zcr": multimodal.audio_zcr,
         "cmvn_features": multimodal.cmvn_features,
         "audio_resample_stats": multimodal.audio_resample_stats,
+        # round-4: frame-energy SNR estimate (the north star's >=30dB gauge)
+        "audio_snr_estimate": multimodal.audio_snr_estimate,
         "image_decode_features": multimodal.image_decode_features,
         "video_frame_features": multimodal.video_frame_features,
         "doc_perplexity": text.doc_perplexity,        # full oracle (inlined LM)
@@ -611,7 +616,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
     audio_feat_sql = audio_seg_sql = audio_rate_sql = None
     audio_fp_sql = audio_dup_sql = audio_groups_sql = audio_loud_sql = None
     audio_win_sql = audio_batch_sql = audio_winfeat_sql = audio_zcr_sql = None
-    audio_cmvn_sql = audio_resample_sql = None
+    audio_cmvn_sql = audio_resample_sql = audio_snr_sql_str = None
     try:
         from curator_spark.scoring import audio_sql
 
@@ -630,6 +635,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
         audio_zcr_sql = audio_sql.audio_zcr_sql(_clip_path)
         audio_cmvn_sql = audio_sql.cmvn_features_sql(_clip_path)
         audio_resample_sql = audio_sql.audio_resample_stats_sql(_clip_path)
+        audio_snr_sql_str = audio_sql.audio_snr_sql(_clip_path)
     except OSError as e:
         import warnings
 
@@ -642,11 +648,13 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
     # clip_keep_summary: the FLAGSHIP query — the whole decode → langid+ppl
     # → scrub → rules → decide DAG replayed in SQL by composing the proven
     # per-stage oracles (curator_spark/scoring/pipeline_sql.py).
-    pipe_sql = None
+    pipe_sql = pii_scrub_sql = None
     try:
         from curator_spark.scoring import pipeline_sql
 
-        pipe_sql = pipeline_sql.clip_keep_summary_sql(pipeline_sql.ensure_pipe_fixture())
+        _pipe_path = pipeline_sql.ensure_pipe_fixture()
+        pipe_sql = pipeline_sql.clip_keep_summary_sql(_pipe_path)
+        pii_scrub_sql = pipeline_sql.pii_scrub_detail_sql(_pipe_path)
     except OSError as e:
         import warnings
 
@@ -1228,6 +1236,7 @@ SELECT doc_id, rk, term, tf, df FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
         "audio_zcr": audio_zcr_sql,
         "cmvn_features": audio_cmvn_sql,
         "audio_resample_stats": audio_resample_sql,
+        "audio_snr_estimate": audio_snr_sql_str,
     }.items():
         if _v is not None:
             out[_k] = _v
@@ -1241,6 +1250,8 @@ SELECT doc_id, rk, term, tf, df FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
         out["video_frame_features"] = video_feat_sql
     if pipe_sql is not None:
         out["clip_keep_summary"] = pipe_sql
+    if pii_scrub_sql is not None:
+        out["pii_scrub_detail"] = pii_scrub_sql
     # token_count_bpe: trained merge ranks inlined as VALUES, the greedy
     # merge loop itself re-executed as a recursive CTE (scoring/bpe_sql.py)
     from curator_spark.scoring import bpe_sql

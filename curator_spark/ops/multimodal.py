@@ -12,7 +12,7 @@ container lacks decode libraries for raise in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -391,6 +391,85 @@ def audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("est_freq_hz", 6).alias("est_freq_hz"),
             F.round("peak", 6).alias("peak"),
             "decode_ok",
+        )
+        .orderBy("clip_id")
+    )
+
+
+SNR_SCHEMA = (
+    "clip_id string, signal_db double, noise_db double, snr_db double, "
+    "n_frames int, decode_ok boolean"
+)
+
+
+def _nan_to_null(name: str) -> Column:
+    """pandas coerces ``None`` in a float64 column to NaN before Arrow ships
+    it, so a quarantined row's "no value" would reach Spark as NaN while
+    the SQL oracle says NULL — normalize back (the op never emits a real
+    NaN)."""
+    c = F.col(name)
+    return F.when(F.isnan(c), F.lit(None)).otherwise(c).alias(name)
+
+
+def audio_snr_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile frame-energy SNR estimate per clip — the north star's
+    decoded-PCM quality gauge (SNR>=30dB) as a first-class curation
+    feature, via the public NIST-STNR idea: signal level = mean of the top
+    decile of 20 ms-frame energies, noise floor = mean of the bottom
+    decile (scoring/audio.py:snr_stats — no VAD labels needed, so it works
+    on wall-to-wall speech). ``snr_ok`` applies the 30 dB rule to the
+    6-decimal-rounded value, so both engines compare the same number.
+
+    One fused decode ``MapInPandas`` (bytes cross the Arrow socket once);
+    only six narrow feature columns leave the stage. Full oracle:
+    scoring/audio_sql.audio_snr_sql decodes the PCM and replays the
+    rank-decile partition in SQL (tie-stable: the decile is an energy
+    multiset).
+
+    Reference analog: per-row derived media stats (SURVEY.md §2.5 A1)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..scoring import audio as audio_scoring
+    from ..synth import clips
+
+    cols = [f.split()[0] for f in SNR_SCHEMA.split(", ")]
+
+    def _snr(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for b, c, sr, cid in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["clip_id"]):
+                try:
+                    pcm = audio_scoring.decode(bytes(b), c, int(sr))
+                    rows.append(
+                        {"clip_id": cid, **audio_scoring.snr_stats(pcm, int(sr)), "decode_ok": True}
+                    )
+                except Exception:  # noqa: BLE001 - quarantine semantics
+                    rows.append(
+                        {"clip_id": cid, "signal_db": None, "noise_db": None,
+                         "snr_db": None, "n_frames": None, "decode_ok": False}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    df = clips.generate_clips(spark, 200, 4)
+    return (
+        df.mapInPandas(_snr, schema=SNR_SCHEMA)
+        .select(
+            "clip_id",
+            F.round(_nan_to_null("signal_db"), 6).alias("signal_db"),
+            F.round(_nan_to_null("noise_db"), 6).alias("noise_db"),
+            F.round(_nan_to_null("snr_db"), 6).alias("snr_db"),
+            "n_frames",
+            "decode_ok",
+        )
+        .withColumn(
+            "snr_ok",
+            F.when(F.col("snr_db").isNotNull(), F.col("snr_db") >= F.lit(30.0)),
+        )
+        .select(
+            "clip_id", "signal_db", "noise_db", "snr_db",
+            "n_frames", "snr_ok", "decode_ok",
         )
         .orderBy("clip_id")
     )
@@ -1138,6 +1217,35 @@ def mm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("|", reasons).alias("reasons"),
         )
         .orderBy("row_id")
+    )
+
+
+def pii_scrub_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone PII/toxicity scrub over the clip transcripts — the
+    north rule's "compiled-regex PII/toxicity scrubbing" surfaced as a
+    first-class audit query instead of a hidden pipeline stage: per clip,
+    the fully scrubbed transcript plus WHICH pattern fired how often
+    (email/ssn/phone/tox). Pure Catalyst ``regexp_replace`` chain
+    (stages.scrub_detail_stage) — zero Python in the hot path; the only
+    exchange is the output ordering. Full value-hash oracle: the DuckDB
+    side replays the identical chain with RE2 ``regexp_replace(...,'g')``
+    + ``regexp_extract_all`` counts (scoring/pipeline_sql.py), so the
+    scrubbed STRING itself is hash-compared per row — stronger than the
+    flagship's rolled-up hit totals.
+
+    Reference analog: per-row transform + structured audit output
+    (SURVEY.md §2.2 M7, §2.5 A5)."""
+    from .. import stages
+    from ..synth import clips
+
+    df = clips.generate_clips(spark, 300, 4).select("clip_id", "transcript")
+    return (
+        stages.scrub_detail_stage(df)
+        .select(
+            "clip_id", "scrubbed_transcript",
+            "email_hits", "ssn_hits", "phone_hits", "tox_hits",
+        )
+        .orderBy("clip_id")
     )
 
 

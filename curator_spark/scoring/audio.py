@@ -159,6 +159,57 @@ def segments(
     }
 
 
+def snr_stats(
+    pcm: np.ndarray,
+    sr_hz: int,
+    frame_ms: int = FRAME_MS,
+) -> dict[str, float | int | None]:
+    """Decile frame-energy SNR estimate — the public NIST-STNR idea
+    (speech level and noise floor read off the frame-energy distribution,
+    no VAD labels needed): signal = mean of the top ``ceil(n/10)`` frame
+    energies, noise floor = mean of the bottom decile, and
+    ``snr_db = 10·log10(signal) − 10·log10(noise)``. The north star's own
+    per-clip gauge (decoded-PCM SNR>=30dB) as a curation feature.
+
+    The decile size is the INTEGER ``(n_frames + 9) // 10`` on both
+    engines — pure integer arithmetic, immune to the rounding of a float
+    ``ceil(n·0.1)`` by construction. Selecting the k smallest/largest
+    energies is a multiset operation, so rank-tie order cannot change the
+    means. A zero noise floor (digital silence)
+    or an empty clip has no defined SNR → ``None``. Frame slicing and
+    padding are bit-shared with :func:`segments`."""
+    n = pcm.shape[0]
+    none = {
+        "signal_db": None,
+        "noise_db": None,
+        "snr_db": None,
+        "n_frames": 0,
+    }
+    if n == 0:
+        return none
+    frame = max(1, int(sr_hz * frame_ms / 1000))
+    n_frames = -(-n // frame)
+    padded = np.zeros(n_frames * frame, dtype=np.float64)
+    padded[:n] = pcm
+    fr = padded.reshape(n_frames, frame)
+    energy = np.sort((fr * fr).sum(axis=1) / frame)
+    k = (n_frames + 9) // 10
+    out: dict[str, float | int | None] = dict(none)
+    out["n_frames"] = int(n_frames)
+    signal_db = noise_db = None
+    m = float(energy[-k:].mean())
+    if m > 0.0:
+        signal_db = 10.0 * float(np.log10(m))
+    m = float(energy[:k].mean())
+    if m > 0.0:
+        noise_db = 10.0 * float(np.log10(m))
+    out["signal_db"] = signal_db
+    out["noise_db"] = noise_db
+    if signal_db is not None and noise_db is not None:
+        out["snr_db"] = signal_db - noise_db
+    return out
+
+
 def decode_features(blob: bytes, codec: str, sr_hz: int, dur_ms: int) -> dict[str, float]:
     """decode → features → drop PCM. One call per row inside an Arrow batch;
     PCM (up to ~100x the encoded bytes) never persists past the call."""

@@ -244,6 +244,52 @@ ORDER BY m.clip_id
 """
 
 
+def audio_snr_sql(path: str) -> str:
+    """Oracle for ``audio_snr_estimate``: decile frame-energy SNR
+    (scoring/audio.py:snr_stats) — rank the 20 ms-frame energies per clip,
+    average the top / bottom ``(n_frames + 9) // 10`` (integer decile —
+    no float rounding can split the engines), then ``10·log10`` of each
+    side. Rank ties select the same energy multiset on both engines, so
+    the means are tie-stable; a zero noise floor → NULL snr on both."""
+    return f"""WITH {_samples_cte(path)},
+fsize AS (
+  SELECT clip_id, GREATEST(CAST(sr_hz * 20 / 1000 AS BIGINT), 1) AS frame
+  FROM meta
+), frames AS (
+  SELECT s.clip_id, s.k // f.frame AS fi,
+    SUM(s.x * s.x) / ANY_VALUE(f.frame) AS en
+  FROM sampx s JOIN fsize f USING (clip_id)
+  GROUP BY s.clip_id, s.k // f.frame
+), ranked AS (
+  SELECT clip_id, en,
+    row_number() OVER (PARTITION BY clip_id ORDER BY en) AS rlo,
+    row_number() OVER (PARTITION BY clip_id ORDER BY en DESC) AS rhi,
+    COUNT(*) OVER (PARTITION BY clip_id) AS nf
+  FROM frames
+), per_clip AS (
+  SELECT clip_id, ANY_VALUE(nf) AS nf,
+    AVG(en) FILTER (WHERE rhi <= (nf + 9) // 10) AS sig_mean,
+    AVG(en) FILTER (WHERE rlo <= (nf + 9) // 10) AS no_mean
+  FROM ranked GROUP BY clip_id
+), levels AS (
+  SELECT clip_id, nf,
+    CASE WHEN sig_mean > 0 THEN 10.0 * log10(sig_mean) END AS signal_db,
+    CASE WHEN no_mean > 0 THEN 10.0 * log10(no_mean) END AS noise_db
+  FROM per_clip
+)
+SELECT m.clip_id,
+  CASE WHEN m.ok THEN round(l.signal_db, 6) END AS signal_db,
+  CASE WHEN m.ok THEN round(l.noise_db, 6) END AS noise_db,
+  CASE WHEN m.ok THEN round(l.signal_db - l.noise_db, 6) END AS snr_db,
+  CASE WHEN m.ok THEN CAST(COALESCE(l.nf, 0) AS INT) END AS n_frames,
+  CASE WHEN m.ok AND l.signal_db IS NOT NULL AND l.noise_db IS NOT NULL
+       THEN round(l.signal_db - l.noise_db, 6) >= 30.0 END AS snr_ok,
+  m.ok AS decode_ok
+FROM meta m LEFT JOIN levels l USING (clip_id)
+ORDER BY m.clip_id
+"""
+
+
 def audio_resample_stats_sql(path: str, target_hz: int = 8000) -> str:
     """Oracle for ``audio_resample_stats``: re-select the nearest-neighbor
     sample indices with the IDENTICAL integer arithmetic

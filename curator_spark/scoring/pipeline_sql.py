@@ -102,6 +102,46 @@ SELECT doc_id AS clip_id, lang, keep FROM decide ORDER BY doc_id
 """
 
 
+def pii_scrub_detail_sql(path: str) -> str:
+    """Oracle for ``pii_scrub_detail``: the EMAIL → SSN → PHONE → TOX
+    chain replayed step-by-step in RE2 — each step counts on the text the
+    PREVIOUS step already scrubbed (so an SSN inside a replaced email can
+    never double-count), exactly like ``stages.scrub_detail_stage``. The
+    scrubbed string itself is a hash-compared column."""
+    (_, p_email, r_email), (_, p_ssn, r_ssn), (_, p_phone, r_phone), (_, p_tox, r_tox) = (
+        SCRUB_PATTERNS
+    )
+    return f"""WITH d AS (
+  SELECT clip_id, COALESCE(transcript, '') AS t0 FROM read_parquet('{path}')
+), s1 AS (
+  SELECT clip_id, len(regexp_extract_all(t0, {_q(p_email)})) AS email_hits,
+         regexp_replace(t0, {_q(p_email)}, {_q(r_email)}, 'g') AS t1
+  FROM d
+), s2 AS (
+  SELECT clip_id, email_hits,
+         len(regexp_extract_all(t1, {_q(p_ssn)})) AS ssn_hits,
+         regexp_replace(t1, {_q(p_ssn)}, {_q(r_ssn)}, 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT clip_id, email_hits, ssn_hits,
+         len(regexp_extract_all(t2, {_q(p_phone)})) AS phone_hits,
+         regexp_replace(t2, {_q(p_phone)}, {_q(r_phone)}, 'g') AS t3
+  FROM s2
+), s4 AS (
+  SELECT clip_id, email_hits, ssn_hits, phone_hits,
+         len(regexp_extract_all(t3, {_q(p_tox)})) AS tox_hits,
+         regexp_replace(t3, {_q(p_tox)}, {_q(r_tox)}, 'g') AS scrubbed_transcript
+  FROM s3
+)
+SELECT clip_id, scrubbed_transcript,
+  CAST(email_hits AS INT) AS email_hits,
+  CAST(ssn_hits AS INT) AS ssn_hits,
+  CAST(phone_hits AS INT) AS phone_hits,
+  CAST(tox_hits AS INT) AS tox_hits
+FROM s4 ORDER BY clip_id
+"""
+
+
 def _pipeline_ctes(path: str) -> str:
     """The shared WITH-chain ending in ``decide(doc_id, lang, ppl,
     silence_ratio, keep)``."""

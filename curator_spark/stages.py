@@ -197,6 +197,26 @@ def scrub_stage(df: DataFrame) -> DataFrame:
     )
 
 
+def scrub_detail_stage(df: DataFrame) -> DataFrame:
+    """+ scrubbed_transcript and PER-RULE hit counts (email_hits, ssn_hits,
+    phone_hits, tox_hits) — the audit-table face of the scrub: a PII
+    review needs to know WHICH pattern fired, not just the total.
+    Same fixed chain and counting trick as :func:`scrub_stage`; NULL
+    transcripts coalesce to '' so the counts are total (0, never -1
+    from ``split(NULL)``).
+
+    Reference analog: per-row transform surface (SURVEY.md §2.2 M7)."""
+    cur = F.coalesce(F.col("transcript"), F.lit(""))
+    hit_cols: dict[str, Column] = {}
+    for rid, pat, rep in SCRUB_PATTERNS:
+        hits, cur = _count_and_replace(cur, pat, rep)
+        hit_cols[rid] = hits
+    out = df.withColumn("scrubbed_transcript", cur)
+    for rid, hits in hit_cols.items():
+        out = out.withColumn(f"{rid}_hits", hits.cast("int"))
+    return out
+
+
 # ----------------------------------------------------------------- rules
 
 def _words() -> Column:

@@ -355,3 +355,43 @@ def test_resample_nn_invariants():
     up = audio.resample_nn(x, 8000, 16000)
     assert up.shape[0] == 2000 and np.array_equal(up, np.repeat(x, 2))
     assert audio.resample_nn(x[:0], 16000, 8000).shape[0] == 0
+
+
+def test_snr_stats_separates_clean_from_noisy():
+    """A tone with quiet gaps must score a much higher decile SNR than the
+    same tone drowned in broadband noise; totality on degenerate inputs
+    (empty, constant, all-zero) must hold and NULL where log10 has no
+    argument."""
+    import numpy as np
+
+    from curator_spark.scoring import audio as audio_scoring
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    gated = tone * (np.sin(2 * np.pi * 2.0 * t) > 0)  # half tone, half silence
+    rng = np.random.default_rng(7)
+    floor = 0.001 * rng.standard_normal(sr)
+    clean = audio_scoring.snr_stats(gated + floor, sr)
+    noisy = audio_scoring.snr_stats(tone + 0.3 * rng.standard_normal(sr), sr)
+    assert clean["snr_db"] is not None and noisy["snr_db"] is not None
+    assert clean["snr_db"] > 30.0  # quiet floor vs tone: wide gap
+    assert noisy["snr_db"] < 10.0  # noise dominates every frame
+    assert clean["n_frames"] == noisy["n_frames"] == 50
+
+    empty = audio_scoring.snr_stats(np.array([]), sr)
+    assert empty == {"signal_db": None, "noise_db": None, "snr_db": None, "n_frames": 0}
+    silent = audio_scoring.snr_stats(np.zeros(sr), sr)
+    assert silent["snr_db"] is None and silent["n_frames"] == 50
+    const = audio_scoring.snr_stats(np.full(sr, 0.25), sr)
+    assert abs(const["snr_db"]) < 1e-9  # flat energy: top == bottom decile
+
+
+def test_snr_decile_is_integer_exact():
+    """The decile size must be (n+9)//10 == ceil(n/10) for every frame
+    count — pure integer arithmetic, so the Spark and DuckDB sides cannot
+    disagree the way a float ``ceil(n*0.1)`` could after rounding."""
+    import math
+
+    for n in range(1, 2000):
+        assert (n + 9) // 10 == math.ceil(n / 10)

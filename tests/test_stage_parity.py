@@ -211,3 +211,34 @@ def streaming_schema():
     from curator_spark.streaming import CLIPS_SCHEMA
 
     return CLIPS_SCHEMA
+
+
+def test_scrub_detail_per_rule_counts_match_python(spark):
+    """scrub_detail_stage's per-rule hit columns and scrubbed string must
+    equal Python scrub()'s subn counts on adversarial inputs: chained PII
+    (an SSN-shaped string inside an email is consumed by the EMAIL step),
+    NULL transcripts, and multi-hit rows."""
+    import pandas as pd
+
+    from curator_spark.scoring.scrub import scrub
+
+    texts = [
+        "reach ada.lovelace1@example.com or 555-123-4567 ssn 123-45-6789",
+        "frak this smeg gorram mess frak",                  # 4 tox hits
+        "digits 123-45-6789 then 987-65-4321 two ssns",
+        "overlap 123-45-67890 is not an ssn (5-digit tail)",
+        None,
+        "plain row with nothing to scrub at all",
+    ]
+    pdf = pd.DataFrame({"clip_id": [f"c{i}" for i in range(len(texts))],
+                        "transcript": texts})
+    df = spark.createDataFrame(pdf.astype(object).where(pd.notna(pdf), None))
+    got = (
+        stages.scrub_detail_stage(df)
+        .toPandas().sort_values("clip_id").reset_index(drop=True)
+    )
+    for i, r in got.iterrows():
+        want_text, hits = scrub(texts[i] or "")
+        assert r["scrubbed_transcript"] == want_text, texts[i]
+        for rid in ("email", "ssn", "phone", "tox"):
+            assert r[f"{rid}_hits"] == hits[rid], (texts[i], rid)
