@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_resample_stats": multimodal.audio_resample_stats,
         # round-4: frame-energy SNR estimate (the north star's >=30dB gauge)
         "audio_snr_estimate": multimodal.audio_snr_estimate,
+        # round-4: single-bin DFT band ratios (first spectral-tier feature)
+        "spectral_band_ratios": multimodal.spectral_band_ratios,
         "image_decode_features": multimodal.image_decode_features,
         "video_frame_features": multimodal.video_frame_features,
         "doc_perplexity": text.doc_perplexity,        # full oracle (inlined LM)
@@ -616,7 +618,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
     audio_feat_sql = audio_seg_sql = audio_rate_sql = None
     audio_fp_sql = audio_dup_sql = audio_groups_sql = audio_loud_sql = None
     audio_win_sql = audio_batch_sql = audio_winfeat_sql = audio_zcr_sql = None
-    audio_cmvn_sql = audio_resample_sql = audio_snr_sql_str = None
+    audio_cmvn_sql = audio_resample_sql = audio_snr_sql_str = audio_spec_sql = None
     try:
         from curator_spark.scoring import audio_sql
 
@@ -636,6 +638,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
         audio_cmvn_sql = audio_sql.cmvn_features_sql(_clip_path)
         audio_resample_sql = audio_sql.audio_resample_stats_sql(_clip_path)
         audio_snr_sql_str = audio_sql.audio_snr_sql(_clip_path)
+        audio_spec_sql = audio_sql.spectral_band_ratios_sql(_clip_path)
     except OSError as e:
         import warnings
 
@@ -1237,6 +1240,7 @@ SELECT doc_id, rk, term, tf, df FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
         "cmvn_features": audio_cmvn_sql,
         "audio_resample_stats": audio_resample_sql,
         "audio_snr_estimate": audio_snr_sql_str,
+        "spectral_band_ratios": audio_spec_sql,
     }.items():
         if _v is not None:
             out[_k] = _v

@@ -475,6 +475,81 @@ def audio_snr_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPECTRAL_SCHEMA = (
+    "clip_id string, r100 double, r300 double, r700 double, r1500 double, "
+    "decode_ok boolean"
+)
+
+
+def spectral_band_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-bin DFT band-energy ratios per clip — the first spectral-tier
+    feature (is the energy where speech lives?): probe frequencies at
+    100/300/700/1500 Hz, each band's share of the summed probe energy,
+    plus the dominant band (ties toward the lower frequency, decided on
+    the 6-decimal-ROUNDED ratios so both engines compare the same
+    numbers — scoring/audio.py:band_ratios).
+
+    One fused decode ``MapInPandas``: decode + 8 vectorized dot products
+    per clip inside the Arrow batch; only four ratio doubles leave the
+    stage, so nothing wide ever shuffles. Full oracle:
+    scoring/audio_sql.spectral_band_ratios_sql replays the DFT in SQL
+    with the identical angle op-order.
+
+    Reference analog: per-row derived media stats (SURVEY.md §2.5 A1)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..scoring import audio as audio_scoring
+    from ..synth import clips
+
+    cols = [f.split()[0] for f in SPECTRAL_SCHEMA.split(", ")]
+
+    def _spec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for b, c, sr, cid in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["clip_id"]):
+                try:
+                    pcm = audio_scoring.decode(bytes(b), c, int(sr))
+                    rows.append(
+                        {"clip_id": cid, **audio_scoring.band_ratios(pcm, int(sr)),
+                         "decode_ok": True}
+                    )
+                except Exception:  # noqa: BLE001 - quarantine semantics
+                    rows.append(
+                        {"clip_id": cid, "r100": None, "r300": None,
+                         "r700": None, "r1500": None, "decode_ok": False}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    rounded = (
+        clips.generate_clips(spark, 200, 4)
+        .mapInPandas(_spec, schema=SPECTRAL_SCHEMA)
+        .select(
+            "clip_id",
+            F.round(_nan_to_null("r100"), 6).alias("r100"),
+            F.round(_nan_to_null("r300"), 6).alias("r300"),
+            F.round(_nan_to_null("r700"), 6).alias("r700"),
+            F.round(_nan_to_null("r1500"), 6).alias("r1500"),
+            "decode_ok",
+        )
+    )
+    r1, r2, r3, r4 = (F.col(c) for c in ("r100", "r300", "r700", "r1500"))
+    dominant = (
+        F.when((r1 >= r2) & (r1 >= r3) & (r1 >= r4), F.lit(100))
+        .when((r2 >= r3) & (r2 >= r4), F.lit(300))
+        .when(r3 >= r4, F.lit(700))
+        .otherwise(F.lit(1500))
+    )
+    return (
+        rounded.withColumn(
+            "dominant_hz", F.when(r1.isNotNull(), dominant).cast("int")
+        )
+        .select("clip_id", "r100", "r300", "r700", "r1500", "dominant_hz", "decode_ok")
+        .orderBy("clip_id")
+    )
+
+
 def clip_windows(
     spark: SparkSession, sf_dir: str, window_ms: int = 500, min_tail_ms: int = 100
 ) -> DataFrame:

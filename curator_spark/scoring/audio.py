@@ -210,6 +210,58 @@ def snr_stats(
     return out
 
 
+SPECTRAL_BANDS_HZ = (100.0, 300.0, 700.0, 1500.0)
+
+
+SPECTRAL_FRAME_MS = 50  # 20 Hz-wide analysis bands
+
+
+def band_ratios(
+    pcm: np.ndarray,
+    sr_hz: int,
+    bands: tuple[float, ...] = SPECTRAL_BANDS_HZ,
+    frame_ms: int = SPECTRAL_FRAME_MS,
+) -> dict[str, float | None]:
+    """Framed single-bin DFT band-energy ratios — the cheapest spectral
+    feature a curation rule can consume (is the energy where speech
+    lives, or is this hum/hiss?). A FULL-clip DFT bin is ~1/duration Hz
+    wide (a 110 Hz tone is orthogonal to a 100 Hz probe over one second —
+    it would measure only leakage), so the probe runs per 50 ms frame
+    (20 Hz-wide bands): ``e_f = Σ_frames (Σ x·cos(2πf·k/sr))² + (sin)²``
+    and the emitted ratio is ``e_f / Σ e``. Frame magnitudes are phase-
+    invariant, so the GLOBAL sample index k keeps both engines trivially
+    aligned. The DFT normalization cancels in the ratio and is skipped.
+
+    Parity by construction: the angle is computed as ``((2π·f)·k)/sr``
+    with that exact op order on both engines (identical doubles in →
+    libm cos/sin differs at most ~1 ulp out, absorbed by the 6-decimal
+    round the caller applies); the per-frame sums follow the module's
+    accepted summation-order-behind-round(6) pattern, and the per-clip
+    energy total is a sum of POSITIVE frame energies (no cancellation).
+    An empty or all-zero clip has no spectrum → all-``None``."""
+    n = pcm.shape[0]
+    out: dict[str, float | None] = {f"r{int(f)}": None for f in bands}
+    if n == 0:
+        return out
+    frame = max(1, int(sr_hz * frame_ms / 1000))
+    n_frames = -(-n // frame)
+    padded = np.zeros(n_frames * frame, dtype=np.float64)
+    padded[:n] = pcm
+    kk = np.arange(n_frames * frame, dtype=np.float64)
+    energies = []
+    for f in bands:
+        ang = (2.0 * np.pi * f) * kk / sr_hz
+        sc = (padded * np.cos(ang)).reshape(n_frames, frame).sum(axis=1)
+        ss = (padded * np.sin(ang)).reshape(n_frames, frame).sum(axis=1)
+        energies.append(float((sc * sc + ss * ss).sum()))
+    tot = float(np.sum(energies))
+    if tot <= 0.0:
+        return out
+    for f, e in zip(bands, energies):
+        out[f"r{int(f)}"] = e / tot
+    return out
+
+
 def decode_features(blob: bytes, codec: str, sr_hz: int, dur_ms: int) -> dict[str, float]:
     """decode → features → drop PCM. One call per row inside an Arrow batch;
     PCM (up to ~100x the encoded bytes) never persists past the call."""

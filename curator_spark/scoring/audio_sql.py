@@ -290,6 +290,65 @@ ORDER BY m.clip_id
 """
 
 
+def spectral_band_ratios_sql(path: str) -> str:
+    """Oracle for ``spectral_band_ratios``: the FRAMED single-bin DFT
+    replayed in SQL — per (clip, probe frequency, 50 ms frame),
+    ``SUM(x·cos(((2π·f)·k)/sr))`` and the sine twin with the IDENTICAL
+    operation order as the numpy side (scoring/audio.py:band_ratios,
+    global sample index k — frame magnitudes are phase-invariant), frame
+    energies summed per clip, pivoted to columns, ratios rounded to 6
+    decimals, and the dominant band chosen by a CASE chain over the
+    ROUNDED ratios (ties break toward the lower frequency on both
+    engines)."""
+    from .audio import SPECTRAL_BANDS_HZ, SPECTRAL_FRAME_MS
+
+    f1, f2, f3, f4 = SPECTRAL_BANDS_HZ
+    ang = "(((2 * pi() * b.fb) * s.k) / m.sr_hz)"
+    return f"""WITH {_samples_cte(path)},
+bins(fb) AS (VALUES ({f1!r}), ({f2!r}), ({f3!r}), ({f4!r})),
+fsize AS (
+  SELECT clip_id, GREATEST(CAST(sr_hz * {SPECTRAL_FRAME_MS} / 1000 AS BIGINT), 1) AS frame
+  FROM meta
+), dft AS (
+  SELECT s.clip_id, b.fb, s.k // f.frame AS fi,
+    SUM(s.x * cos({ang})) AS sc,
+    SUM(s.x * sin({ang})) AS ss
+  FROM sampx s JOIN meta m USING (clip_id) JOIN fsize f USING (clip_id)
+  CROSS JOIN bins b
+  GROUP BY s.clip_id, b.fb, s.k // f.frame
+), en AS (
+  SELECT clip_id, fb, SUM(sc * sc + ss * ss) AS e FROM dft GROUP BY clip_id, fb
+), piv AS (
+  SELECT clip_id, SUM(e) AS tot,
+    MAX(e) FILTER (WHERE fb = {f1!r}) AS e1,
+    MAX(e) FILTER (WHERE fb = {f2!r}) AS e2,
+    MAX(e) FILTER (WHERE fb = {f3!r}) AS e3,
+    MAX(e) FILTER (WHERE fb = {f4!r}) AS e4
+  FROM en GROUP BY clip_id
+), rat AS (
+  SELECT clip_id,
+    round(e1 / tot, 6) AS r{int(f1)}, round(e2 / tot, 6) AS r{int(f2)},
+    round(e3 / tot, 6) AS r{int(f3)}, round(e4 / tot, 6) AS r{int(f4)}
+  FROM piv WHERE tot > 0
+)
+SELECT m.clip_id,
+  CASE WHEN m.ok THEN r.r{int(f1)} END AS r{int(f1)},
+  CASE WHEN m.ok THEN r.r{int(f2)} END AS r{int(f2)},
+  CASE WHEN m.ok THEN r.r{int(f3)} END AS r{int(f3)},
+  CASE WHEN m.ok THEN r.r{int(f4)} END AS r{int(f4)},
+  CASE WHEN m.ok AND r.r{int(f1)} IS NOT NULL THEN
+    CASE WHEN r.r{int(f1)} >= r.r{int(f2)} AND r.r{int(f1)} >= r.r{int(f3)}
+              AND r.r{int(f1)} >= r.r{int(f4)} THEN {int(f1)}
+         WHEN r.r{int(f2)} >= r.r{int(f3)} AND r.r{int(f2)} >= r.r{int(f4)} THEN {int(f2)}
+         WHEN r.r{int(f3)} >= r.r{int(f4)} THEN {int(f3)}
+         ELSE {int(f4)} END
+  END AS dominant_hz,
+  m.ok AS decode_ok
+FROM meta m LEFT JOIN rat r USING (clip_id)
+ORDER BY m.clip_id
+"""
+
+
 def audio_resample_stats_sql(path: str, target_hz: int = 8000) -> str:
     """Oracle for ``audio_resample_stats``: re-select the nearest-neighbor
     sample indices with the IDENTICAL integer arithmetic

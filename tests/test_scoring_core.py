@@ -395,3 +395,20 @@ def test_snr_decile_is_integer_exact():
 
     for n in range(1, 2000):
         assert (n + 9) // 10 == math.ceil(n / 10)
+
+
+def test_band_ratios_track_tone_frequency():
+    """A pure tone near a probe frequency must dominate that band's ratio;
+    ratios sum to ~1; degenerate inputs (empty, all-zero) are all-None."""
+    import numpy as np
+
+    from curator_spark.scoring import audio as audio_scoring
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    for f, key in ((105.0, "r100"), (310.0, "r300"), (695.0, "r700"), (1492.0, "r1500")):
+        out = audio_scoring.band_ratios(0.5 * np.sin(2 * np.pi * f * t), sr)
+        assert max(out, key=lambda k: out[k]) == key, (f, out)
+        assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert set(audio_scoring.band_ratios(np.array([]), sr).values()) == {None}
+    assert set(audio_scoring.band_ratios(np.zeros(1000), sr).values()) == {None}
