@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_snr_estimate": multimodal.audio_snr_estimate,
         # round-4: single-bin DFT band ratios (first spectral-tier feature)
         "spectral_band_ratios": multimodal.spectral_band_ratios,
+        # round-4: integer-exact leading/trailing silence trim decision
+        "trim_silence": multimodal.trim_silence,
         "image_decode_features": multimodal.image_decode_features,
         "video_frame_features": multimodal.video_frame_features,
         "doc_perplexity": text.doc_perplexity,        # full oracle (inlined LM)
@@ -618,7 +620,8 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
     audio_feat_sql = audio_seg_sql = audio_rate_sql = None
     audio_fp_sql = audio_dup_sql = audio_groups_sql = audio_loud_sql = None
     audio_win_sql = audio_batch_sql = audio_winfeat_sql = audio_zcr_sql = None
-    audio_cmvn_sql = audio_resample_sql = audio_snr_sql_str = audio_spec_sql = None
+    audio_cmvn_sql = audio_resample_sql = audio_snr_sql_str = None
+    audio_spec_sql = audio_trim_sql = None
     try:
         from curator_spark.scoring import audio_sql
 
@@ -639,6 +642,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
         audio_resample_sql = audio_sql.audio_resample_stats_sql(_clip_path)
         audio_snr_sql_str = audio_sql.audio_snr_sql(_clip_path)
         audio_spec_sql = audio_sql.spectral_band_ratios_sql(_clip_path)
+        audio_trim_sql = audio_sql.trim_silence_sql(_clip_path)
     except OSError as e:
         import warnings
 
@@ -1241,6 +1245,7 @@ SELECT doc_id, rk, term, tf, df FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
         "audio_resample_stats": audio_resample_sql,
         "audio_snr_estimate": audio_snr_sql_str,
         "spectral_band_ratios": audio_spec_sql,
+        "trim_silence": audio_trim_sql,
     }.items():
         if _v is not None:
             out[_k] = _v

@@ -475,6 +475,55 @@ def audio_snr_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRIM_SCHEMA = (
+    "clip_id string, n_frames int, trim_start_ms int, trim_end_ms int, "
+    "kept_ms int, decode_ok boolean"
+)
+
+
+def trim_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading/trailing-silence trim boundaries per clip — the edit
+    decision a storage-bound curation pipeline makes before writing
+    (scoring/audio.py:trim_bounds): first/last active 20 ms frame on the
+    same VAD flag as :func:`audio_segments`, in integer milliseconds, so
+    the oracle comparison is EXACT (no rounded floats anywhere in the
+    output). One fused decode ``MapInPandas``; five narrow columns leave
+    the stage. Full oracle: scoring/audio_sql.trim_silence_sql.
+
+    Reference analog: per-row derived media stats (SURVEY.md §2.5 A1)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..scoring import audio as audio_scoring
+    from ..synth import clips
+
+    cols = [f.split()[0] for f in TRIM_SCHEMA.split(", ")]
+
+    def _trim(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for b, c, sr, cid in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["clip_id"]):
+                try:
+                    pcm = audio_scoring.decode(bytes(b), c, int(sr))
+                    rows.append(
+                        {"clip_id": cid, **audio_scoring.trim_bounds(pcm, int(sr)),
+                         "decode_ok": True}
+                    )
+                except Exception:  # noqa: BLE001 - quarantine semantics
+                    rows.append(
+                        {"clip_id": cid, "n_frames": None, "trim_start_ms": None,
+                         "trim_end_ms": None, "kept_ms": None, "decode_ok": False}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        clips.generate_clips(spark, 200, 4)
+        .mapInPandas(_trim, schema=TRIM_SCHEMA)
+        .orderBy("clip_id")
+    )
+
+
 SPECTRAL_SCHEMA = (
     "clip_id string, r100 double, r300 double, r700 double, r1500 double, "
     "decode_ok boolean"

@@ -210,6 +210,38 @@ def snr_stats(
     return out
 
 
+def trim_bounds(
+    pcm: np.ndarray,
+    sr_hz: int,
+    frame_ms: int = FRAME_MS,
+    thresh: float = SPEECH_RMS_THRESH,
+) -> dict[str, int | None]:
+    """Leading/trailing-silence trim boundaries — the edit decision a
+    curation pipeline applies before storing a clip: the first and the
+    end of the last ACTIVE 20 ms frame (same ``rms > thresh`` flag as
+    :func:`segments`), in milliseconds. Integer-exact end to end — frame
+    indices and the 20 ms grid leave no float-rounding surface, so the
+    oracle comparison is exact, not rounded. A clip with no active
+    frames trims to nothing (NULL bounds, 0 kept ms)."""
+    n = pcm.shape[0]
+    if n == 0:
+        return {"n_frames": 0, "trim_start_ms": None, "trim_end_ms": None, "kept_ms": 0}
+    frame = max(1, int(sr_hz * frame_ms / 1000))
+    n_frames = -(-n // frame)
+    padded = np.zeros(n_frames * frame, dtype=np.float64)
+    padded[:n] = pcm
+    fr = padded.reshape(n_frames, frame)
+    rms = np.sqrt((fr * fr).sum(axis=1) / frame)
+    active = np.flatnonzero(rms > thresh)
+    if active.shape[0] == 0:
+        return {"n_frames": int(n_frames), "trim_start_ms": None,
+                "trim_end_ms": None, "kept_ms": 0}
+    start = int(active[0]) * frame_ms
+    end = (int(active[-1]) + 1) * frame_ms
+    return {"n_frames": int(n_frames), "trim_start_ms": start,
+            "trim_end_ms": end, "kept_ms": end - start}
+
+
 SPECTRAL_BANDS_HZ = (100.0, 300.0, 700.0, 1500.0)
 
 

@@ -290,6 +290,39 @@ ORDER BY m.clip_id
 """
 
 
+def trim_silence_sql(path: str) -> str:
+    """Oracle for ``trim_silence``: first/last active 20 ms frame per clip
+    (scoring/audio.py:trim_bounds) — MIN/MAX over the same ``rms > 0.01``
+    frame flag as the segments oracle, then pure integer ms arithmetic
+    (no rounding surface at all)."""
+    return f"""WITH {_samples_cte(path)},
+fsize AS (
+  SELECT clip_id, GREATEST(CAST(sr_hz * 20 / 1000 AS BIGINT), 1) AS frame
+  FROM meta
+), frames AS (
+  SELECT s.clip_id, s.k // f.frame AS fi,
+    sqrt(SUM(s.x * s.x) / ANY_VALUE(f.frame)) AS rms
+  FROM sampx s JOIN fsize f USING (clip_id)
+  GROUP BY s.clip_id, s.k // f.frame
+), bounds AS (
+  SELECT clip_id, COUNT(*) AS nf,
+    MIN(fi) FILTER (WHERE rms > 0.01) AS first_fi,
+    MAX(fi) FILTER (WHERE rms > 0.01) AS last_fi
+  FROM frames GROUP BY clip_id
+)
+SELECT m.clip_id,
+  CASE WHEN m.ok THEN CAST(COALESCE(b.nf, 0) AS INT) END AS n_frames,
+  CASE WHEN m.ok THEN CAST(b.first_fi * 20 AS INT) END AS trim_start_ms,
+  CASE WHEN m.ok THEN CAST((b.last_fi + 1) * 20 AS INT) END AS trim_end_ms,
+  CASE WHEN m.ok THEN
+    CAST(COALESCE((b.last_fi + 1) * 20 - b.first_fi * 20, 0) AS INT)
+  END AS kept_ms,
+  m.ok AS decode_ok
+FROM meta m LEFT JOIN bounds b USING (clip_id)
+ORDER BY m.clip_id
+"""
+
+
 def spectral_band_ratios_sql(path: str) -> str:
     """Oracle for ``spectral_band_ratios``: the FRAMED single-bin DFT
     replayed in SQL — per (clip, probe frequency, 50 ms frame),

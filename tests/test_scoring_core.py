@@ -412,3 +412,24 @@ def test_band_ratios_track_tone_frequency():
         assert abs(sum(out.values()) - 1.0) < 1e-9
     assert set(audio_scoring.band_ratios(np.array([]), sr).values()) == {None}
     assert set(audio_scoring.band_ratios(np.zeros(1000), sr).values()) == {None}
+
+
+def test_trim_bounds_finds_silence_edges():
+    """Leading/trailing silence must trim to the active span on the 20 ms
+    grid; all-silent and empty clips trim to nothing."""
+    import numpy as np
+
+    from curator_spark.scoring import audio as audio_scoring
+
+    sr = 16000
+    frame = sr * 20 // 1000  # 320 samples
+    sig = np.zeros(100 * frame)
+    t = np.arange(40 * frame) / sr
+    sig[30 * frame : 70 * frame] = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    out = audio_scoring.trim_bounds(sig, sr)
+    assert out == {"n_frames": 100, "trim_start_ms": 600,
+                   "trim_end_ms": 1400, "kept_ms": 800}
+    assert audio_scoring.trim_bounds(np.zeros(10 * frame), sr) == {
+        "n_frames": 10, "trim_start_ms": None, "trim_end_ms": None, "kept_ms": 0}
+    assert audio_scoring.trim_bounds(np.array([]), sr) == {
+        "n_frames": 0, "trim_start_ms": None, "trim_end_ms": None, "kept_ms": 0}
