@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_band_ratios": multimodal.spectral_band_ratios,
         # round-4: integer-exact leading/trailing silence trim decision
         "trim_silence": multimodal.trim_silence,
+        # round-4: composed audio-only keep/drop (SNR + trim + spectral)
+        "audio_quality_filter": multimodal.audio_quality_filter,
         "image_decode_features": multimodal.image_decode_features,
         "video_frame_features": multimodal.video_frame_features,
         "doc_perplexity": text.doc_perplexity,        # full oracle (inlined LM)
@@ -621,7 +623,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
     audio_fp_sql = audio_dup_sql = audio_groups_sql = audio_loud_sql = None
     audio_win_sql = audio_batch_sql = audio_winfeat_sql = audio_zcr_sql = None
     audio_cmvn_sql = audio_resample_sql = audio_snr_sql_str = None
-    audio_spec_sql = audio_trim_sql = None
+    audio_spec_sql = audio_trim_sql = audio_qf_sql = None
     try:
         from curator_spark.scoring import audio_sql
 
@@ -643,6 +645,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
         audio_snr_sql_str = audio_sql.audio_snr_sql(_clip_path)
         audio_spec_sql = audio_sql.spectral_band_ratios_sql(_clip_path)
         audio_trim_sql = audio_sql.trim_silence_sql(_clip_path)
+        audio_qf_sql = audio_sql.audio_quality_filter_sql(_clip_path)
     except OSError as e:
         import warnings
 
@@ -1246,6 +1249,7 @@ SELECT doc_id, rk, term, tf, df FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
         "audio_snr_estimate": audio_snr_sql_str,
         "spectral_band_ratios": audio_spec_sql,
         "trim_silence": audio_trim_sql,
+        "audio_quality_filter": audio_qf_sql,
     }.items():
         if _v is not None:
             out[_k] = _v

@@ -1344,6 +1344,108 @@ def mm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_QF_SCHEMA = (
+    "clip_id string, snr_db double, kept_ms int, n_frames int, "
+    "r100 double, r300 double, r700 double, r1500 double, decode_ok boolean"
+)
+
+# audio keep/drop rule set (reasons-string order on both engines):
+AUDIO_QF_RULES_DOC = """decode | snr_low (snr_db NULL or <5dB) |
+mostly_silence (active span <60% of clip) | high_band (dominant 1500Hz)"""
+
+
+def audio_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop decision over AUDIO-ONLY quality features — the F4 face
+    of the audio family, composing the three feature ops this round added
+    (decile SNR, trim bounds, spectral band ratios) into one decision:
+    a clip survives only if it decoded, its SNR clears 5 dB, its active
+    span covers >=60% of the clip, and its spectrum is not hiss-dominant
+    (1500 Hz probe band). Emits the audit-friendly (clip_id, keep,
+    reasons) shape (`mm_quality_filter` is the mixed-modality twin,
+    `doc_quality_filter` the text twin).
+
+    ONE fused decode ``MapInPandas`` computes all nine features per clip
+    (the 20 ms frame energies are shared by the SNR and trim rules);
+    every threshold compares 6-decimal-ROUNDED doubles or pure integers
+    (``kept_ms·10 < n_frames·120`` ⇔ active span < 60%), so the engines
+    cannot diverge at boundaries. Full oracle: one SQL chain reusing the
+    proven frame/decile/DFT pieces (audio_sql.audio_quality_filter_sql).
+
+    Reference analog: quality keep/drop filter (SURVEY.md §2.3 F4)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..scoring import audio as audio_scoring
+    from ..synth import clips
+
+    cols = [f.split()[0] for f in AUDIO_QF_SCHEMA.split(", ")]
+
+    def _feats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for b, c, sr, cid in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["clip_id"]):
+                try:
+                    pcm = audio_scoring.decode(bytes(b), c, int(sr))
+                    s = audio_scoring.snr_stats(pcm, int(sr))
+                    t = audio_scoring.trim_bounds(pcm, int(sr))
+                    r = audio_scoring.band_ratios(pcm, int(sr))
+                    rows.append(
+                        {"clip_id": cid, "snr_db": s["snr_db"],
+                         "kept_ms": t["kept_ms"], "n_frames": t["n_frames"],
+                         **r, "decode_ok": True}
+                    )
+                except Exception:  # noqa: BLE001 - quarantine semantics
+                    rows.append(
+                        {"clip_id": cid, "snr_db": None, "kept_ms": None,
+                         "n_frames": None, "r100": None, "r300": None,
+                         "r700": None, "r1500": None, "decode_ok": False}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    feats = (
+        clips.generate_clips(spark, 200, 4)
+        .mapInPandas(_feats, schema=AUDIO_QF_SCHEMA)
+        .select(
+            "clip_id",
+            F.round(_nan_to_null("snr_db"), 6).alias("snr_db"),
+            "kept_ms", "n_frames",
+            F.round(_nan_to_null("r100"), 6).alias("r100"),
+            F.round(_nan_to_null("r300"), 6).alias("r300"),
+            F.round(_nan_to_null("r700"), 6).alias("r700"),
+            F.round(_nan_to_null("r1500"), 6).alias("r1500"),
+            "decode_ok",
+        )
+    )
+    r1, r2, r3, r4 = (F.col(c) for c in ("r100", "r300", "r700", "r1500"))
+    dominant = F.when(
+        r1.isNotNull(),
+        F.when((r1 >= r2) & (r1 >= r3) & (r1 >= r4), F.lit(100))
+        .when((r2 >= r3) & (r2 >= r4), F.lit(300))
+        .when(r3 >= r4, F.lit(700))
+        .otherwise(F.lit(1500)),
+    )
+    ok = F.col("decode_ok")
+    rules = [
+        (~ok, "decode"),
+        (ok & (F.col("snr_db").isNull() | (F.col("snr_db") < 5.0)), "snr_low"),
+        (ok & (F.col("kept_ms") * 10 < F.col("n_frames") * 120), "mostly_silence"),
+        (ok & (dominant == 1500), "high_band"),
+    ]
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(tag)) for cond, tag in rules]),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        feats.select(
+            "clip_id",
+            (F.size(reasons) == 0).alias("keep"),
+            F.concat_ws("|", reasons).alias("reasons"),
+        )
+        .orderBy("clip_id")
+    )
+
+
 def pii_scrub_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standalone PII/toxicity scrub over the clip transcripts — the
     north rule's "compiled-regex PII/toxicity scrubbing" surfaced as a

@@ -382,6 +382,100 @@ ORDER BY m.clip_id
 """
 
 
+def audio_quality_filter_sql(path: str) -> str:
+    """Oracle for ``audio_quality_filter``: the decile-SNR, trim-bounds,
+    and framed-DFT pieces composed into one WITH-chain (the 20 ms frame
+    energies are computed once and shared by the SNR and trim rules,
+    mirroring the fused Spark stage), then the keep/drop rules as
+    NULL-aware CASE tags concat_ws'd in fixed order — both engines skip
+    NULL tags, so the reasons string is identical by construction."""
+    from .audio import SPECTRAL_BANDS_HZ, SPECTRAL_FRAME_MS
+
+    f1, f2, f3, f4 = SPECTRAL_BANDS_HZ
+    ang = "(((2 * pi() * b.fb) * s.k) / m.sr_hz)"
+    return f"""WITH {_samples_cte(path)},
+fsize AS (
+  SELECT clip_id, GREATEST(CAST(sr_hz * 20 / 1000 AS BIGINT), 1) AS frame
+  FROM meta
+), frames AS (
+  SELECT s.clip_id, s.k // f.frame AS fi,
+    SUM(s.x * s.x) / ANY_VALUE(f.frame) AS en
+  FROM sampx s JOIN fsize f USING (clip_id)
+  GROUP BY s.clip_id, s.k // f.frame
+), ranked AS (
+  SELECT clip_id, en,
+    row_number() OVER (PARTITION BY clip_id ORDER BY en) AS rlo,
+    row_number() OVER (PARTITION BY clip_id ORDER BY en DESC) AS rhi,
+    COUNT(*) OVER (PARTITION BY clip_id) AS nf
+  FROM frames
+), snrc AS (
+  SELECT clip_id,
+    AVG(en) FILTER (WHERE rhi <= (nf + 9) // 10) AS sig_mean,
+    AVG(en) FILTER (WHERE rlo <= (nf + 9) // 10) AS no_mean
+  FROM ranked GROUP BY clip_id
+), snrl AS (
+  SELECT clip_id,
+    CASE WHEN sig_mean > 0 AND no_mean > 0
+         THEN round(10.0 * log10(sig_mean) - 10.0 * log10(no_mean), 6)
+    END AS snr_r
+  FROM snrc
+), bounds AS (
+  SELECT clip_id, COUNT(*) AS nf,
+    MIN(fi) FILTER (WHERE sqrt(en) > 0.01) AS first_fi,
+    MAX(fi) FILTER (WHERE sqrt(en) > 0.01) AS last_fi
+  FROM frames GROUP BY clip_id
+), kept AS (
+  SELECT clip_id, nf,
+    COALESCE((last_fi + 1) * 20 - first_fi * 20, 0) AS kept_ms
+  FROM bounds
+), bins(fb) AS (VALUES ({f1!r}), ({f2!r}), ({f3!r}), ({f4!r})),
+fs50 AS (
+  SELECT clip_id, GREATEST(CAST(sr_hz * {SPECTRAL_FRAME_MS} / 1000 AS BIGINT), 1) AS frame
+  FROM meta
+), dft AS (
+  SELECT s.clip_id, b.fb, s.k // f.frame AS fi,
+    SUM(s.x * cos({ang})) AS sc,
+    SUM(s.x * sin({ang})) AS ss
+  FROM sampx s JOIN meta m USING (clip_id) JOIN fs50 f USING (clip_id)
+  CROSS JOIN bins b
+  GROUP BY s.clip_id, b.fb, s.k // f.frame
+), en2 AS (
+  SELECT clip_id, fb, SUM(sc * sc + ss * ss) AS e FROM dft GROUP BY clip_id, fb
+), piv AS (
+  SELECT clip_id, SUM(e) AS tot,
+    MAX(e) FILTER (WHERE fb = {f1!r}) AS e1,
+    MAX(e) FILTER (WHERE fb = {f2!r}) AS e2,
+    MAX(e) FILTER (WHERE fb = {f3!r}) AS e3,
+    MAX(e) FILTER (WHERE fb = {f4!r}) AS e4
+  FROM en2 GROUP BY clip_id
+), dom AS (
+  SELECT clip_id,
+    CASE WHEN round(e1 / tot, 6) >= round(e2 / tot, 6)
+              AND round(e1 / tot, 6) >= round(e3 / tot, 6)
+              AND round(e1 / tot, 6) >= round(e4 / tot, 6) THEN {int(f1)}
+         WHEN round(e2 / tot, 6) >= round(e3 / tot, 6)
+              AND round(e2 / tot, 6) >= round(e4 / tot, 6) THEN {int(f2)}
+         WHEN round(e3 / tot, 6) >= round(e4 / tot, 6) THEN {int(f3)}
+         ELSE {int(f4)} END AS dominant
+  FROM piv WHERE tot > 0
+), rulec AS (
+  SELECT m.clip_id,
+    CASE WHEN NOT m.ok THEN 'decode' END AS t1,
+    CASE WHEN m.ok AND (s.snr_r IS NULL OR s.snr_r < 5.0) THEN 'snr_low' END AS t2,
+    CASE WHEN m.ok AND (k.kept_ms * 10 < k.nf * 120) THEN 'mostly_silence' END AS t3,
+    CASE WHEN m.ok AND d.dominant = {int(f4)} THEN 'high_band' END AS t4
+  FROM meta m
+  LEFT JOIN snrl s USING (clip_id)
+  LEFT JOIN kept k USING (clip_id)
+  LEFT JOIN dom d USING (clip_id)
+)
+SELECT clip_id,
+  (t1 IS NULL AND t2 IS NULL AND t3 IS NULL AND t4 IS NULL) AS keep,
+  concat_ws('|', t1, t2, t3, t4) AS reasons
+FROM rulec ORDER BY clip_id
+"""
+
+
 def audio_resample_stats_sql(path: str, target_hz: int = 8000) -> str:
     """Oracle for ``audio_resample_stats``: re-select the nearest-neighbor
     sample indices with the IDENTICAL integer arithmetic
