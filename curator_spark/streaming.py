@@ -127,6 +127,43 @@ def stream_audio_features(
     return writer.start()
 
 
+def stream_scrub_transcripts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
+    available_now: bool = True,
+):
+    """Streaming face of the PII/toxicity scrub: new clip files landing
+    in a directory pass through the SAME pure-Catalyst
+    ``stages.scrub_detail_stage`` as the batch path (one codegen
+    projection per micro-batch — no Python at all), emitting
+    (clip_id, scrubbed_transcript, per-rule hits). A compliance pipeline
+    runs exactly this shape: scrub-on-arrival, audit counts per rule.
+
+    Exactly-once via the module's shared recipe: file-source checkpoint
+    + batch_id-keyed overwrite sink (an at-least-once replay rewrites
+    the same subdir instead of appending duplicates). Returns the
+    started ``StreamingQuery``."""
+    src = (
+        spark.readStream.schema(CLIPS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = stages.scrub_detail_stage(batch_df.select("clip_id", "transcript"))
+        out.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+
+    writer = src.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_exact_dedup(
     spark: SparkSession,
     input_dir: str,

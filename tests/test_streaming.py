@@ -257,3 +257,40 @@ def test_stream_audio_features_exactly_once_on_restart(spark, workdir):
     df = spark.read.option("basePath", out).parquet(out)
     assert df.count() == N + N // 2
     assert df.select("clip_id").distinct().count() == N + N // 2
+
+
+def test_stream_scrub_matches_batch_and_restarts_exactly_once(spark, workdir):
+    """The streaming scrub must emit the identical scrubbed strings and
+    per-rule counts as the batch stage over the same clips, and a
+    restart over the same checkpoint must not re-scrub consumed files."""
+    inp = os.path.join(workdir, "sc_landing")
+    out = os.path.join(workdir, "sc_out")
+    ckpt = os.path.join(workdir, "sc_ckpt")
+    _land_clips(spark, inp, N, 4)
+
+    q = streaming.stream_scrub_transcripts(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+
+    got = (
+        spark.read.option("basePath", out).parquet(out)
+        .drop("batch_id")
+        .orderBy("clip_id")
+        .toPandas()
+    )
+    want = (
+        stages.scrub_detail_stage(
+            spark.read.parquet(inp).select("clip_id", "transcript")
+        )
+        .orderBy("clip_id")
+        .toPandas()
+    )
+    assert len(got) == N
+    cols = sorted(want.columns)
+    assert sorted(got.columns) == cols
+    assert got[cols].reset_index(drop=True).equals(want[cols].reset_index(drop=True))
+    assert int(got[["email_hits", "ssn_hits", "phone_hits", "tox_hits"]].sum().sum()) > 0
+
+    # restart with no new files -> nothing re-emitted
+    q = streaming.stream_scrub_transcripts(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.option("basePath", out).parquet(out).count() == N
