@@ -167,6 +167,25 @@ def main() -> None:
     lsh_ids = [r["vec_id"] for r in similarity.lsh_topk(spark, sf_dir, k=10).collect()]
     lsh_recall = len(set(exact_ids) & set(lsh_ids)) / max(len(exact_ids), 1)
 
+    # north-rule gauge (keep/drop F1 >= 0.99 vs reference labels): the
+    # engine's labels vs the pure-Python oracle over a fixed 2000-clip
+    # slice — machine-readable alongside the per-round timing record.
+    # One untimed run; tests/test_stage_parity.py asserts full equality.
+    from curator_spark import oracle, stages
+
+    n_f1 = 2000
+    got = (
+        stages.apply_all(clips_mod.generate_clips(spark, n_f1, 16), cfg.rules)
+        .select("clip_id", "keep")
+        .toPandas()
+    )
+    gold = oracle.golden_labels(n_f1, cfg)[["clip_id", "keep"]]
+    m = got.merge(gold, on="clip_id", suffixes=("", "_gold"))
+    tp = int((m["keep"] & m["keep_gold"]).sum())
+    fp = int((m["keep"] & ~m["keep_gold"]).sum())
+    fn = int((~m["keep"] & m["keep_gold"]).sum())
+    keep_f1 = 2 * tp / max(2 * tp + fp + fn, 1)
+
     timings = {n: round(statistics.median(v), 3) for n, v in samples.items()}
     extra: dict = {
         "clips_per_sec": round(n_clips / timings["clip_pipeline"], 1),
@@ -181,6 +200,9 @@ def main() -> None:
         # 8x8-bit SRP probe (~3% of table); low on this near-random
         # table by design — see ops/similarity.lsh_topk docstring
         "lsh_recall_at_10": round(lsh_recall, 3),
+        # north-rule keep/drop gauge vs the oracle (fixed 2000-clip slice)
+        "keep_f1_vs_oracle": round(keep_f1, 4),
+        "keep_f1_n": n_f1,
     }
     for name, n in rows_out.items():
         extra[f"{name}_rows"] = n
