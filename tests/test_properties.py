@@ -207,3 +207,49 @@ def test_image_decode_total_under_quarantine(blob, fmt, w, h):
     f = img.features(px)
     assert set(f) == {"mean_lum", "contrast", "entropy", "edge_strength", "aspect"}
     assert all(np.isfinite(v) for v in f.values())
+
+
+PCM = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=64),
+    min_size=0,
+    max_size=4000,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(PCM, st.sampled_from([8000, 16000, 44100]))
+def test_snr_and_band_ratios_total_and_gain_stable(xs, sr):
+    """The round-4 audio features are total over arbitrary PCM, and the
+    physics invariants hold: band ratios are exactly gain-invariant
+    (every probe energy scales by g²), SNR is gain-invariant up to float
+    noise (a dB DIFFERENCE), and both are deterministic."""
+    pcm = np.asarray(xs, dtype=np.float64)
+    s1, s2 = audio.snr_stats(pcm, sr), audio.snr_stats(pcm, sr)
+    assert s1 == s2
+    b1 = audio.band_ratios(pcm, sr)
+    t1 = audio.trim_bounds(pcm, sr)
+    assert audio.trim_bounds(pcm, sr) == t1
+    if b1["r100"] is not None:
+        assert abs(sum(v for v in b1.values()) - 1.0) < 1e-9
+        b_half = audio.band_ratios(0.5 * pcm, sr)  # 0.5 is exact in binary
+        for k in b1:
+            assert abs(b1[k] - b_half[k]) < 1e-9, k
+    if s1["snr_db"] is not None:
+        s_half = audio.snr_stats(0.5 * pcm, sr)
+        assert s_half["snr_db"] is not None
+        assert abs(s1["snr_db"] - s_half["snr_db"]) < 1e-6
+
+
+@settings(max_examples=60, deadline=None)
+@given(PCM, st.sampled_from([8000, 16000]))
+def test_trim_bounds_invariants(xs, sr):
+    """Trim bounds are on the 20 ms grid, ordered, within the clip, and
+    kept_ms is exactly their difference (or 0 with NULL bounds)."""
+    pcm = np.asarray(xs, dtype=np.float64)
+    t = audio.trim_bounds(pcm, sr)
+    if t["trim_start_ms"] is None:
+        assert t["trim_end_ms"] is None and t["kept_ms"] == 0
+    else:
+        assert t["trim_start_ms"] % 20 == 0 and t["trim_end_ms"] % 20 == 0
+        assert 0 <= t["trim_start_ms"] < t["trim_end_ms"] <= t["n_frames"] * 20
+        assert t["kept_ms"] == t["trim_end_ms"] - t["trim_start_ms"]
