@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trim_silence": multimodal.trim_silence,
         # round-4: composed audio-only keep/drop (SNR + trim + spectral)
         "audio_quality_filter": multimodal.audio_quality_filter,
+        # round-4: trailing-window z-score anomaly flag on hourly volume
+        "events_spike_detection": relational.events_spike_detection,
         "image_decode_features": multimodal.image_decode_features,
         "video_frame_features": multimodal.video_frame_features,
         "doc_perplexity": text.doc_perplexity,        # full oracle (inlined LM)
@@ -806,6 +808,28 @@ FROM orders GROUP BY bucket ORDER BY bucket
 SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
   CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY hour, event_type ORDER BY hour, event_type
+""",
+        "events_spike_detection": """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY hour
+), win AS (
+  SELECT hour, n,
+    CAST(SUM(n) OVER w AS DOUBLE) AS s1,
+    CAST(SUM(n * n) OVER w AS DOUBLE) AS s2,
+    CAST(COUNT(n) OVER w AS DOUBLE) AS w_cnt
+  FROM hourly
+  WINDOW w AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+), zed AS (
+  SELECT hour, n,
+    CASE WHEN w_cnt = 24.0 AND (s2 - s1 * s1 / w_cnt) / (w_cnt - 1.0) > 0.0
+         THEN round((CAST(n AS DOUBLE) - s1 / w_cnt)
+                    / sqrt((s2 - s1 * s1 / w_cnt) / (w_cnt - 1.0)), 6)
+    END AS z
+  FROM win
+)
+SELECT hour, n, z, (z IS NOT NULL AND z >= 3.0) AS spike
+FROM zed ORDER BY hour
 """,
         "json_extract_props": """
 SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k

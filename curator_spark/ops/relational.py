@@ -180,6 +180,61 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_spike_detection(
+    spark: SparkSession, sf_dir: str, window_hours: int = 24, z_thresh: float = 3.0
+) -> DataFrame:
+    """Trailing-window anomaly flag over hourly event volume — the
+    monitoring face of the rollup family: each hour's count is z-scored
+    against the preceding ``window_hours`` observed hours, and hours
+    with ``z >= 3`` flag as spikes.
+
+    Engine-parity by construction, not by rounding luck: the window
+    aggregates are INTEGER sums (``Σn``, ``Σn²`` — exact in float64 far
+    beyond this scale), and mean/variance derive from them with the
+    identical expression tree on both engines
+    (``(s2 − s1·s1/w)/(w−1)``), so the doubles are bit-equal before the
+    defensive round(6). Early hours (short window) and zero-variance
+    windows have NULL z. ONE hash shuffle (the hourly groupBy); the
+    window sort rides the orderBy output exchange.
+
+    Scale note: the un-partitioned window runs over the HOURLY ROLLUP,
+    not raw events — its input is one row per hour (a decade is <90k
+    rows), already reduced by the map-side-combinable groupBy, so the
+    single-task window is bounded by calendar time, not data volume
+    (contrast ``duration_batches``, whose per-clip input forces the
+    distributed prefix sum).
+
+    Reference analog: throughput/error trend surfaces (SURVEY §2.5 A4)."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    w = W.orderBy("hour").rowsBetween(-window_hours, -1)
+    s1 = F.sum("n").over(w).cast("double")
+    s2 = F.sum(F.col("n") * F.col("n")).over(w).cast("double")
+    cnt = F.count("n").over(w).cast("double")
+    mean = s1 / cnt
+    var = (s2 - s1 * s1 / cnt) / (cnt - F.lit(1.0))
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    full = (cnt == F.lit(float(window_hours))) & (var > F.lit(0.0))
+    # spike is TOTAL (false when the window is undefined) — a NULL boolean
+    # round-trips differently through pandas on the two engines (None vs
+    # NaN), and "not flagged" is the right monitoring semantic anyway
+    out = (
+        hourly.withColumn("zr", F.when(full, F.round(z, 6)))
+        .select(
+            "hour",
+            "n",
+            F.col("zr").alias("z"),
+            (F.col("zr").isNotNull() & (F.col("zr") >= F.lit(z_thresh))).alias("spike"),
+        )
+        .orderBy("hour")
+    )
+    return out
+
+
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar functions (SURVEY §2.7: from_json/get_json_object ≙ the
     reference's json.loads response parsing)."""

@@ -35,6 +35,7 @@ PARITY = [
     "quality_scores",
     "doc_fingerprint",
     "curation_final_selection",
+    "events_spike_detection",
 ]
 
 
@@ -654,3 +655,18 @@ def test_lsh_index_partition_pruning(spark, workdir):
     n_dirs = vecs.select("band", "bkey").distinct().count()
     # only the 8 probed bucket directories were physically opened
     assert touched <= expect and len(touched) <= similarity.ANN_LSH_BANDS < n_dirs
+
+
+def test_events_spike_detection_semantics(spark):
+    """Early hours (no full trailing day) carry NULL z and are never
+    flagged; every flagged hour clears the z threshold."""
+    from curator_spark.ops import relational
+
+    df = relational.events_spike_detection(spark, SF_DIR).toPandas()
+    head = df.head(24)
+    assert head["z"].isna().all()
+    assert not head["spike"].any()
+    flagged = df[df["spike"]]
+    assert (flagged["z"] >= 3.0).all()
+    # every scored hour had a full trailing day (zero-var windows may drop out)
+    assert len(df["z"].dropna()) <= len(df) - 24
