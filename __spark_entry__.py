@@ -154,6 +154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4: trailing-window z-score anomaly flag on hourly volume
         "events_spike_detection": relational.events_spike_detection,
         "image_decode_features": multimodal.image_decode_features,
+        # round-4: image near-dup dedup (integer aHash + pigeonhole LSH)
+        "image_fingerprints": multimodal.image_fingerprints,
+        "image_dup_pairs": multimodal.image_dup_pairs,
         "video_frame_features": multimodal.video_frame_features,
         "doc_perplexity": text.doc_perplexity,        # full oracle (inlined LM)
         # user-defined map surface (M7/M8/T2): retry+quarantine lifecycle,
@@ -701,12 +704,15 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
     # DECODE THE PIXELS IN SQL: hex-tokenized RGB triples, luminance
     # mean/std, 16-bin entropy, lead()-window first differences, and the
     # banker's-rounded thumbnail byte count (scoring/image_sql.py).
-    image_feat_sql = None
+    image_feat_sql = image_fp_sql = image_dup_sql = None
     try:
         from curator_spark.scoring import image_sql
 
         _img_path = image_sql.ensure_image_fixture()
         image_feat_sql = image_sql.image_decode_features_sql(_img_path)
+        _imgdup_path = image_sql.ensure_image_dup_fixture()
+        image_fp_sql = image_sql.image_fingerprints_sql(_imgdup_path)
+        image_dup_sql = image_sql.image_dup_pairs_sql(_imgdup_path)
     except OSError as e:
         import warnings
 
@@ -1279,6 +1285,10 @@ SELECT doc_id, rk, term, tf, df FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
             out[_k] = _v
     if image_feat_sql is not None:
         out["image_decode_features"] = image_feat_sql
+    if image_fp_sql is not None:
+        out["image_fingerprints"] = image_fp_sql
+    if image_dup_sql is not None:
+        out["image_dup_pairs"] = image_dup_sql
     if mm_sql_str is not None:
         out["multimodal_row_features"] = mm_sql_str
     if mm_filter_sql is not None:

@@ -1010,6 +1010,153 @@ def generate_images(spark: SparkSession, n: int, n_partitions: int = 4) -> DataF
     return spark.range(0, n, 1, n_partitions).mapInPandas(_gen, schema=IMAGES_SCHEMA)
 
 
+def generate_images_with_near_dups(
+    spark: SparkSession, n: int, every: int = 10, n_partitions: int = 4
+) -> DataFrame:
+    """Base images 0..n-1 plus a brightness-shifted other-format re-encode
+    of every ``every``-th — the image twin of
+    clips.generate_clips_with_near_dups (fixture in the data-generation
+    layer; operators stay pure over their input)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..synth import imagegen
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rows.append(
+                    imagegen.make_image(i) if i < n
+                    else imagegen.near_dup_image((i - n) * every)
+                )
+            yield pd.DataFrame(rows)
+
+    n_dups = len(range(0, n, every))
+    return spark.range(0, n + n_dups, 1, n_partitions).mapInPandas(
+        _gen, schema=IMAGES_SCHEMA
+    )
+
+
+IMAGE_FP_SCHEMA = (
+    "image_id long, fmt string, width int, height int, "
+    "b0 int, b1 int, b2 int, b3 int, mean_lum double, decode_ok boolean"
+)
+
+
+def image_fingerprint_stage(df: DataFrame) -> DataFrame:
+    """Average-hash fingerprints + the verify features in ONE decode pass
+    over the image binary column (the fused-stage house pattern: pixels
+    decoded and dropped inside the Arrow batch; malformed rows
+    quarantine). Emits the four 16-bit aHash block keys plus the
+    dimensions/mean-luminance the near-dup verify compares."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..scoring import image as image_scoring
+
+    cols = [f.split()[0] for f in IMAGE_FP_SCHEMA.split(", ")]
+
+    def _fp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for blob, fmt, w, h, iid in zip(
+                pdf["data"], pdf["fmt"], pdf["width"], pdf["height"], pdf["image_id"]
+            ):
+                base = {"image_id": int(iid), "fmt": fmt, "width": int(w), "height": int(h)}
+                try:
+                    px = image_scoring.decode(bytes(blob), fmt, int(w), int(h))
+                    blocks = image_scoring.ahash64(px)
+                    feat = image_scoring.features(px)
+                    rows.append(
+                        {**base,
+                         **{f"b{j}": blocks[j] for j in range(4)},
+                         "mean_lum": feat["mean_lum"], "decode_ok": True}
+                    )
+                except Exception:  # noqa: BLE001 - quarantine semantics
+                    rows.append(
+                        {**base, "b0": None, "b1": None, "b2": None, "b3": None,
+                         "mean_lum": None, "decode_ok": False}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(_fp, schema=IMAGE_FP_SCHEMA)
+
+
+IMAGE_DUP_FIXTURE = (200, 10, 4)  # (n base images, dup every k-th, partitions)
+
+
+def image_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: aHash fingerprints over base + planted re-encodes.
+    Full oracle: the SQL side decodes the pixels and replays the
+    pure-integer cross-multiplied hash (image_sql._ahash_ctes) — the
+    mean_lum output rounds to 6, but the BITS involve no floats at all.
+
+    Reference analog: media-payload identity (SURVEY §2.6 O5 applied to
+    S9's image modality)."""
+    df = generate_images_with_near_dups(spark, *IMAGE_DUP_FIXTURE)
+    return (
+        image_fingerprint_stage(df)
+        .select(
+            "image_id", "fmt", "width", "height", "b0", "b1", "b2", "b3",
+            F.round(_nan_to_null("mean_lum"), 6).alias("mean_lum"),
+            "decode_ok",
+        )
+        .orderBy("image_id")
+    )
+
+
+def image_dup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicate pairs — the dedup family completed across the
+    image modality (a brightness-shifted re-encode in a different
+    container defeats byte digests; its block-luminance shape does not).
+
+    Same LSH → verify composition as ``audio_dup_pairs``: fused decode →
+    4 aHash block keys per image → explode to (band, key) → bucketed
+    self-join (pigeonhole: candidate-complete at Hamming <= 3) → verify
+    (EXACT same dimensions + mean luminance within 10 — measured: 20/20
+    planted re-encodes kept, every cross-image collision pair differs in
+    dimensions and dies) → popcount threshold → distinct. The verify
+    compare uses the exact integer-derived mean_lum doubles, identical on
+    both engines by construction."""
+    df = generate_images_with_near_dups(spark, *IMAGE_DUP_FIXTURE)
+    fp = image_fingerprint_stage(df).filter(F.col("decode_ok"))
+    carry = ["b0", "b1", "b2", "b3", "width", "height", "mean_lum"]
+    bands = fp.select(
+        "image_id", *carry,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("band"), F.col(f"b{j}").alias("key"))
+                for j in range(4)
+            ])
+        ).alias("bk"),
+    ).select("image_id", *carry, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.b{j}").bitwiseXOR(F.col(f"b.b{j}"))) for j in range(4)
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.image_id") < F.col("b.image_id"))
+        .filter(
+            (F.col("a.width") == F.col("b.width"))
+            & (F.col("a.height") == F.col("b.height"))
+            & (F.abs(F.col("a.mean_lum") - F.col("b.mean_lum")) <= 10.0)
+        )
+        .select(
+            F.col("a.image_id").alias("img_a"),
+            F.col("b.image_id").alias("img_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("img_a", "img_b")
+    )
+
+
 def image_decode_stage(df: DataFrame) -> DataFrame:
     """Batched decode + feature extraction for the image payload — the
     same binary-column pattern as the audio decode stage (decode once per

@@ -99,6 +99,38 @@ def features(px: np.ndarray) -> dict[str, float]:
     }
 
 
+def ahash64(px: np.ndarray) -> list[int]:
+    """Average-hash fingerprint: 64 bits packed as four 16-bit block keys
+    (the image twin of audio.fingerprint — same packing, same pigeonhole
+    LSH property: Hamming <= 3 pairs share at least one identical block).
+
+    Bit ``s`` is set iff 8x8-grid block ``s``'s mean milli-luminance
+    exceeds the IMAGE's mean — a relative threshold, so brightness-shifted
+    re-encodes land at Hamming ~0. ENTIRELY integer arithmetic: the
+    comparison is the cross-multiplication ``block_sum·npx >
+    total_sum·block_npx`` (sums <= ~1e9, products <= ~4e12 — exact int64),
+    so unlike the audio fingerprint's float energy means this hash cannot
+    flip a bit between engines even in principle. Block of pixel (r, c)
+    is ``(r·8//h)·8 + (c·8//w)`` — the same integer expression the SQL
+    oracle uses."""
+    h, w, _ = px.shape
+    il = (
+        px[:, :, 0].astype(np.int64) * 299
+        + px[:, :, 1].astype(np.int64) * 587
+        + px[:, :, 2].astype(np.int64) * 114
+    )
+    by = (np.arange(h, dtype=np.int64) * 8) // h
+    bx = (np.arange(w, dtype=np.int64) * 8) // w
+    block = (by[:, None] * 8 + bx[None, :]).ravel()
+    # bincount weights go through float64 — exact here (sums < 2^53)
+    bsum = np.bincount(block, weights=il.ravel(), minlength=64).astype(np.int64)
+    bcnt = np.bincount(block, minlength=64).astype(np.int64)
+    tsum = int(il.sum())
+    npx = h * w
+    bits = [1 if int(bsum[s]) * npx > tsum * int(bcnt[s]) else 0 for s in range(64)]
+    return [sum(bits[16 * j + t] << t for t in range(16)) for j in range(4)]
+
+
 def thumbnail(px: np.ndarray, max_side: int = 8) -> np.ndarray:
     """Deterministic nearest-neighbor downsample (the resize path real
     pipelines run before feature models). Pure index arithmetic — no

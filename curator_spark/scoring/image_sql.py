@@ -54,15 +54,17 @@ def ensure_image_fixture(n: int = N_FIXTURE_IMAGES) -> str:
     return path
 
 
-def image_decode_features_sql(path: str) -> str:
-    """Oracle for ``image_decode_features``
-    (curator_spark/scoring/image.py:features + thumbnail)."""
-    # integer milli-luminance — EXACT int64 per pixel, mirroring
-    # image.features(); every aggregate below is an exact integer sum with
-    # one float division, so the result is bit-identical to numpy
-    # regardless of summation order (see the image.py docstring)
+def _pixels_cte(path: str) -> str:
+    """CTE chain: images parquet → per-pixel integer milli-luminance.
+
+    Emits ``meta(image_id, fmt, width, height, ok)`` and
+    ``px(image_id, width, height, r, c, il)`` — EXACT int64 luminance per
+    pixel, mirroring image.features(); downstream aggregates are exact
+    integer sums with one float division, so results are bit-identical to
+    numpy regardless of summation order. Shared by the feature and
+    fingerprint oracles."""
     lum = f"({_chan(1)} * 299 + {_chan(3)} * 587 + {_chan(5)} * 114)"
-    return f"""WITH raw AS (
+    return f"""raw AS (
   SELECT image_id, fmt, width, height, hex(data) AS hx,
          octet_length(data) AS nb,
     'P6' || chr(10) || width || ' ' || height || chr(10) || '255' || chr(10) AS hdr
@@ -90,7 +92,13 @@ def image_decode_features_sql(path: str) -> str:
                unnest(range(0, len(ps))) AS k,
                unnest(ps) AS pr
         FROM toks)
-), mu AS (
+)"""
+
+
+def image_decode_features_sql(path: str) -> str:
+    """Oracle for ``image_decode_features``
+    (curator_spark/scoring/image.py:features + thumbnail)."""
+    return f"""WITH {_pixels_cte(path)}, mu AS (
   -- exact integer moments: s1 <= 1e9, s2 <= 2.7e14, both < 2^53 so the
   -- DOUBLE casts are exact and the single divisions match Python's int/int
   SELECT image_id, SUM(il) AS s1, SUM(il * il) AS s2, COUNT(*) AS npx
@@ -142,4 +150,106 @@ LEFT JOIN ex x USING (image_id)
 LEFT JOIN ey y USING (image_id)
 LEFT JOIN thumb t USING (image_id)
 ORDER BY m.image_id
+"""
+
+
+def ensure_image_dup_fixture(n: int = 200, every: int = 10) -> str:
+    """Base images 0..n-1 plus a brightness-shifted other-format re-encode
+    of every ``every``-th (imagegen.near_dup_image) as parquet."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..synth import imagegen
+
+    path = os.path.join(FIXTURE_DIR, f"imagedups{n}_{every}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        rows = [imagegen.make_image(i) for i in range(n)]
+        rows += [imagegen.near_dup_image(i) for i in range(0, n, every)]
+        pdf = pd.DataFrame(rows)
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _ahash_ctes() -> str:
+    """Appended to ``_pixels_cte``: 8x8-grid block luminance sums → the
+    PURE-INTEGER cross-multiplied average-hash bits → four 16-bit block
+    keys (scoring/image.py:ahash64). No float anywhere — unlike the audio
+    fingerprint's energy means, these bits cannot flip between engines."""
+    return """blk AS (
+  SELECT image_id, ((r * 8) // height) * 8 + (c * 8) // width AS block, il
+  FROM px
+), bsum AS (
+  SELECT image_id, block, SUM(il) AS bs, COUNT(*) AS bc
+  FROM blk GROUP BY image_id, block
+), tot AS (
+  SELECT image_id, SUM(il) AS ts, COUNT(*) AS npx FROM px GROUP BY image_id
+), bits AS (
+  SELECT b.image_id, b.block,
+    CASE WHEN b.bs * t.npx > t.ts * b.bc THEN 1 ELSE 0 END AS bit
+  FROM bsum b JOIN tot t USING (image_id)
+), blocks AS (
+  SELECT image_id, CAST(block // 16 AS INT) AS band,
+    CAST(SUM(bit * (1 << CAST(block % 16 AS INT))) AS INT) AS key
+  FROM bits GROUP BY image_id, CAST(block // 16 AS INT)
+), fp AS (
+  SELECT image_id,
+    MAX(CASE WHEN band = 0 THEN key END) AS b0,
+    MAX(CASE WHEN band = 1 THEN key END) AS b1,
+    MAX(CASE WHEN band = 2 THEN key END) AS b2,
+    MAX(CASE WHEN band = 3 THEN key END) AS b3
+  FROM blocks GROUP BY image_id
+), mus AS (
+  SELECT image_id, (CAST(ts AS DOUBLE) / npx) / 1000.0 AS mean_lum FROM tot
+)"""
+
+
+def image_fingerprints_sql(path: str) -> str:
+    """Oracle for ``image_fingerprints``."""
+    return f"""WITH {_pixels_cte(path)},
+{_ahash_ctes()}
+SELECT m.image_id, m.fmt, m.width, m.height,
+  CASE WHEN m.ok THEN f.b0 END AS b0,
+  CASE WHEN m.ok THEN f.b1 END AS b1,
+  CASE WHEN m.ok THEN f.b2 END AS b2,
+  CASE WHEN m.ok THEN f.b3 END AS b3,
+  CASE WHEN m.ok THEN round(mu.mean_lum, 6) END AS mean_lum,
+  m.ok AS decode_ok
+FROM meta m LEFT JOIN fp f USING (image_id) LEFT JOIN mus mu USING (image_id)
+ORDER BY m.image_id
+"""
+
+
+def image_dup_pairs_sql(path: str, max_hamming: int = 3) -> str:
+    """Oracle for ``image_dup_pairs``: pigeonhole block-key join over the
+    aHash bands, exact-dimension + mean-luminance verify (the EXACT
+    integer-derived doubles compare identically on both engines), then
+    the popcount threshold — mirroring the Spark op clause for clause."""
+    return f"""WITH {_pixels_cte(path)},
+{_ahash_ctes()},
+fpv AS (
+  SELECT m.image_id, m.width, m.height, mu.mean_lum, f.b0, f.b1, f.b2, f.b3
+  FROM meta m JOIN fp f USING (image_id) JOIN mus mu USING (image_id)
+  WHERE m.ok
+), cand AS (
+  SELECT a.image_id AS img_a, b.image_id AS img_b
+  FROM blocks a JOIN blocks b
+    ON a.band = b.band AND a.key = b.key AND a.image_id < b.image_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT * FROM (
+    SELECT c.img_a, c.img_b,
+      CAST(bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+         + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) AS INT) AS hamming
+    FROM cand c
+    JOIN fpv fa ON fa.image_id = c.img_a
+    JOIN fpv fb ON fb.image_id = c.img_b
+    WHERE fa.width = fb.width AND fa.height = fb.height
+      AND abs(fa.mean_lum - fb.mean_lum) <= 10.0
+  ) WHERE hamming <= {max_hamming}
+)
+SELECT img_a, img_b, hamming FROM pairs ORDER BY img_a, img_b
 """

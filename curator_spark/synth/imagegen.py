@@ -59,3 +59,27 @@ def make_image(image_id: int) -> dict:
         "height": int(h),
         "data": blob,
     }
+
+
+NEAR_DUP_ID_OFFSET = 1_000_000  # planted twin of image i gets id i + OFFSET
+NEAR_DUP_DELTA = 6  # brightness shift of the re-encoded twin
+
+
+def near_dup_image(image_id: int, delta: int = NEAR_DUP_DELTA) -> dict:
+    """A brightness-shifted re-encode of image ``image_id`` in the OTHER
+    container format — the classic image near-duplicate (same picture,
+    new exposure + new encoder): byte-different (exact dedup misses it),
+    block-luminance-shape identical (aHash catches it). Data-generation
+    layer by design, like clips.near_dup_row."""
+    px = make_pixels(image_id).astype(np.int64)
+    px = np.clip(px + delta, 0, 255).astype(np.uint8)
+    h, w, _ = px.shape
+    fmt = FORMATS[(image_id + 1) % len(FORMATS)]
+    blob = encode_ppm(px) if fmt == "ppm" else px.tobytes()
+    return {
+        "image_id": int(image_id) + NEAR_DUP_ID_OFFSET,
+        "fmt": fmt,
+        "width": int(w),
+        "height": int(h),
+        "data": blob,
+    }

@@ -433,3 +433,27 @@ def test_trim_bounds_finds_silence_edges():
         "n_frames": 10, "trim_start_ms": None, "trim_end_ms": None, "kept_ms": 0}
     assert audio_scoring.trim_bounds(np.array([]), sr) == {
         "n_frames": 0, "trim_start_ms": None, "trim_end_ms": None, "kept_ms": 0}
+
+
+def test_image_ahash_brightness_invariance():
+    """The integer aHash is the image near-dup key: brightness-shifted
+    other-format re-encodes must land at Hamming <= 1 while unrelated
+    images sit far; bits are pure-integer so re-decoding is bit-stable."""
+    from curator_spark.scoring import image as image_scoring
+    from curator_spark.synth import imagegen
+
+    def hd(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    fps = []
+    for i in range(30):
+        px = imagegen.make_pixels(i)
+        f = image_scoring.ahash64(px)
+        assert all(0 <= b <= 0xFFFF for b in f)
+        assert f == image_scoring.ahash64(px)  # deterministic
+        d = imagegen.near_dup_image(i)
+        px_d = image_scoring.decode(d["data"], d["fmt"], d["width"], d["height"])
+        assert hd(f, image_scoring.ahash64(px_d)) <= 1  # planted twin
+        fps.append(f)
+    dists = [hd(fps[i], fps[j]) for i in range(30) for j in range(i + 1, 30)]
+    assert sorted(dists)[len(dists) // 2] >= 16  # unrelated: median far out
