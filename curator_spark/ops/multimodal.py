@@ -1263,6 +1263,154 @@ def generate_videos(spark: SparkSession, n: int, n_partitions: int = 4) -> DataF
     return spark.range(0, n, 1, n_partitions).mapInPandas(_gen, schema=VIDEOS_SCHEMA)
 
 
+def generate_videos_with_near_dups(
+    spark: SparkSession, n: int, every: int = 10, n_partitions: int = 4
+) -> DataFrame:
+    """Base videos 0..n-1 plus a brightness-shifted re-encode of every
+    ``every``-th DECODABLE video (external-codec stub ids are skipped —
+    their base is quarantined, so a twin would be a pairless singleton).
+    Pure function of the range index, like the clips/images variants."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..synth import videogen
+
+    plant = [i for i in range(0, n, every) if i % 9 != 5]
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i < n:
+                    rows.append(videogen.make_video(i))
+                else:
+                    rows.append(videogen.near_dup_video(plant[i - n]))
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n + len(plant), 1, n_partitions).mapInPandas(
+        _gen, schema=VIDEOS_SCHEMA
+    )
+
+
+VIDEO_FP_SCHEMA = (
+    "video_id long, fmt string, width int, height int, n_frames int, "
+    "b0 int, b1 int, b2 int, b3 int, mean_lum double, decode_ok boolean"
+)
+
+VIDEO_DUP_FIXTURE = (60, 10, 4)  # (n base videos, dup every k-th, partitions)
+
+
+def video_fingerprint_stage(df: DataFrame) -> DataFrame:
+    """Slice-block fingerprints + verify features in ONE decode pass over
+    the video binary column (fused-stage house pattern; malformed rows
+    quarantine). Emits the four 16-bit vhash block keys plus the
+    dims/frame-count/mean-luminance the near-dup verify compares."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..scoring import video as video_scoring
+
+    cols = [f.split()[0] for f in VIDEO_FP_SCHEMA.split(", ")]
+
+    def _fp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for blob, fmt, w, h, nf, fps_, vid in zip(
+                pdf["data"], pdf["fmt"], pdf["width"], pdf["height"],
+                pdf["n_frames"], pdf["fps"], pdf["video_id"],
+            ):
+                base = {"video_id": int(vid), "fmt": fmt, "width": int(w),
+                        "height": int(h), "n_frames": int(nf)}
+                try:
+                    fr = video_scoring.decode(
+                        bytes(blob), fmt, int(w), int(h), int(nf), int(fps_)
+                    )
+                    blocks = video_scoring.vhash64(fr)
+                    v = fr.astype("int64")
+                    mean_lum = int(v.sum()) / v.size  # exact ints → exact double
+                    rows.append(
+                        {**base, **{f"b{j}": blocks[j] for j in range(4)},
+                         "mean_lum": mean_lum, "decode_ok": True}
+                    )
+                except Exception:  # noqa: BLE001 - quarantine semantics
+                    rows.append(
+                        {**base, "b0": None, "b1": None, "b2": None, "b3": None,
+                         "mean_lum": None, "decode_ok": False}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(_fp, schema=VIDEO_FP_SCHEMA)
+
+
+def video_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: slice-block vhash fingerprints over base + planted
+    re-encodes. Full oracle: the SQL side decodes the frames and replays
+    the pure-integer hash (video_sql._vhash_ctes).
+
+    Reference analog: media-payload identity (SURVEY §2.6 O5 applied to
+    S9's video modality)."""
+    df = generate_videos_with_near_dups(spark, *VIDEO_DUP_FIXTURE)
+    return (
+        video_fingerprint_stage(df)
+        .select(
+            "video_id", "fmt", "width", "height", "n_frames",
+            "b0", "b1", "b2", "b3",
+            F.round(_nan_to_null("mean_lum"), 6).alias("mean_lum"),
+            "decode_ok",
+        )
+        .orderBy("video_id")
+    )
+
+
+def video_dup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
+    """Video near-duplicate pairs — the dedup family completed across the
+    LAST modality (a re-encoded, exposure-shifted copy of the same
+    recording defeats byte digests; its slice-block luminance shape does
+    not). Same LSH → verify composition as the audio/image twins: fused
+    decode → 4 vhash block keys → explode to (band, key) → bucketed
+    self-join (pigeonhole-complete at Hamming <= 3) → verify (EXACT same
+    dims AND frame count + mean luminance within 10 — measured: every
+    planted twin kept at Hamming 0, every cross-video collision differs
+    in shape and dies) → popcount threshold → distinct."""
+    df = generate_videos_with_near_dups(spark, *VIDEO_DUP_FIXTURE)
+    fp = video_fingerprint_stage(df).filter(F.col("decode_ok"))
+    carry = ["b0", "b1", "b2", "b3", "width", "height", "n_frames", "mean_lum"]
+    bands = fp.select(
+        "video_id", *carry,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("band"), F.col(f"b{j}").alias("key"))
+                for j in range(4)
+            ])
+        ).alias("bk"),
+    ).select("video_id", *carry, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.b{j}").bitwiseXOR(F.col(f"b.b{j}"))) for j in range(4)
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.video_id") < F.col("b.video_id"))
+        .filter(
+            (F.col("a.width") == F.col("b.width"))
+            & (F.col("a.height") == F.col("b.height"))
+            & (F.col("a.n_frames") == F.col("b.n_frames"))
+            & (F.abs(F.col("a.mean_lum") - F.col("b.mean_lum")) <= 10.0)
+        )
+        .select(
+            F.col("a.video_id").alias("vid_a"),
+            F.col("b.video_id").alias("vid_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("vid_a", "vid_b")
+    )
+
+
 def video_decode_stage(df: DataFrame, sample_every: int = 2) -> DataFrame:
     """Batched decode + frame-sample + per-frame features for the video
     payload — the third face of the binary-column pattern (decode once per

@@ -68,6 +68,35 @@ def decode(
     raise NotImplementedError(f"codec {fmt!r} needs an external decoder")
 
 
+def vhash64(frames: np.ndarray) -> list[int]:
+    """Slice-block video fingerprint: 64 bits packed as four 16-bit block
+    keys (the video twin of image.ahash64 / audio.fingerprint). The clip
+    is cut into 8 TIME slices × (2×4) SPATIAL blocks; bit ``cell`` is set
+    iff the cell's mean luminance exceeds the VIDEO's mean — relative, so
+    brightness-shifted re-encodes land at Hamming ~0. ENTIRELY integer:
+    the comparison is ``cell_sum·N > total_sum·cell_count`` (sums ≤ ~6e6,
+    products ≤ ~2e11 — exact int64), so no bit can flip between engines.
+    Slice of frame f is ``f·8//n``; block of pixel (r,c) is
+    ``(r·2//h)·4 + c·4//w`` — the same integer expressions the SQL oracle
+    uses. Short clips (n<8) leave some cells empty → bit 0 on both
+    engines (0 > 0 is false; SQL sums simply lack the addend)."""
+    n, h, w = frames.shape
+    v = frames.astype(np.int64)
+    sl = (np.arange(n, dtype=np.int64) * 8) // n
+    by = (np.arange(h, dtype=np.int64) * 2) // h
+    bx = (np.arange(w, dtype=np.int64) * 4) // w
+    cell = (
+        sl[:, None, None] * 8 + by[None, :, None] * 4 + bx[None, None, :]
+    ).ravel()
+    # bincount weights go through float64 — exact here (sums < 2^53)
+    csum = np.bincount(cell, weights=v.ravel(), minlength=64).astype(np.int64)
+    ccnt = np.bincount(cell, minlength=64).astype(np.int64)
+    tsum = int(v.sum())
+    npx = int(v.size)
+    bits = [1 if int(csum[s]) * npx > tsum * int(ccnt[s]) else 0 for s in range(64)]
+    return [sum(bits[16 * j + t] << t for t in range(16)) for j in range(4)]
+
+
 def frame_features(frames: np.ndarray, sample_every: int = 2) -> list[dict]:
     """Per-SAMPLED-frame features (every ``sample_every``-th frame — the
     frame-sampling step real pipelines run before vision models)."""

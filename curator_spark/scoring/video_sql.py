@@ -104,3 +104,138 @@ SELECT m.video_id, m.fmt,
 FROM meta m LEFT JOIN frame fr USING (video_id)
 ORDER BY m.video_id, frame_idx
 """
+
+
+def ensure_video_dup_fixture(n: int = N_FIXTURE_VIDEOS, every: int = 10) -> str:
+    """Base videos 0..n-1 plus a brightness-shifted re-encode of every
+    ``every``-th decodable one (videogen.near_dup_video) as parquet."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..synth import videogen
+
+    path = os.path.join(FIXTURE_DIR, f"videodups{n}_{every}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        rows = [videogen.make_video(i) for i in range(n)]
+        rows += [
+            d for i in range(0, n, every)
+            if (d := videogen.near_dup_video(i)) is not None
+        ]
+        pdf = pd.DataFrame(rows)
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _vhash_ctes(path: str) -> str:
+    """CTE chain: videos parquet → per-byte luminance → 8-timeslice ×
+    (2×4)-spatial-block PURE-INTEGER fingerprint bits → four 16-bit block
+    keys (scoring/video.py:vhash64). Cells absent on short clips simply
+    contribute no addend → bit 0, matching numpy's 0 > 0. Also emits
+    ``mus(video_id, mean_lum)`` (exact int sums → exact double)."""
+    byte_val = f"({_HX.format(j=1)} * 16 + {_HX.format(j=2)})"
+    return f"""raw AS (
+  SELECT video_id, fmt, width, height, n_frames, fps, hex(data) AS hx,
+         octet_length(data) AS nb,
+    'VID0' || chr(10) || width || ' ' || height || ' ' || n_frames || ' ' || fps
+           || chr(10) AS hdr
+  FROM read_parquet('{path}')
+), meta AS (
+  SELECT video_id, fmt, width, height, n_frames, hx,
+    CASE WHEN width IS NULL OR height IS NULL OR width <= 0 OR height <= 0
+              OR n_frames IS NULL OR n_frames <= 0 THEN FALSE
+         WHEN fmt = 'gray8_seq' THEN
+           nb = length(hdr) + width * height * n_frames
+           AND substring(hx, 1, 2 * length(hdr)) = hex(encode(hdr))
+         ELSE FALSE END AS ok,
+    length(hdr) AS off,
+    width * height AS npx
+  FROM raw
+), px AS (
+  SELECT video_id, width, height, n_frames,
+         k // npx AS f, (k % npx) // width AS r, (k % npx) % width AS c,
+         CAST({byte_val} AS BIGINT) AS v
+  FROM (SELECT video_id, width, height, n_frames, npx,
+               unnest(range(0, len(ps))) AS k,
+               unnest(ps) AS pr
+        FROM (SELECT video_id, width, height, n_frames, npx,
+                     regexp_extract_all(substring(hx, 2 * off + 1), '..') AS ps
+              FROM meta WHERE ok))
+), cells AS (
+  SELECT video_id,
+    ((f * 8) // n_frames) * 8 + ((r * 2) // height) * 4 + (c * 4) // width AS cell,
+    v
+  FROM px
+), csum AS (
+  SELECT video_id, cell, SUM(v) AS cs, COUNT(*) AS cc
+  FROM cells GROUP BY video_id, cell
+), tot AS (
+  SELECT video_id, SUM(v) AS ts, COUNT(*) AS npx FROM cells GROUP BY video_id
+), bits AS (
+  SELECT c.video_id, c.cell,
+    CASE WHEN c.cs * t.npx > t.ts * c.cc THEN 1 ELSE 0 END AS bit
+  FROM csum c JOIN tot t USING (video_id)
+), blocks AS (
+  SELECT video_id, CAST(cell // 16 AS INT) AS band,
+    CAST(SUM(bit * (1 << CAST(cell % 16 AS INT))) AS INT) AS key
+  FROM bits GROUP BY video_id, CAST(cell // 16 AS INT)
+), fp AS (
+  SELECT video_id,
+    MAX(CASE WHEN band = 0 THEN key END) AS b0,
+    MAX(CASE WHEN band = 1 THEN key END) AS b1,
+    MAX(CASE WHEN band = 2 THEN key END) AS b2,
+    MAX(CASE WHEN band = 3 THEN key END) AS b3
+  FROM blocks GROUP BY video_id
+), mus AS (
+  SELECT video_id, CAST(ts AS DOUBLE) / npx AS mean_lum FROM tot
+)"""
+
+
+def video_fingerprints_sql(path: str) -> str:
+    """Oracle for ``video_fingerprints``."""
+    return f"""WITH {_vhash_ctes(path)}
+SELECT m.video_id, m.fmt, m.width, m.height, m.n_frames,
+  CASE WHEN m.ok THEN f.b0 END AS b0,
+  CASE WHEN m.ok THEN f.b1 END AS b1,
+  CASE WHEN m.ok THEN f.b2 END AS b2,
+  CASE WHEN m.ok THEN f.b3 END AS b3,
+  CASE WHEN m.ok THEN round(mu.mean_lum, 6) END AS mean_lum,
+  m.ok AS decode_ok
+FROM meta m LEFT JOIN fp f USING (video_id) LEFT JOIN mus mu USING (video_id)
+ORDER BY m.video_id
+"""
+
+
+def video_dup_pairs_sql(path: str, max_hamming: int = 3) -> str:
+    """Oracle for ``video_dup_pairs``: pigeonhole block-key join over the
+    vhash bands, exact shape (+frame count) + mean-luminance verify, then
+    the popcount threshold — mirroring the Spark op clause for clause."""
+    return f"""WITH {_vhash_ctes(path)},
+fpv AS (
+  SELECT m.video_id, m.width, m.height, m.n_frames, mu.mean_lum,
+         f.b0, f.b1, f.b2, f.b3
+  FROM meta m JOIN fp f USING (video_id) JOIN mus mu USING (video_id)
+  WHERE m.ok
+), cand AS (
+  SELECT a.video_id AS vid_a, b.video_id AS vid_b
+  FROM blocks a JOIN blocks b
+    ON a.band = b.band AND a.key = b.key AND a.video_id < b.video_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT * FROM (
+    SELECT c.vid_a, c.vid_b,
+      CAST(bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+         + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) AS INT) AS hamming
+    FROM cand c
+    JOIN fpv fa ON fa.video_id = c.vid_a
+    JOIN fpv fb ON fb.video_id = c.vid_b
+    WHERE fa.width = fb.width AND fa.height = fb.height
+      AND fa.n_frames = fb.n_frames
+      AND abs(fa.mean_lum - fb.mean_lum) <= 10.0
+  ) WHERE hamming <= {max_hamming}
+)
+SELECT vid_a, vid_b, hamming FROM pairs ORDER BY vid_a, vid_b
+"""

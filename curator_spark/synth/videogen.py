@@ -49,6 +49,32 @@ def encode_gray8_seq(frames: np.ndarray, fps: int = FPS) -> bytes:
     return f"VID0\n{w} {h} {n} {fps}\n".encode("ascii") + frames.tobytes()
 
 
+NEAR_DUP_ID_OFFSET = 1_000_000  # planted twin of video i gets id i + OFFSET
+NEAR_DUP_DELTA = 6  # brightness shift of the re-encoded twin
+
+
+def near_dup_video(video_id: int, delta: int = NEAR_DUP_DELTA) -> dict | None:
+    """A brightness-shifted re-encode of video ``video_id`` — same
+    recording, new exposure/encoder pass: byte-different, slice-block
+    luminance shape identical. Returns ``None`` for external-codec stub
+    ids (their base row is quarantined, so a planted twin would be a
+    pairless singleton — the fixture skips them by design)."""
+    if video_id % 9 == 5:
+        return None
+    frames = make_frames(video_id).astype(np.int64)
+    frames = np.clip(frames + delta, 0, 255).astype(np.uint8)
+    n, h, w = frames.shape
+    return {
+        "video_id": int(video_id) + NEAR_DUP_ID_OFFSET,
+        "fmt": "gray8_seq",
+        "width": int(w),
+        "height": int(h),
+        "n_frames": int(n),
+        "fps": FPS,
+        "data": encode_gray8_seq(frames),
+    }
+
+
 def make_video(video_id: int) -> dict:
     """One synthetic row: id, format, dims, frame count, encoded bytes."""
     frames = make_frames(video_id)

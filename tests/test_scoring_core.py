@@ -457,3 +457,30 @@ def test_image_ahash_brightness_invariance():
         fps.append(f)
     dists = [hd(fps[i], fps[j]) for i in range(30) for j in range(i + 1, 30)]
     assert sorted(dists)[len(dists) // 2] >= 16  # unrelated: median far out
+
+
+def test_video_vhash_brightness_invariance():
+    """The slice-block video fingerprint: brightness-shifted re-encodes
+    land at Hamming 0 while unrelated videos sit far; stub ids plant no
+    twin (their base quarantines)."""
+    from curator_spark.scoring import video as video_scoring
+    from curator_spark.synth import videogen
+
+    def hd(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    assert videogen.near_dup_video(5) is None  # 5 % 9 == 5: stub base
+    fps = []
+    for i in range(20):
+        if i % 9 == 5:
+            continue
+        f = video_scoring.vhash64(videogen.make_frames(i))
+        assert all(0 <= b <= 0xFFFF for b in f)
+        d = videogen.near_dup_video(i)
+        fr = video_scoring.decode(
+            d["data"], d["fmt"], d["width"], d["height"], d["n_frames"], d["fps"]
+        )
+        assert hd(f, video_scoring.vhash64(fr)) <= 1
+        fps.append(f)
+    dists = [hd(fps[i], fps[j]) for i in range(len(fps)) for j in range(i + 1, len(fps))]
+    assert sorted(dists)[len(dists) // 2] >= 16
