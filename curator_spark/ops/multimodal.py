@@ -1181,8 +1181,6 @@ def image_decode_stage(df: DataFrame) -> DataFrame:
                 rid = None if pd.isna(r.image_id) else int(r.image_id)
                 rfmt = None if pd.isna(r.fmt) else str(r.fmt)
                 try:
-                    # TypeError (null bytes/dims) quarantines like any other
-                    # malformed row — the stage must never fail the task
                     f = img.decode_features(bytes(r.data), rfmt, int(r.width), int(r.height))
                     rows.append(
                         {
@@ -1193,7 +1191,7 @@ def image_decode_stage(df: DataFrame) -> DataFrame:
                             "decode_ok": True,
                         }
                     )
-                except (ValueError, NotImplementedError, TypeError):
+                except Exception:  # noqa: BLE001 - quarantine semantics
                     rows.append(
                         {
                             "image_id": rid,
