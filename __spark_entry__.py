@@ -167,7 +167,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_map_retry": usermap.vector_map_retry,
         "row_params_filter": usermap.row_params_filter,
         "code_exec_rows": usermap.code_exec_rows,
-        # dedup family
+        # terminal composed decision (round-4): keep-list ∘ quota ∘ split
+        "curation_final_selection": text.curation_final_selection,
+        # similarity search — lsh_topk is NEW this round, so it stays in
+        # the driver's 50-entry window with the other unrecorded queries
+        "lsh_topk": similarity.lsh_topk,
+        # round-4: integer-autocorrelation pitch + voiced/unvoiced
+        "pitch_estimate": multimodal.pitch_estimate,
+        # text analysis — changed THIS round (skew-safe bigram counts,
+        # single-scan tfidf), so they stay inside the driver's 50-window
+        "bigram_self_ppl": text.bigram_self_ppl,
+        "tfidf_top_terms": text.tfidf_top_terms,
+        # dedup family — r01-r03-proven entries pad the window edge; every
+        # NEW query above displaces one of these, never an unrecorded one
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
         "minhash_signatures_fast": dedup.minhash_signatures_fast,
@@ -185,15 +197,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_groups": dedup.embedding_dup_groups_fixture,
         "dup_groups": dedup.dup_groups,
         "dedup_keep_list": dedup.dedup_keep_list,
-        # terminal composed decision (round-4): keep-list ∘ quota ∘ split
-        "curation_final_selection": text.curation_final_selection,
-        # text analysis — changed THIS round (skew-safe bigram counts,
-        # single-scan tfidf), so they stay inside the driver's 50-window
-        "bigram_self_ppl": text.bigram_self_ppl,
-        "tfidf_top_terms": text.tfidf_top_terms,
-        # similarity search — lsh_topk is NEW this round, so it precedes
-        # the r01-r03-proven ann/ivf/kmeans entries at the window edge
-        "lsh_topk": similarity.lsh_topk,
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "ivf_topk": similarity.ivf_topk,
         "kmeans_assign": similarity.kmeans_assign,
@@ -633,7 +636,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
     audio_fp_sql = audio_dup_sql = audio_groups_sql = audio_loud_sql = None
     audio_win_sql = audio_batch_sql = audio_winfeat_sql = audio_zcr_sql = None
     audio_cmvn_sql = audio_resample_sql = audio_snr_sql_str = None
-    audio_spec_sql = audio_trim_sql = audio_qf_sql = None
+    audio_spec_sql = audio_trim_sql = audio_qf_sql = audio_pitch_sql = None
     try:
         from curator_spark.scoring import audio_sql
 
@@ -656,6 +659,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
         audio_spec_sql = audio_sql.spectral_band_ratios_sql(_clip_path)
         audio_trim_sql = audio_sql.trim_silence_sql(_clip_path)
         audio_qf_sql = audio_sql.audio_quality_filter_sql(_clip_path)
+        audio_pitch_sql = audio_sql.pitch_estimate_sql(_clip_path)
     except OSError as e:
         import warnings
 
@@ -1288,6 +1292,7 @@ SELECT doc_id, rk, term, tf, df FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
         "spectral_band_ratios": audio_spec_sql,
         "trim_silence": audio_trim_sql,
         "audio_quality_filter": audio_qf_sql,
+        "pitch_estimate": audio_pitch_sql,
     }.items():
         if _v is not None:
             out[_k] = _v

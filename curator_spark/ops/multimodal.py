@@ -396,6 +396,63 @@ def audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PITCH_SCHEMA = (
+    "clip_id string, f0_hz double, ac_peak_ratio double, voiced boolean, decode_ok boolean"
+)
+
+
+def pitch_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip fundamental-frequency (pitch) estimate + voiced/unvoiced
+    decision via integer autocorrelation (scoring/audio.py:pitch_stats) —
+    the feature a speech-curation rule consumes to separate voiced speech
+    from hum, hiss, and music-only clips. One fused decode MapInPandas
+    (bytes cross the Arrow socket once, PCM dropped inside the call);
+    full oracle: the SQL side decodes the audio, re-quantizes to the
+    int16 grid, and replays the exact-int64 lag argmax with the same
+    smallest-lag tie-break (audio_sql.pitch_estimate_sql).
+
+    Reference analog: per-row derived media stats (SURVEY.md §2.5 A1) on
+    the media-loader payload (S9)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..scoring import audio as audio_scoring
+    from ..synth import clips
+
+    cols = [f.split()[0] for f in PITCH_SCHEMA.split(", ")]
+
+    def _pitch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for b, c, sr, cid in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["clip_id"]):
+                try:
+                    pcm = audio_scoring.decode(bytes(b), c, int(sr))
+                    rows.append(
+                        {"clip_id": cid, **audio_scoring.pitch_stats(pcm, int(sr)),
+                         "decode_ok": True}
+                    )
+                except Exception:  # noqa: BLE001 - quarantine semantics
+                    rows.append(
+                        {"clip_id": cid, "f0_hz": None, "ac_peak_ratio": None,
+                         "voiced": None, "decode_ok": False}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    df = clips.generate_clips(spark, 200, 4)
+    return (
+        df.mapInPandas(_pitch, schema=PITCH_SCHEMA)
+        .select(
+            "clip_id",
+            F.round(_nan_to_null("f0_hz"), 6).alias("f0_hz"),
+            F.round(_nan_to_null("ac_peak_ratio"), 6).alias("ac_peak_ratio"),
+            "voiced",
+            "decode_ok",
+        )
+        .orderBy("clip_id")
+    )
+
+
 SNR_SCHEMA = (
     "clip_id string, signal_db double, noise_db double, snr_db double, "
     "n_frames int, decode_ok boolean"

@@ -294,6 +294,57 @@ def band_ratios(
     return out
 
 
+PITCH_F_MIN_HZ = 60    # search band: male pitch floor ...
+PITCH_F_MAX_HZ = 500   # ... to high-pitch speech ceiling
+PITCH_FRAME_DIV = 25   # analysis frame = sr // 25 samples (40 ms)
+PITCH_MIN_FRAME = 32   # shorter frames carry no usable periodicity
+PITCH_VOICED_NUM = 3   # voiced iff 10·r(best) >= 3·r(0)  (ratio >= 0.3)
+
+
+def pitch_stats(pcm: np.ndarray, sr_hz: int) -> dict[str, float | bool | None]:
+    """Fundamental-frequency estimate via INTEGER autocorrelation — the
+    classic voiced-speech pitch tracker, formulated so the SQL oracle
+    cannot diverge: samples are re-quantized to the int16 grid
+    (``floor(x·32767 + 0.5)``, exact round-trip for PCM16 and a single
+    deterministic IEEE op for the μ-law codebook doubles), so every
+    autocorrelation value ``r(lag) = Σ xi[k]·xi[k+lag]`` is an exact
+    int64 (|r| <= (sr/25)·32767² < 2^41 — no overflow, no
+    summation-order exposure). The argmax over lags [sr//500, sr//60]
+    (60-500 Hz) breaks ties toward the smallest lag on both engines, and
+    the voiced decision ``10·r_best >= 3·r(0)`` is an integer
+    cross-multiplication, so no boundary can flip. Floats appear only in
+    the REPORTED ``f0 = sr/lag`` and peak ratio (identical int inputs →
+    identical doubles, rounded to 6 decimals by the caller).
+
+    A clip too short to hold one frame plus the largest lag (or a
+    digitally-silent frame, ``r(0) = 0``) is unvoiced with NULL
+    estimates — same totality contract as the other feature ops."""
+    xi = np.floor(pcm * 32767.0 + 0.5).astype(np.int64)
+    lag_min = max(2, sr_hz // PITCH_F_MAX_HZ)
+    lag_max = sr_hz // PITCH_F_MIN_HZ
+    n = xi.shape[0]
+    leff = min(sr_hz // PITCH_FRAME_DIV, n - lag_max)
+    if leff < PITCH_MIN_FRAME:
+        return {"f0_hz": None, "ac_peak_ratio": None, "voiced": False}
+    frame = xi[:leff]
+    r0 = int(np.dot(frame, frame))
+    if r0 <= 0:
+        return {"f0_hz": None, "ac_peak_ratio": None, "voiced": False}
+    # one int64 matvec: row `lag` of the sliding-window view is
+    # xi[lag : lag+leff]; numpy integer matmul is exact (no BLAS floats)
+    sw = np.lib.stride_tricks.sliding_window_view(xi, leff)
+    r = sw[lag_min : lag_max + 1] @ frame
+    best_idx = int(np.argmax(r))  # first max = smallest lag on ties
+    best_lag = lag_min + best_idx
+    best_r = int(r[best_idx])
+    voiced = 10 * best_r >= PITCH_VOICED_NUM * r0
+    return {
+        "f0_hz": sr_hz / best_lag if voiced else None,
+        "ac_peak_ratio": best_r / r0,
+        "voiced": bool(voiced),
+    }
+
+
 def decode_features(blob: bytes, codec: str, sr_hz: int, dur_ms: int) -> dict[str, float]:
     """decode → features → drop PCM. One call per row inside an Arrow batch;
     PCM (up to ~100x the encoded bytes) never persists past the call."""

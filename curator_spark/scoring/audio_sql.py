@@ -244,6 +244,62 @@ ORDER BY m.clip_id
 """
 
 
+def pitch_estimate_sql(path: str) -> str:
+    """Oracle for ``pitch_estimate``: decode → re-quantize to the int16
+    grid (one deterministic IEEE op on bit-identical doubles) → exact
+    int64 autocorrelation per lag (equi-join on ``b.k = a.k + lag``, a
+    hash join — never a range join) → argmax with smallest-lag tie-break
+    → integer-cross-multiplied voiced decision
+    (scoring/audio.py:pitch_stats)."""
+    return f"""WITH {_samples_cte(path)},
+params AS (
+  SELECT clip_id, sr_hz,
+    GREATEST(2, sr_hz // 500) AS lagmin,
+    sr_hz // 60 AS lagmax,
+    LEAST(sr_hz // 25, n - sr_hz // 60) AS leff
+  FROM meta WHERE ok
+), xiq AS (
+  SELECT s.clip_id, s.k, CAST(floor(s.x * 32767.0 + 0.5) AS BIGINT) AS xi
+  FROM sampx s JOIN params p USING (clip_id)
+  WHERE s.k < p.leff + p.lagmax
+), r0 AS (
+  SELECT x.clip_id, SUM(x.xi * x.xi) AS r0
+  FROM xiq x JOIN params p USING (clip_id)
+  WHERE x.k < p.leff
+  GROUP BY x.clip_id
+), lags AS (
+  SELECT p.clip_id, CAST(l.lag AS BIGINT) AS lag
+  FROM params p, LATERAL (SELECT unnest(range(p.lagmin, p.lagmax + 1)) AS lag) l
+  WHERE p.leff >= 32
+), prod AS (
+  SELECT l.clip_id, l.lag, SUM(a.xi * b.xi) AS r
+  FROM lags l
+  JOIN params p ON p.clip_id = l.clip_id
+  JOIN xiq a ON a.clip_id = l.clip_id AND a.k < p.leff
+  JOIN xiq b ON b.clip_id = l.clip_id AND b.k = a.k + l.lag
+  GROUP BY l.clip_id, l.lag
+), best AS (
+  SELECT clip_id, lag, r
+  FROM prod
+  QUALIFY row_number() OVER (PARTITION BY clip_id ORDER BY r DESC, lag ASC) = 1
+)
+SELECT m.clip_id,
+  CASE WHEN m.ok AND p.leff >= 32 AND r0.r0 > 0 AND 10 * b.r >= 3 * r0.r0
+       THEN round(p.sr_hz / b.lag, 6) END AS f0_hz,
+  CASE WHEN m.ok AND p.leff >= 32 AND r0.r0 > 0
+       THEN round(b.r / r0.r0, 6) END AS ac_peak_ratio,
+  CASE WHEN m.ok
+       THEN COALESCE(p.leff >= 32 AND r0.r0 > 0 AND 10 * b.r >= 3 * r0.r0, FALSE)
+       END AS voiced,
+  m.ok AS decode_ok
+FROM meta m
+LEFT JOIN params p USING (clip_id)
+LEFT JOIN r0 USING (clip_id)
+LEFT JOIN best b USING (clip_id)
+ORDER BY m.clip_id
+"""
+
+
 def audio_snr_sql(path: str) -> str:
     """Oracle for ``audio_snr_estimate``: decile frame-energy SNR
     (scoring/audio.py:snr_stats) — rank the 20 ms-frame energies per clip,

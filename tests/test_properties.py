@@ -253,3 +253,24 @@ def test_trim_bounds_invariants(xs, sr):
         assert t["trim_start_ms"] % 20 == 0 and t["trim_end_ms"] % 20 == 0
         assert 0 <= t["trim_start_ms"] < t["trim_end_ms"] <= t["n_frames"] * 20
         assert t["kept_ms"] == t["trim_end_ms"] - t["trim_start_ms"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(PCM, st.sampled_from([8000, 16000, 44100]))
+def test_pitch_stats_invariants(xs, sr):
+    """pitch_stats is total and deterministic over arbitrary PCM; a voiced
+    estimate always lies inside the 60-500 Hz search band with a
+    positive peak ratio >= the 0.3 decision threshold; unvoiced rows
+    carry a NULL f0; too-short clips are never voiced."""
+    pcm = np.asarray(xs, dtype=np.float64)
+    p1 = audio.pitch_stats(pcm, sr)
+    assert audio.pitch_stats(pcm, sr) == p1
+    if p1["voiced"]:
+        assert p1["f0_hz"] is not None
+        # lag in [max(2, sr//500), sr//60] -> f0 in (60, sr/2]
+        assert sr / (sr // 60) <= p1["f0_hz"] <= sr / max(2, sr // 500)
+        assert p1["ac_peak_ratio"] >= 0.3
+    else:
+        assert p1["f0_hz"] is None
+    if len(xs) - sr // 60 < min(sr // 25, 32):
+        assert p1["voiced"] is False

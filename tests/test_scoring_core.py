@@ -309,6 +309,46 @@ def test_zcr_tracks_tone_frequency():
     assert audio_scoring.zcr_stats(np.full(100, 0.3), sr)["zcr"] == 0.0
 
 
+def test_pitch_tracks_tone_frequency():
+    """For a pure sine whose period divides the sample grid, the
+    autocorrelation pitch must land within the estimator's inherent
+    ±1-lag slip (unnormalized r(lag) can edge past r(0) when the lagged
+    window holds a fraction more energy — ~0.5% at 80 Hz) and the clip
+    must be voiced. Fractional-period tones legitimately snap to an
+    integer-aligned lag MULTIPLE (the classic octave error), so only
+    integer-period tones are asserted. Degenerate inputs (too short,
+    silent) are unvoiced with NULL estimates."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    for f in (80.0, 125.0, 200.0, 320.0):  # periods: 200/128/80/50 samples
+        out = audio.pitch_stats(np.sin(2 * np.pi * f * t), sr)
+        assert out["voiced"] is True
+        assert abs(out["f0_hz"] - f) / f < 0.02
+        assert out["ac_peak_ratio"] > 0.8
+    # white noise: autocorrelation peak collapses -> unvoiced
+    rng = np.random.default_rng(0)
+    noise = audio.pitch_stats(np.clip(rng.standard_normal(sr) * 0.3, -1, 1), sr)
+    assert noise["voiced"] is False
+    # silence: r0 = 0
+    silent = audio.pitch_stats(np.zeros(sr), sr)
+    assert silent == {"f0_hz": None, "ac_peak_ratio": None, "voiced": False}
+    # too short to hold frame + max lag
+    short = audio.pitch_stats(np.sin(2 * np.pi * 100.0 * t[:200]), sr)
+    assert short == {"f0_hz": None, "ac_peak_ratio": None, "voiced": False}
+
+
+def test_pitch_int16_requantize_roundtrip():
+    """The int16 re-quantization inside pitch_stats must recover the raw
+    int sample exactly after a WAV decode round-trip (the property the
+    SQL oracle's exactness argument rests on)."""
+    pcm = audiogen.gen_waveform(11, 8000, 400)
+    blob = audiogen.pcm16_to_wav(pcm, 8000)
+    dec, _sr = audiogen.wav_to_pcm(blob)
+    raw = np.frombuffer(blob[44:], dtype="<i2").astype(np.int64)
+    xi = np.floor(dec * 32767.0 + 0.5).astype(np.int64)
+    assert np.array_equal(xi, raw)
+
+
 def test_audio_fingerprint_gain_invariance():
     """The energy-shape fingerprint is the near-dup key: volume-scaled
     copies must land at Hamming ~0 while unrelated clips stay far — and
