@@ -174,6 +174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": similarity.lsh_topk,
         # round-4: integer-autocorrelation pitch + voiced/unvoiced
         "pitch_estimate": multimodal.pitch_estimate,
+        # round-4: as-of join (union-tag + one window pass; oracle is
+        # DuckDB's native ASOF LEFT JOIN — an independent implementation)
+        "events_asof_join": relational.events_asof_join,
         # text analysis — changed THIS round (skew-safe bigram counts,
         # single-scan tfidf), so they stay inside the driver's 50-window
         "bigram_self_ppl": text.bigram_self_ppl,
@@ -963,6 +966,22 @@ SELECT user_id, CAST(session_no AS BIGINT) AS session_no, COUNT(*) AS n_events,
   MIN(ts) AS session_start, MAX(ts) AS session_end,
   CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
 FROM t GROUP BY user_id, session_no ORDER BY user_id, session_no
+""",
+        # events_asof_join: DuckDB's NATIVE ASOF LEFT JOIN — an independent
+        # implementation of the inclusive most-recent-prior semantics, not
+        # a replay of the Spark union-tag + window plan
+        "events_asof_join": """
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, ts, MAX(value) AS pval
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.ts, l.value,
+  r.pval AS last_purchase_value,
+  epoch_us(l.ts) - epoch_us(r.ts) AS asof_lag_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
 """,
         "distinct_users_daily": """
 SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events

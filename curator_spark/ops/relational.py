@@ -434,3 +434,89 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_total", "event_type")
     )
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — the classic operator Spark's DataFrame API lacks
+    natively: each ``click`` event picks up the MOST RECENT ``purchase``
+    (``purchase.ts <= click.ts``) by the same user, NULL if none yet.
+
+    Spark-first construction (no range join, no per-row Python): tag the
+    two sides, union, and run ONE window pass partitioned by ``user_id``
+    ordered by ``(ts, is_right DESC)`` — a right row at the exact left
+    timestamp sorts first, giving inclusive (<=) semantics — with
+    ``last(value, ignorenulls)`` carrying the latest purchase forward.
+    ONE shuffle total; at 10^12 rows this is the textbook plan (both
+    sides co-partition on the same key; a sort-merge range join or a
+    per-left-row subquery would be quadratic in the hot keys). Hot-user
+    skew rides the same AQE/salting story as events_sessionize.
+
+    The right side is pre-aggregated to one row per (user_id, ts) with
+    ``MAX(value)`` so equal-timestamp purchase ties are deterministic on
+    both engines (DuckDB's ASOF JOIN leaves duplicate right keys
+    unspecified). The lag is an exact integer microsecond difference —
+    same TIMESTAMP_NTZ→UTC-epoch guard as events_sessionize.
+
+    Oracle: DuckDB's NATIVE ``ASOF LEFT JOIN`` — an independent
+    implementation of the same semantics, not a replay of this plan.
+
+    Reference analog: rejoin-by-id / build+probe (SURVEY.md §2.4 J1) in
+    its time-ordered form."""
+    from pyspark.sql import Window as W
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise ValueError(
+            f"events_asof_join requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): the TIMESTAMP_NTZ→epoch-micros conversion is "
+            "only DST-safe under a fixed-offset zone"
+        )
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    tagged = left.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_right"),
+        "event_id",
+        "value",
+        F.lit(None).cast("double").alias("pval"),
+    ).unionByName(
+        right.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("is_right"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            "pval",
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_right"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pts = F.when(F.col("is_right") == 1, F.col("ts"))
+    micros = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("last_purchase_ts").cast("timestamp")
+    )
+    return (
+        tagged.withColumn("last_purchase_value", F.last("pval", ignorenulls=True).over(w))
+        .withColumn("last_purchase_ts", F.last(pts, ignorenulls=True).over(w))
+        .filter(F.col("is_right") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            "last_purchase_value",
+            micros.alias("asof_lag_us"),
+        )
+        .orderBy("event_id")
+    )

@@ -119,7 +119,7 @@ def test_cross_doc_dup_spans_single_scan(spark):
     assert "Join" not in plan
 
 
-@pytest.mark.parametrize("name", ["distinct_users_daily"])
+@pytest.mark.parametrize("name", ["distinct_users_daily", "events_asof_join"])
 def test_new_relational_oracle(spark, name):
     import duckdb
 
@@ -132,3 +132,19 @@ def test_new_relational_oracle(spark, name):
     got = norm(entrymod.queries()[name](spark, SF_DIR).toPandas())
     exp = norm(con.sql(entrymod.oracle_sql()[name]).df())
     assert len(got) == len(exp) and value_hash(got) == value_hash(exp)
+
+
+def test_asof_join_single_shuffle_no_python(spark):
+    """events_asof_join must stay the union-tag + ONE-window-pass plan:
+    a single user_id exchange above the two scans (AQE may add a final
+    rebalance for the output sort, so the assertion counts exchanges
+    BELOW the Window node), no real Join operator, no Python."""
+    from curator_spark.ops import relational
+
+    plan = _plan(relational.events_asof_join(spark, SF_DIR))
+    assert "Window" in plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "MapInPandas", "BatchEvalPython"):
+        assert node not in plan
+    below_window = plan.split("Window", 1)[1]
+    assert "hashpartitioning(user_id" in below_window
