@@ -177,6 +177,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4: as-of join (union-tag + one window pass; oracle is
         # DuckDB's native ASOF LEFT JOIN — an independent implementation)
         "events_asof_join": relational.events_asof_join,
+        # round-4: range join via interval-bin expansion (equi-join on
+        # (user_id, bucket)); oracle runs the naive inequality join
+        "events_range_join": relational.events_range_join,
         # text analysis — changed THIS round (skew-safe bigram counts,
         # single-scan tfidf), so they stay inside the driver's 50-window
         "bigram_self_ppl": text.bigram_self_ppl,
@@ -982,6 +985,20 @@ SELECT l.event_id, l.user_id, l.ts, l.value,
   epoch_us(l.ts) - epoch_us(r.ts) AS asof_lag_us
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l.event_id
+""",
+        # events_range_join: the NAIVE inequality left join — DuckDB's IEJoin
+        # handles it directly; an independent implementation of the same
+        # window semantics, not a replay of the Spark bin-expansion plan
+        "events_range_join": """
+SELECT e.event_id, e.user_id, e.ts,
+  COUNT(c.user_id) AS n_recent_clicks
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id
+ AND epoch_us(c.ts) > epoch_us(e.ts) - 300000000
+ AND epoch_us(c.ts) <= epoch_us(e.ts)
+GROUP BY e.event_id, e.user_id, e.ts
+ORDER BY e.event_id
 """,
         "distinct_users_daily": """
 SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events

@@ -520,3 +520,58 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def events_range_join(spark: SparkSession, sf_dir: str, window_s: int = 300) -> DataFrame:
+    """Range join — the other time-join Spark has no native operator for:
+    for each ``error`` event, count the same user's ``click`` events in
+    the trailing ``window_s`` seconds (``err_ts - W < click_ts <=
+    err_ts``, exact integer microseconds).
+
+    Spark-first construction (never a cross product): the classic
+    interval-bin expansion — the probe side explodes to its two
+    candidate W-sized time buckets, the join is EQUI on ``(user_id,
+    bucket)`` (hash-partitionable, AQE-skew-splittable), and the exact
+    inequality is a post-join filter folded into a conditional count.
+    A click's bucket matches exactly one of the two probe rows, so
+    nothing double-counts. At 10^12 rows this stays two well-keyed
+    shuffles (join + per-event rollup); the naive inequality join is a
+    BroadcastNestedLoop/cartesian — the plan test forbids it.
+
+    Oracle: DuckDB runs the naive inequality LEFT JOIN directly — an
+    independent implementation, not a replay.
+
+    Reference analog: rejoin-by-id (SURVEY.md §2.4 J1) in its
+    time-window form; same UTC guard as events_sessionize."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise ValueError(
+            f"events_range_join requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): the TIMESTAMP_NTZ→epoch-micros conversion is "
+            "only DST-safe under a fixed-offset zone"
+        )
+    ev = load(spark, sf_dir, "events")
+    w_us = window_s * 1_000_000
+    eus = F.unix_micros(F.col("ts").cast("timestamp"))
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", eus.alias("eus")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id", eus.alias("cus")
+    ).select("user_id", "cus", F.expr(f"cus div {w_us}").alias("bucket"))
+    probes = err.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"eus div {w_us}") - F.lit(1).cast("long"),
+                F.expr(f"eus div {w_us}"),
+            )
+        ),
+    )
+    hit = (F.col("cus") > F.col("eus") - F.lit(w_us)) & (F.col("cus") <= F.col("eus"))
+    return (
+        probes.join(clk, ["user_id", "bucket"], "left")
+        .groupBy("event_id", "user_id", "ts")
+        .agg(F.count(F.when(hit, F.lit(1))).alias("n_recent_clicks"))
+        .orderBy("event_id")
+    )

@@ -119,7 +119,9 @@ def test_cross_doc_dup_spans_single_scan(spark):
     assert "Join" not in plan
 
 
-@pytest.mark.parametrize("name", ["distinct_users_daily", "events_asof_join"])
+@pytest.mark.parametrize(
+    "name", ["distinct_users_daily", "events_asof_join", "events_range_join"]
+)
 def test_new_relational_oracle(spark, name):
     import duckdb
 
@@ -148,3 +150,14 @@ def test_asof_join_single_shuffle_no_python(spark):
         assert node not in plan
     below_window = plan.split("Window", 1)[1]
     assert "hashpartitioning(user_id" in below_window
+
+
+def test_range_join_is_equi_bucketed(spark):
+    """events_range_join must compile to an EQUI join on (user_id,
+    bucket) — never the BroadcastNestedLoopJoin the naive inequality
+    form produces."""
+    from curator_spark.ops import relational
+
+    plan = _plan(relational.events_range_join(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan and "bucket" in plan
