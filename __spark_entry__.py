@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_snr_estimate": multimodal.audio_snr_estimate,
         # round-4: single-bin DFT band ratios (first spectral-tier feature)
         "spectral_band_ratios": multimodal.spectral_band_ratios,
+        # round-4: DCT over log band energies + spectral flatness
+        "cepstral_features": multimodal.cepstral_features,
         # round-4: integer-exact leading/trailing silence trim decision
         "trim_silence": multimodal.trim_silence,
         # round-4: composed audio-only keep/drop (SNR + trim + spectral)
@@ -643,6 +645,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
     audio_win_sql = audio_batch_sql = audio_winfeat_sql = audio_zcr_sql = None
     audio_cmvn_sql = audio_resample_sql = audio_snr_sql_str = None
     audio_spec_sql = audio_trim_sql = audio_qf_sql = audio_pitch_sql = None
+    audio_cep_sql = None
     try:
         from curator_spark.scoring import audio_sql
 
@@ -666,6 +669,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
         audio_trim_sql = audio_sql.trim_silence_sql(_clip_path)
         audio_qf_sql = audio_sql.audio_quality_filter_sql(_clip_path)
         audio_pitch_sql = audio_sql.pitch_estimate_sql(_clip_path)
+        audio_cep_sql = audio_sql.cepstral_features_sql(_clip_path)
     except OSError as e:
         import warnings
 
@@ -1329,6 +1333,7 @@ SELECT doc_id, rk, term, tf, df FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
         "trim_silence": audio_trim_sql,
         "audio_quality_filter": audio_qf_sql,
         "pitch_estimate": audio_pitch_sql,
+        "cepstral_features": audio_cep_sql,
     }.items():
         if _v is not None:
             out[_k] = _v

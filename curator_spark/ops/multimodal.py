@@ -656,6 +656,63 @@ def spectral_band_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CEPSTRAL_SCHEMA = (
+    "clip_id string, c0 double, c1 double, c2 double, flatness double, decode_ok boolean"
+)
+
+
+def cepstral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cepstral-lite features per clip — DCT-II over the probe-band log
+    energies (``c0..c2``) plus spectral flatness, completing the classic
+    speech-feature chain energy → spectral → cepstral → CMVN
+    (scoring/audio.py:cepstral_features). Same ONE fused decode
+    ``MapInPandas`` shape as the spectral op (the DFT work is shared code
+    and the only per-clip output is 4 doubles); full oracle replays the
+    DFT + ln/DCT/exp with the identical left-associated operation trees
+    (audio_sql.cepstral_features_sql).
+
+    Reference analog: per-row derived media stats (SURVEY.md §2.5 A1)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..scoring import audio as audio_scoring
+    from ..synth import clips
+
+    cols = [f.split()[0] for f in CEPSTRAL_SCHEMA.split(", ")]
+
+    def _cep(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for b, c, sr, cid in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["clip_id"]):
+                try:
+                    pcm = audio_scoring.decode(bytes(b), c, int(sr))
+                    rows.append(
+                        {"clip_id": cid, **audio_scoring.cepstral_features(pcm, int(sr)),
+                         "decode_ok": True}
+                    )
+                except Exception:  # noqa: BLE001 - quarantine semantics
+                    rows.append(
+                        {"clip_id": cid, "c0": None, "c1": None, "c2": None,
+                         "flatness": None, "decode_ok": False}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        clips.generate_clips(spark, 200, 4)
+        .mapInPandas(_cep, schema=CEPSTRAL_SCHEMA)
+        .select(
+            "clip_id",
+            F.round(_nan_to_null("c0"), 6).alias("c0"),
+            F.round(_nan_to_null("c1"), 6).alias("c1"),
+            F.round(_nan_to_null("c2"), 6).alias("c2"),
+            F.round(_nan_to_null("flatness"), 6).alias("flatness"),
+            "decode_ok",
+        )
+        .orderBy("clip_id")
+    )
+
+
 def clip_windows(
     spark: SparkSession, sf_dir: str, window_ms: int = 500, min_tail_ms: int = 100
 ) -> DataFrame:

@@ -271,10 +271,30 @@ def band_ratios(
     accepted summation-order-behind-round(6) pattern, and the per-clip
     energy total is a sum of POSITIVE frame energies (no cancellation).
     An empty or all-zero clip has no spectrum → all-``None``."""
-    n = pcm.shape[0]
     out: dict[str, float | None] = {f"r{int(f)}": None for f in bands}
-    if n == 0:
+    energies = _band_energies(pcm, sr_hz, bands, frame_ms)
+    if energies is None:
         return out
+    tot = float(np.sum(energies))
+    if tot <= 0.0:
+        return out
+    for f, e in zip(bands, energies):
+        out[f"r{int(f)}"] = e / tot
+    return out
+
+
+def _band_energies(
+    pcm: np.ndarray,
+    sr_hz: int,
+    bands: tuple[float, ...],
+    frame_ms: int,
+) -> list[float] | None:
+    """Per-probe-band framed DFT energies (the shared core of
+    :func:`band_ratios` and :func:`cepstral_features`); None for an
+    empty clip. Bit-identical to the pre-refactor inline computation."""
+    n = pcm.shape[0]
+    if n == 0:
+        return None
     frame = max(1, int(sr_hz * frame_ms / 1000))
     n_frames = -(-n // frame)
     padded = np.zeros(n_frames * frame, dtype=np.float64)
@@ -286,11 +306,50 @@ def band_ratios(
         sc = (padded * np.cos(ang)).reshape(n_frames, frame).sum(axis=1)
         ss = (padded * np.sin(ang)).reshape(n_frames, frame).sum(axis=1)
         energies.append(float((sc * sc + ss * ss).sum()))
-    tot = float(np.sum(energies))
-    if tot <= 0.0:
+    return energies
+
+
+def cepstral_features(
+    pcm: np.ndarray,
+    sr_hz: int,
+    bands: tuple[float, ...] = SPECTRAL_BANDS_HZ,
+    frame_ms: int = SPECTRAL_FRAME_MS,
+) -> dict[str, float | None]:
+    """Cepstral-lite features over the probe-band log energies — the last
+    link of the classic speech-feature chain (energy → spectral →
+    CEPSTRAL → CMVN): a DCT-II over ``ln(e_f)`` giving ``c0..c2``, plus
+    spectral flatness (geometric / arithmetic band-energy mean — 1.0 for
+    hiss, →0 for a tone).
+
+    Parity by construction: every float expression is written with an
+    EXPLICIT operation tree mirrored verbatim in the SQL oracle — the
+    DCT angle is ``((π·m)·(2f+1))/(2n)``, each coefficient accumulates
+    terms in ascending band order (left-associated adds), and the
+    flatness numerator/denominator reuse those exact sums — so given the
+    band energies (positive no-cancellation sums, the module's accepted
+    summation-order-behind-round(6) pattern) both engines agree within
+    libm's 1-ulp cos/ln/exp, absorbed by the caller's 6-decimal round.
+    Any non-positive band energy (digital silence) → all-``None``."""
+    import math
+
+    out: dict[str, float | None] = {"c0": None, "c1": None, "c2": None, "flatness": None}
+    es = _band_energies(pcm, sr_hz, bands, frame_ms)
+    if es is None or any(e <= 0.0 for e in es):
         return out
-    for f, e in zip(bands, energies):
-        out[f"r{int(f)}"] = e / tot
+    n = len(es)
+    logs = [math.log(e) for e in es]
+    for m in range(3):
+        c = 0.0
+        for f in range(n):
+            c += logs[f] * math.cos((math.pi * m * (2 * f + 1)) / (2 * n))
+        out[f"c{m}"] = c
+    lsum = 0.0
+    for v in logs:
+        lsum += v
+    tot = 0.0
+    for e in es:
+        tot += e
+    out["flatness"] = math.exp(lsum / n) / (tot / n)
     return out
 
 

@@ -379,22 +379,17 @@ ORDER BY m.clip_id
 """
 
 
-def spectral_band_ratios_sql(path: str) -> str:
-    """Oracle for ``spectral_band_ratios``: the FRAMED single-bin DFT
-    replayed in SQL — per (clip, probe frequency, 50 ms frame),
-    ``SUM(x·cos(((2π·f)·k)/sr))`` and the sine twin with the IDENTICAL
-    operation order as the numpy side (scoring/audio.py:band_ratios,
-    global sample index k — frame magnitudes are phase-invariant), frame
-    energies summed per clip, pivoted to columns, ratios rounded to 6
-    decimals, and the dominant band chosen by a CASE chain over the
-    ROUNDED ratios (ties break toward the lower frequency on both
-    engines)."""
+def _band_energy_ctes() -> str:
+    """Shared CTE chain ``bins → fsize → dft → en → piv``: per-clip probe
+    band energies ``e1..e4`` + total, the framed single-bin DFT replayed
+    in SQL (the extracted core of the spectral oracle, reused by the
+    cepstral one). Assumes ``meta``/``sampx`` from :func:`_samples_cte`
+    are in scope."""
     from .audio import SPECTRAL_BANDS_HZ, SPECTRAL_FRAME_MS
 
     f1, f2, f3, f4 = SPECTRAL_BANDS_HZ
     ang = "(((2 * pi() * b.fb) * s.k) / m.sr_hz)"
-    return f"""WITH {_samples_cte(path)},
-bins(fb) AS (VALUES ({f1!r}), ({f2!r}), ({f3!r}), ({f4!r})),
+    return f"""bins(fb) AS (VALUES ({f1!r}), ({f2!r}), ({f3!r}), ({f4!r})),
 fsize AS (
   SELECT clip_id, GREATEST(CAST(sr_hz * {SPECTRAL_FRAME_MS} / 1000 AS BIGINT), 1) AS frame
   FROM meta
@@ -414,7 +409,59 @@ fsize AS (
     MAX(e) FILTER (WHERE fb = {f3!r}) AS e3,
     MAX(e) FILTER (WHERE fb = {f4!r}) AS e4
   FROM en GROUP BY clip_id
-), rat AS (
+)"""
+
+
+def cepstral_features_sql(path: str) -> str:
+    """Oracle for ``cepstral_features``: band energies via the shared DFT
+    CTEs, then ``ln``/DCT-II/flatness with the EXPLICIT left-associated
+    operation trees the numpy side uses (scoring/audio.py:
+    cepstral_features) — angle ``((π·m)·(2f+1))/(2n)``, terms in
+    ascending band order — so the engines agree within libm's 1 ulp,
+    behind the 6-decimal round."""
+    n = 4
+    coefs = []
+    for m in range(3):
+        terms = " + ".join(
+            f"l{f + 1} * cos(((pi() * {m}) * {2 * f + 1}) / {2 * n})" for f in range(n)
+        )
+        coefs.append(terms)
+    lsum = " + ".join(f"l{f + 1}" for f in range(n))
+    esum = " + ".join(f"e{f + 1}" for f in range(n))
+    return f"""WITH {_samples_cte(path)},
+{_band_energy_ctes()},
+cep AS (
+  SELECT clip_id, e1, e2, e3, e4,
+    ln(e1) AS l1, ln(e2) AS l2, ln(e3) AS l3, ln(e4) AS l4
+  FROM piv WHERE e1 > 0 AND e2 > 0 AND e3 > 0 AND e4 > 0
+)
+SELECT m.clip_id,
+  CASE WHEN m.ok THEN round({coefs[0]}, 6) END AS c0,
+  CASE WHEN m.ok THEN round({coefs[1]}, 6) END AS c1,
+  CASE WHEN m.ok THEN round({coefs[2]}, 6) END AS c2,
+  CASE WHEN m.ok THEN round(exp(({lsum}) / {n}) / (({esum}) / {n}), 6) END AS flatness,
+  m.ok AS decode_ok
+FROM meta m LEFT JOIN cep c USING (clip_id)
+ORDER BY m.clip_id
+"""
+
+
+def spectral_band_ratios_sql(path: str) -> str:
+    """Oracle for ``spectral_band_ratios``: the FRAMED single-bin DFT
+    replayed in SQL — per (clip, probe frequency, 50 ms frame),
+    ``SUM(x·cos(((2π·f)·k)/sr))`` and the sine twin with the IDENTICAL
+    operation order as the numpy side (scoring/audio.py:band_ratios,
+    global sample index k — frame magnitudes are phase-invariant), frame
+    energies summed per clip, pivoted to columns, ratios rounded to 6
+    decimals, and the dominant band chosen by a CASE chain over the
+    ROUNDED ratios (ties break toward the lower frequency on both
+    engines)."""
+    from .audio import SPECTRAL_BANDS_HZ
+
+    f1, f2, f3, f4 = SPECTRAL_BANDS_HZ
+    return f"""WITH {_samples_cte(path)},
+{_band_energy_ctes()},
+rat AS (
   SELECT clip_id,
     round(e1 / tot, 6) AS r{int(f1)}, round(e2 / tot, 6) AS r{int(f2)},
     round(e3 / tot, 6) AS r{int(f3)}, round(e4 / tot, 6) AS r{int(f4)}

@@ -524,3 +524,23 @@ def test_video_vhash_brightness_invariance():
         fps.append(f)
     dists = [hd(fps[i], fps[j]) for i in range(len(fps)) for j in range(i + 1, len(fps))]
     assert sorted(dists)[len(dists) // 2] >= 16
+
+
+def test_cepstral_flatness_separates_tone_from_noise():
+    """Spectral flatness over the probe bands must be near 1 for white
+    noise (energy in every band) and much lower for a pure tone parked
+    on one probe frequency; degenerate inputs give all-None."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    rng = np.random.default_rng(3)
+    noise = audio.cepstral_features(np.clip(rng.standard_normal(sr) * 0.2, -1, 1), sr)
+    tone = audio.cepstral_features(0.8 * np.sin(2 * np.pi * 300.0 * t), sr)
+    assert noise["flatness"] is not None and tone["flatness"] is not None
+    assert noise["flatness"] > 0.5
+    assert tone["flatness"] < 0.1 * noise["flatness"]
+    # c0 is the sum of the log band energies; noise >= tone off-band leakage
+    assert noise["c0"] is not None and tone["c0"] is not None
+    silent = audio.cepstral_features(np.zeros(sr), sr)
+    assert silent == {"c0": None, "c1": None, "c2": None, "flatness": None}
+    empty = audio.cepstral_features(np.array([]), sr)
+    assert empty == {"c0": None, "c1": None, "c2": None, "flatness": None}
