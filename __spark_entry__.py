@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_band_ratios": multimodal.spectral_band_ratios,
         # round-4: DCT over log band energies + spectral flatness
         "cepstral_features": multimodal.cepstral_features,
+        # round-4: DC offset / RMS / peak / crest from exact int64 sums
+        "audio_level_stats": multimodal.audio_level_stats,
         # round-4: integer-exact leading/trailing silence trim decision
         "trim_silence": multimodal.trim_silence,
         # round-4: composed audio-only keep/drop (SNR + trim + spectral)
@@ -645,7 +647,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
     audio_win_sql = audio_batch_sql = audio_winfeat_sql = audio_zcr_sql = None
     audio_cmvn_sql = audio_resample_sql = audio_snr_sql_str = None
     audio_spec_sql = audio_trim_sql = audio_qf_sql = audio_pitch_sql = None
-    audio_cep_sql = None
+    audio_cep_sql = audio_lvl_sql = None
     try:
         from curator_spark.scoring import audio_sql
 
@@ -670,6 +672,7 @@ FROM n ORDER BY cos_sim DESC, vec_id LIMIT 10
         audio_qf_sql = audio_sql.audio_quality_filter_sql(_clip_path)
         audio_pitch_sql = audio_sql.pitch_estimate_sql(_clip_path)
         audio_cep_sql = audio_sql.cepstral_features_sql(_clip_path)
+        audio_lvl_sql = audio_sql.audio_level_stats_sql(_clip_path)
     except OSError as e:
         import warnings
 
@@ -1334,6 +1337,7 @@ SELECT doc_id, rk, term, tf, df FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
         "audio_quality_filter": audio_qf_sql,
         "pitch_estimate": audio_pitch_sql,
         "cepstral_features": audio_cep_sql,
+        "audio_level_stats": audio_lvl_sql,
     }.items():
         if _v is not None:
             out[_k] = _v

@@ -656,6 +656,63 @@ def spectral_band_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LEVEL_SCHEMA = (
+    "clip_id string, dc_offset double, rms double, peak double, "
+    "crest_db double, decode_ok boolean"
+)
+
+
+def audio_level_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-domain health gauges per clip — DC offset, RMS, peak, crest
+    factor (scoring/audio.py:level_stats): the checks a mastering-fault /
+    brickwalling rule consumes before anything spectral. Exact int64
+    Σxi/Σxi²/MAX inside ONE fused decode ``MapInPandas``; full oracle:
+    the SQL side re-quantizes the decoded samples and replays the same
+    integer sums and the identical float report expressions
+    (audio_sql.audio_level_stats_sql).
+
+    Reference analog: per-row derived media stats (SURVEY.md §2.5 A1)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..scoring import audio as audio_scoring
+    from ..synth import clips
+
+    cols = [f.split()[0] for f in LEVEL_SCHEMA.split(", ")]
+
+    def _lvl(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for b, c, sr, cid in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["clip_id"]):
+                try:
+                    pcm = audio_scoring.decode(bytes(b), c, int(sr))
+                    rows.append(
+                        {"clip_id": cid, **audio_scoring.level_stats(pcm, int(sr)),
+                         "decode_ok": True}
+                    )
+                except Exception:  # noqa: BLE001 - quarantine semantics
+                    rows.append(
+                        {"clip_id": cid, "dc_offset": None, "rms": None,
+                         "peak": None, "crest_db": None, "decode_ok": False}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        clips.generate_clips(spark, 200, 4)
+        .mapInPandas(_lvl, schema=LEVEL_SCHEMA)
+        .select(
+            "clip_id",
+            F.round(_nan_to_null("dc_offset"), 6).alias("dc_offset"),
+            F.round(_nan_to_null("rms"), 6).alias("rms"),
+            F.round(_nan_to_null("peak"), 6).alias("peak"),
+            F.round(_nan_to_null("crest_db"), 6).alias("crest_db"),
+            "decode_ok",
+        )
+        .orderBy("clip_id")
+    )
+
+
 CEPSTRAL_SCHEMA = (
     "clip_id string, c0 double, c1 double, c2 double, flatness double, decode_ok boolean"
 )

@@ -404,6 +404,38 @@ def pitch_stats(pcm: np.ndarray, sr_hz: int) -> dict[str, float | bool | None]:
     }
 
 
+def level_stats(pcm: np.ndarray, sr_hz: int) -> dict[str, float | None]:
+    """DC offset, RMS, peak, and crest factor — the level-domain health
+    gauges a mastering/quality rule consumes (a DC-offset clip is a
+    recording-chain fault; crest below ~4 dB means brickwalled audio).
+    Exactness by construction: samples re-quantize to the int16 grid
+    (same single deterministic IEEE op as :func:`pitch_stats`), so
+    ``Σxi`` and ``Σxi²`` are exact int64 (≤4M samples · 32767² < 2⁶³ —
+    no overflow, no summation-order exposure) and ``peak`` is an integer
+    MAX. The only floats are the final REPORTED expressions, written
+    with one fixed operation tree mirrored in the SQL oracle. An empty
+    clip has no levels → all-``None``; digital silence has zero levels
+    and an undefined crest."""
+    import math
+
+    n = pcm.shape[0]
+    if n == 0:
+        return {"dc_offset": None, "rms": None, "peak": None, "crest_db": None}
+    xi = np.floor(pcm * 32767.0 + 0.5).astype(np.int64)
+    s1 = int(xi.sum())
+    s2 = int(np.dot(xi, xi))
+    peak_q = int(np.abs(xi).max())
+    out: dict[str, float | None] = {
+        "dc_offset": (s1 / n) / 32767.0,
+        "rms": math.sqrt(s2 / n) / 32767.0,
+        "peak": peak_q / 32767.0,
+        "crest_db": None,
+    }
+    if s2 > 0 and peak_q > 0:
+        out["crest_db"] = 20.0 * math.log10(peak_q / math.sqrt(s2 / n))
+    return out
+
+
 def decode_features(blob: bytes, codec: str, sr_hz: int, dur_ms: int) -> dict[str, float]:
     """decode → features → drop PCM. One call per row inside an Arrow batch;
     PCM (up to ~100x the encoded bytes) never persists past the call."""

@@ -412,6 +412,30 @@ fsize AS (
 )"""
 
 
+def audio_level_stats_sql(path: str) -> str:
+    """Oracle for ``audio_level_stats``: int16 re-quantization, exact
+    int64 Σxi/Σxi²/MAX(|xi|), and the identical float report expressions
+    (scoring/audio.py:level_stats)."""
+    return f"""WITH {_samples_cte(path)},
+xiq AS (
+  SELECT clip_id, CAST(floor(x * 32767.0 + 0.5) AS BIGINT) AS xi FROM sampx
+), agg AS (
+  SELECT clip_id, SUM(xi) AS s1, SUM(xi * xi) AS s2,
+         MAX(ABS(xi)) AS peak_q, COUNT(*) AS n
+  FROM xiq GROUP BY clip_id
+)
+SELECT m.clip_id,
+  CASE WHEN m.ok THEN round((a.s1 / a.n) / 32767.0, 6) END AS dc_offset,
+  CASE WHEN m.ok THEN round(sqrt(a.s2 / a.n) / 32767.0, 6) END AS rms,
+  CASE WHEN m.ok THEN round(a.peak_q / 32767.0, 6) END AS peak,
+  CASE WHEN m.ok AND a.s2 > 0 AND a.peak_q > 0
+       THEN round(20.0 * log10(a.peak_q / sqrt(a.s2 / a.n)), 6) END AS crest_db,
+  m.ok AS decode_ok
+FROM meta m LEFT JOIN agg a USING (clip_id)
+ORDER BY m.clip_id
+"""
+
+
 def cepstral_features_sql(path: str) -> str:
     """Oracle for ``cepstral_features``: band energies via the shared DFT
     CTEs, then ``ln``/DCT-II/flatness with the EXPLICIT left-associated

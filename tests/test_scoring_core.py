@@ -544,3 +544,23 @@ def test_cepstral_flatness_separates_tone_from_noise():
     assert silent == {"c0": None, "c1": None, "c2": None, "flatness": None}
     empty = audio.cepstral_features(np.array([]), sr)
     assert empty == {"c0": None, "c1": None, "c2": None, "flatness": None}
+
+
+def test_level_stats_physics():
+    """Level gauges must read the physics: a DC-shifted signal reports
+    its offset, a square wave has ~0 dB crest, a sine ~3.01 dB, and
+    silence has zero levels with an undefined crest."""
+    sr = 16000
+    t = np.arange(sr) / sr
+    sine = audio.level_stats(0.5 * np.sin(2 * np.pi * 100.0 * t), sr)
+    assert abs(sine["crest_db"] - 3.0103) < 0.02  # 20*log10(sqrt(2))
+    assert abs(sine["dc_offset"]) < 1e-4
+    assert abs(sine["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    square = audio.level_stats(0.8 * np.sign(np.sin(2 * np.pi * 100.0 * t)), sr)
+    assert abs(square["crest_db"]) < 0.01
+    shifted = audio.level_stats(np.clip(0.2 + 0.1 * np.sin(2 * np.pi * 100.0 * t), -1, 1), sr)
+    assert abs(shifted["dc_offset"] - 0.2) < 1e-3
+    silent = audio.level_stats(np.zeros(100), sr)
+    assert silent["rms"] == 0.0 and silent["peak"] == 0.0 and silent["crest_db"] is None
+    empty = audio.level_stats(np.array([]), sr)
+    assert empty == {"dc_offset": None, "rms": None, "peak": None, "crest_db": None}
