@@ -184,6 +184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4: range join via interval-bin expansion (equi-join on
         # (user_id, bucket)); oracle runs the naive inequality join
         "events_range_join": relational.events_range_join,
+        # round-4: deterministic KMV distinct sketch + accuracy audit
+        "approx_distinct_kmv": relational.approx_distinct_kmv,
         # text analysis — changed THIS round (skew-safe bigram counts,
         # single-scan tfidf), so they stay inside the driver's 50-window
         "bigram_self_ppl": text.bigram_self_ppl,
@@ -1006,6 +1008,34 @@ LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
  AND epoch_us(c.ts) <= epoch_us(e.ts)
 GROUP BY e.event_id, e.user_id, e.ts
 ORDER BY e.event_id
+""",
+        # approx_distinct_kmv: the sketch replayed exactly — same 60-bit
+        # md5-prefix hash, same (k-1)/u_(k) estimator float tree
+        "approx_distinct_kmv": """
+WITH d AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), hx AS (
+  SELECT event_type,
+    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM d
+), r AS (
+  SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hx
+), s AS (
+  SELECT event_type, COUNT(*) AS n_in, MAX(h) AS kth FROM r WHERE rn <= 16
+  GROUP BY event_type
+), x AS (
+  SELECT event_type, COUNT(*) AS n_exact FROM d GROUP BY event_type
+), e AS (
+  SELECT x.event_type, x.n_exact,
+    CASE WHEN s.n_in < 16 THEN CAST(x.n_exact AS DOUBLE)
+         ELSE 15.0 / (s.kth / 1152921504606846976.0) END AS est_raw
+  FROM x JOIN s USING (event_type)
+)
+SELECT event_type, n_exact,
+  round(est_raw, 6) AS est_kmv,
+  round((est_raw - n_exact) / n_exact, 6) AS rel_error
+FROM e ORDER BY event_type
 """,
         "distinct_users_daily": """
 SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events

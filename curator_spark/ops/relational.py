@@ -575,3 +575,56 @@ def events_range_join(spark: SparkSession, sf_dir: str, window_s: int = 300) -> 
         .agg(F.count(F.when(hit, F.lit(1))).alias("n_recent_clicks"))
         .orderBy("event_id")
     )
+
+
+def approx_distinct_kmv(spark: SparkSession, sf_dir: str, k: int = 16) -> DataFrame:
+    """Distinct-count SKETCH with a built-in accuracy audit: the K-minimum-
+    values estimator (Bar-Yossef et al., the mergeable sketch behind
+    approx_count_distinct) computed DETERMINISTICALLY — hash = first 15
+    hex chars of md5 (60 bits, the repo's portable-hash idiom), so unlike
+    HLL the estimate is bit-reproducible on both engines and the oracle
+    hash-compares it like any exact query. Emits per event_type the exact
+    distinct user count, the KMV estimate ``(k-1)/u_(k)``, and the
+    relative error — the audit row a pipeline publishes when it swaps an
+    exact COUNT(DISTINCT) for a sketch at 10^12 rows.
+
+    Scale shape: the distinct pre-shuffle is the same one exact
+    COUNT(DISTINCT) pays; the min-k selection then runs in TWO window
+    stages — per (event_type, h%64) salt first (64 bounded partitions per
+    type, never one task per hot type), then over the ≤64·k survivors —
+    so no single task ever sees a whole type's users. Groups with fewer
+    than k distinct users fall back to the exact count.
+
+    Reference analog: success/failure counters + count reconciliation
+    (SURVEY.md §2.5 A2/A6) in their estimated, scale form."""
+    from pyspark.sql import Window as W
+
+    two60 = float(1 << 60)
+    ev = load(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct()
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10).cast("long")
+    d2 = d.withColumn("h", h)
+    w_salt = W.partitionBy("event_type", F.pmod(F.col("h"), F.lit(64))).orderBy("h")
+    w_type = W.partitionBy("event_type").orderBy("h")
+    sketch = (
+        d2.withColumn("rn", F.row_number().over(w_salt))
+        .filter(F.col("rn") <= k)
+        .withColumn("rn2", F.row_number().over(w_type))
+        .filter(F.col("rn2") <= k)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_in"), F.max("h").alias("kth"))
+    )
+    exact = d.groupBy("event_type").agg(F.count("*").alias("n_exact"))
+    est_raw = F.when(
+        F.col("n_in") < k, F.col("n_exact").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / (F.col("kth") / F.lit(two60)))
+    return (
+        exact.join(sketch, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(est_raw, 6).alias("est_kmv"),
+            F.round((est_raw - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_error"),
+        )
+        .orderBy("event_type")
+    )

@@ -120,7 +120,13 @@ def test_cross_doc_dup_spans_single_scan(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["distinct_users_daily", "events_asof_join", "events_range_join"]
+    "name",
+    [
+        "distinct_users_daily",
+        "events_asof_join",
+        "events_range_join",
+        "approx_distinct_kmv",
+    ],
 )
 def test_new_relational_oracle(spark, name):
     import duckdb
