@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": relational.events_range_join,
         # round-4: deterministic KMV distinct sketch + accuracy audit
         "approx_distinct_kmv": relational.approx_distinct_kmv,
+        # round-4: native sliding-window rollup (oracle expands bins)
+        "events_hopping_window": relational.events_hopping_window,
         # text analysis — changed THIS round (skew-safe bigram counts,
         # single-scan tfidf), so they stay inside the driver's 50-window
         "bigram_self_ppl": text.bigram_self_ppl,
@@ -1008,6 +1010,21 @@ LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
  AND epoch_us(c.ts) <= epoch_us(e.ts)
 GROUP BY e.event_id, e.user_id, e.ts
 ORDER BY e.event_id
+""",
+        # events_hopping_window: manual bin expansion (floor(μs/hop)·hop −
+        # i·hop) — independent of Spark's native F.window replication
+        "events_hopping_window": """
+WITH e AS (
+  SELECT epoch_us(ts) AS us, event_type, value FROM events
+), x AS (
+  SELECT make_timestamp((us // 900000000) * 900000000 - i.i * 900000000) AS window_start,
+         event_type, value
+  FROM e, (SELECT unnest(range(0, 4)) AS i) i(i)
+)
+SELECT window_start, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM x GROUP BY window_start, event_type
+ORDER BY window_start, event_type
 """,
         # approx_distinct_kmv: the sketch replayed exactly — same 60-bit
         # md5-prefix hash, same (k-1)/u_(k) estimator float tree

@@ -628,3 +628,33 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str, k: int = 16) -> DataFr
         )
         .orderBy("event_type")
     )
+
+
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window rollup — 1-hour windows every 15 minutes,
+    the overlapping-window shape streaming dashboards consume (each event
+    lands in size/hop = 4 windows). Spark-first: the NATIVE
+    ``F.window(ts, '1 hour', '15 minutes')`` — Catalyst plans the 4-way
+    replication itself and the aggregation stays map-side combinable; the
+    oracle expands the bins manually (``floor(μs/hop)·hop − i·hop``) as
+    an independent implementation. Epoch-aligned windows on the NTZ
+    wall-clock, so both engines bucket identically with no timezone
+    exposure; sums go through DECIMAL per the module convention.
+
+    Reference analog: throughput stats over sliding operating windows
+    (SURVEY.md §2.5 A4); the tumbling twin is events_hourly."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

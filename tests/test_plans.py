@@ -126,6 +126,7 @@ def test_cross_doc_dup_spans_single_scan(spark):
         "events_asof_join",
         "events_range_join",
         "approx_distinct_kmv",
+        "events_hopping_window",
     ],
 )
 def test_new_relational_oracle(spark, name):
