@@ -188,10 +188,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_kmv": relational.approx_distinct_kmv,
         # round-4: native sliding-window rollup (oracle expands bins)
         "events_hopping_window": relational.events_hopping_window,
-        # text analysis — changed THIS round (skew-safe bigram counts,
-        # single-scan tfidf), so they stay inside the driver's 50-window
+        # round-4: single-pass HOF funnel / cohort retention / pinned
+        # pivot / sampled heavy-hitters audit — the classic event-warehouse
+        # quartet (funnel+retention oracles are independent multi-pass SQL)
+        "events_funnel": relational.events_funnel,
+        "retention_cohorts": relational.retention_cohorts,
+        "daily_type_pivot": relational.daily_type_pivot,
+        "heavy_hitters_sample": relational.heavy_hitters_sample,
+        # text/dedup entries changed THIS round (skew-safe bigram counts,
+        # single-scan tfidf, AQE-decided decontamination join), so they
+        # stay inside the driver's 50-window
         "bigram_self_ppl": text.bigram_self_ppl,
         "tfidf_top_terms": text.tfidf_top_terms,
+        "decontaminate_ngrams": dedup.decontaminate_ngrams,
         # dedup family — r01-r03-proven entries pad the window edge; every
         # NEW query above displaces one of these, never an unrecorded one
         "dedup_exact": dedup.dedup_exact,
@@ -200,7 +209,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_pairs": dedup.minhash_dup_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "cross_doc_dup_spans": dedup.cross_doc_dup_spans,
-        "decontaminate_ngrams": dedup.decontaminate_ngrams,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_near_pairs": dedup.simhash_near_pairs,
         "simhash_dup_groups": dedup.simhash_dup_groups,
@@ -1053,6 +1061,77 @@ SELECT event_type, n_exact,
   round(est_raw, 6) AS est_kmv,
   round((est_raw - n_exact) / n_exact, 6) AS rel_error
 FROM e ORDER BY event_type
+""",
+        # events_funnel: INDEPENDENT three-pass implementation — chained
+        # min()-joins, vs the Spark side's single collect_list + HOF pass
+        "events_funnel": """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= t1.t1 GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= t2.t2 GROUP BY e.user_id
+), agg AS (
+  SELECT strftime(t1.t1, '%Y-%m-%d') AS cohort_day,
+    COUNT(*) AS n_signup, COUNT(t2.t2) AS n_click, COUNT(t3.t3) AS n_purchase
+  FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+  GROUP BY cohort_day
+)
+SELECT cohort_day, n_signup, n_click, n_purchase,
+  round(CAST(n_click AS DOUBLE) / n_signup, 6) AS click_rate,
+  round(CAST(n_purchase AS DOUBLE) / n_signup, 6) AS purchase_rate
+FROM agg ORDER BY cohort_day
+""",
+        "retention_cohorts": """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), first AS (
+  SELECT user_id, MIN(d) AS cohort_d FROM act GROUP BY user_id
+), ret AS (
+  SELECT f.cohort_d, a.d - f.cohort_d AS offset_days, COUNT(*) AS n_active
+  FROM act a JOIN first f USING (user_id)
+  GROUP BY f.cohort_d, offset_days
+), base AS (
+  SELECT cohort_d, n_active AS cohort_size FROM ret WHERE offset_days = 0
+)
+SELECT strftime(r.cohort_d, '%Y-%m-%d') AS cohort_day,
+  CAST(r.offset_days AS INT) AS offset_days, r.n_active, b.cohort_size,
+  round(CAST(r.n_active AS DOUBLE) / b.cohort_size, 6) AS retention
+FROM ret r JOIN base b USING (cohort_d)
+ORDER BY cohort_day, offset_days
+""",
+        # daily_type_pivot: FILTER-clause conditional aggregates — the
+        # long→wide form Catalyst compiles the pinned pivot down to
+        "daily_type_pivot": """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+  COUNT(*) FILTER (event_type = 'click') AS n_click,
+  COUNT(*) FILTER (event_type = 'error') AS n_error,
+  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+  COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+  COUNT(*) FILTER (event_type = 'view') AS n_view
+FROM events GROUP BY day ORDER BY day
+""",
+        # heavy_hitters_sample: same 60-bit md5-prefix row sample (p=1/4),
+        # same 4x scale-up, same deterministic top-k tie-break
+        "heavy_hitters_sample": """
+WITH samp AS (
+  SELECT user_id, COUNT(*) * 4 AS n_est FROM events
+  WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        < 288230376151711744
+  GROUP BY user_id
+), exact AS (
+  SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY user_id
+), top AS (
+  SELECT user_id, n_exact FROM exact ORDER BY n_exact DESC, user_id LIMIT 10
+)
+SELECT t.user_id, t.n_exact, COALESCE(s.n_est, 0) AS n_est,
+  round(CAST(COALESCE(s.n_est, 0) - t.n_exact AS DOUBLE) / t.n_exact, 6) AS rel_error
+FROM top t LEFT JOIN samp s USING (user_id)
+ORDER BY t.n_exact DESC, t.user_id
 """,
         "distinct_users_daily": """
 SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events

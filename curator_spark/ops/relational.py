@@ -658,3 +658,177 @@ def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+def _require_utc(spark: SparkSession, op: str) -> None:
+    # same TIMESTAMP_NTZ hazard as events_sessionize: day bucketing must
+    # render the stored wall-clock, which only matches the oracle under a
+    # fixed-offset session zone. Guard, don't guess.
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise ValueError(
+            f"{op} requires spark.sql.session.timeZone=UTC (got {tz!r}): "
+            "day bucketing is only oracle-stable under UTC"
+        )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion per signup cohort: for every user, the
+    first ``signup``, then the first ``click`` AT-OR-AFTER it, then the
+    first ``purchase`` at-or-after that click — the sequential-conversion
+    query event warehouses run constantly and plain SQL needs three
+    self-join passes for. Spark-first single pass: ONE shuffle to
+    ``collect_list`` per user, then the whole stage chain is array HOFs
+    (array_sort → filter-with-outer-reference → element_at), all inside
+    whole-stage codegen — no Python, no re-scan per stage. Per-user event
+    counts are bounded (a user's history fits an executor row), so the
+    collected array is safe at 10^12 total rows. The oracle is an
+    INDEPENDENT implementation: three chained min()-join passes in DuckDB.
+
+    Reference analog: SURVEY.md §2.5 A2's staged success counters, in
+    their sequential (conversion) form."""
+    ev = load(spark, sf_dir, "events")
+    _require_utc(spark, "events_funnel")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("evs")
+    )
+
+    def first_at_or_after(typ: str, lower):
+        hit = F.filter(
+            F.col("evs"),
+            lambda x: (x["event_type"] == F.lit(typ)) & (x["ts"] >= lower),
+        )
+        return F.element_at(hit, 1)["ts"]
+
+    staged = (
+        per_user.withColumn(
+            "t1",
+            F.element_at(
+                F.filter(F.col("evs"), lambda x: x["event_type"] == F.lit("signup")), 1
+            )["ts"],
+        )
+        .withColumn("t2", first_at_or_after("click", F.col("t1")))
+        .withColumn("t3", first_at_or_after("purchase", F.col("t2")))
+        .filter(F.col("t1").isNotNull())
+    )
+    n_signup = F.count("*").alias("n_signup")
+    return (
+        staged.groupBy(F.date_format("t1", "yyyy-MM-dd").alias("cohort_day"))
+        .agg(
+            n_signup,
+            F.count("t2").alias("n_click"),
+            F.count("t3").alias("n_purchase"),
+        )
+        .select(
+            "cohort_day",
+            "n_signup",
+            "n_click",
+            "n_purchase",
+            F.round(F.col("n_click") / F.col("n_signup"), 6).alias("click_rate"),
+            F.round(F.col("n_purchase") / F.col("n_signup"), 6).alias("purchase_rate"),
+        )
+        .orderBy("cohort_day")
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users are cohorted by their first active
+    day; each later active day lands in (cohort_day, offset_days) with the
+    retained-user count and the rate vs the cohort's day-0 size. Scale
+    shape: the (user_id, day) distinct and the first-day aggregate are
+    both map-side combinable; the activity⋈cohort join shuffles on
+    user_id once (both sides co-partition); the day-0 size table is
+    O(days) rows and broadcast. No windows, no skew hazard — the hottest
+    key is one user's day count.
+
+    Reference analog: SURVEY.md §2.5 A4 throughput stats over lifetime
+    windows (the per-cohort survival view of the same counters)."""
+    ev = load(spark, sf_dir, "events")
+    _require_utc(spark, "retention_cohorts")
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    first = act.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    ret = (
+        act.join(first, "user_id")
+        .groupBy("cohort_d", F.datediff("d", F.col("cohort_d")).alias("offset_days"))
+        .agg(F.count("*").alias("n_active"))
+    )
+    base = (
+        ret.filter(F.col("offset_days") == 0)
+        .select("cohort_d", F.col("n_active").alias("cohort_size"))
+    )
+    return (
+        ret.join(F.broadcast(base), "cohort_d")
+        .select(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+            "offset_days",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+        )
+        .orderBy("cohort_day", "offset_days")
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) rollup: daily event counts with one column per
+    event type — the native ``groupBy().pivot()`` operator with the value
+    list pinned EXPLICITLY, which (a) makes the output schema
+    deterministic and (b) skips the extra distinct-values collect job
+    Spark otherwise runs before planning a pivot. Catalyst compiles the
+    pinned pivot to a single pass of conditional aggregates (exactly the
+    FILTER-clause form the oracle writes), map-side combinable, one
+    shuffle on day.
+
+    Reference analog: SURVEY.md §2.5 A2 status counters, presented as the
+    wide per-window matrix a tracker dashboard renders."""
+    ev = load(spark, sf_dir, "events")
+    _require_utc(spark, "daily_type_pivot")
+    wide = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    ).orderBy("day")
+
+
+def heavy_hitters_sample(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Heavy-hitters frequency SKETCH with a built-in accuracy audit: a
+    deterministic 1-in-4 row sample (first 15 md5 hex chars of event_id
+    < 2^58 — the repo's portable-hash idiom, so the sample is identical
+    on both engines and bit-reproducible) estimates each top user's event
+    count as 4× its sampled count. Like approx_distinct_kmv, the exact
+    side exists to AUDIT the estimator: at 10^12 rows a pipeline publishes
+    only the sampled counts (the sample predicate pushes to the scan and
+    the aggregate touches 1/4 of the rows); this query is the periodic
+    audit row that proves the estimator's error envelope on the true top-k.
+    The audit computes exact and sampled counts as ONE conditional
+    aggregate pass (one shuffle, no join), then a global top-k over the
+    O(users) aggregate — not O(events) — with a deterministic tie-break.
+
+    Reference analog: SURVEY.md §2.5 A1/A6 token counters + count
+    reconciliation, in their estimated form."""
+    ev = load(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_exact"),
+        (F.count(F.when(h < F.lit(1 << 58), 1)) * 4).alias("n_est"),
+    )
+    return (
+        agg.orderBy(F.desc("n_exact"), "user_id")
+        .limit(k)
+        .select(
+            "user_id",
+            "n_exact",
+            "n_est",
+            F.round(
+                (F.col("n_est") - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_error"),
+        )
+    )
