@@ -195,14 +195,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": relational.retention_cohorts,
         "daily_type_pivot": relational.daily_type_pivot,
         "heavy_hitters_sample": relational.heavy_hitters_sample,
+        # round-4: native CUBE grouping sets + integer-exact weighted
+        # Bernoulli sampling (the quality-weighted corpus-mixing primitive)
+        "events_cube": relational.events_cube,
+        "weighted_sample_docs": text.weighted_sample_docs,
         # text/dedup entries changed THIS round (skew-safe bigram counts,
         # single-scan tfidf, AQE-decided decontamination join), so they
         # stay inside the driver's 50-window
         "bigram_self_ppl": text.bigram_self_ppl,
         "tfidf_top_terms": text.tfidf_top_terms,
         "decontaminate_ngrams": dedup.decontaminate_ngrams,
-        # dedup family — r01-r03-proven entries pad the window edge; every
-        # NEW query above displaces one of these, never an unrecorded one
+        # the 50-entry window is now exactly full: 47 round-4-new entries
+        # + the 3 changed-this-round text/dedup queries above. Everything
+        # below is r01-r03-proven and intentionally outside the window
+        # (still covered by tools/verify_oracles.py).
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
         "minhash_signatures_fast": dedup.minhash_signatures_fast,
@@ -1132,6 +1138,27 @@ SELECT t.user_id, t.n_exact, COALESCE(s.n_est, 0) AS n_est,
   round(CAST(COALESCE(s.n_est, 0) - t.n_exact AS DOUBLE) / t.n_exact, 6) AS rel_error
 FROM top t LEFT JOIN samp s USING (user_id)
 ORDER BY t.n_exact DESC, t.user_id
+""",
+        "events_cube": """
+SELECT COALESCE(day, '<all>') AS day,
+  COALESCE(event_type, '<all>') AS event_type,
+  CAST(GROUPING(day) AS INT) AS is_day_total,
+  CAST(GROUPING(event_type) AS INT) AS is_type_total,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+FROM (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, value FROM events)
+GROUP BY CUBE (day, event_type)
+ORDER BY day, event_type, is_day_total, is_type_total
+""",
+        # weighted_sample_docs: same 60-bit md5-prefix hash, same integer
+        # threshold min(n_chars,2000) * (2^60 // 2000)
+        "weighted_sample_docs": f"""
+SELECT doc_id, lang, n_chars,
+  round(LEAST(n_chars, 2000) / 2000.0, 6) AS keep_prob
+FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      < LEAST(n_chars, 2000) * {(1 << 60) // 2000}
+ORDER BY doc_id
 """,
         "distinct_users_daily": """
 SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events

@@ -832,3 +832,37 @@ def heavy_hitters_sample(spark: SparkSession, sf_dir: str, k: int = 10) -> DataF
             ).alias("rel_error"),
         )
     )
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup: (day × event_type) counts with BOTH marginal totals and
+    the grand total in one pass — Spark's native ``cube()`` compiles to a
+    single Expand + aggregate (each input row fans to the 4 grouping sets
+    map-side, partials combine before the one shuffle), not four scans.
+    GROUPING() flags disambiguate real NULLs from subtotal rows, same as
+    events_rollup's ROLLUP twin.
+
+    Reference analog: SURVEY.md §2.5 A2 status counters, in the
+    every-marginal dashboard form."""
+    ev = load(spark, sf_dir, "events")
+    _require_utc(spark, "events_cube")
+    pre = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type", "value"
+    )
+    return (
+        pre.cube("day", "event_type")
+        .agg(
+            F.grouping("day").cast("int").alias("is_day_total"),  # must be IN the agg
+            F.grouping("event_type").cast("int").alias("is_type_total"),
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("day"), F.lit("<all>")).alias("day"),
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            "is_day_total",
+            "is_type_total",
+            "n",
+            "sum_value",
+        )
+        .orderBy("day", "event_type", "is_day_total", "is_type_total")
+    )

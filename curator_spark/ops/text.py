@@ -559,3 +559,40 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         .select("doc_id", "rk", "term", "tf", F.col("df").cast("long").alias("df"))
         .orderBy("doc_id", "rk")
     )
+
+# 2^60 // 2000: the integer threshold unit for weight-proportional
+# sampling — h < min(n_chars, 2000) * WSAMPLE_UNIT includes a doc with
+# probability ~min(n_chars, 2000)/2000 under the 60-bit md5-prefix hash
+WSAMPLE_UNIT = (1 << 60) // 2000
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional Bernoulli sample: each document is kept with
+    probability ∝ its length (capped at 2000 chars = certainty) — the
+    curation primitive behind quality-weighted corpus mixing. Kept
+    DETERMINISTIC and engine-portable by replacing the usual rand() with
+    the repo's 60-bit md5-prefix hash and a pure INTEGER threshold
+    compare (no transcendentals, no float rounding at the boundary), so
+    the sample is bit-identical on Spark and DuckDB and re-runs are
+    reproducible — the property a resumable pipeline needs from its
+    sampling stage. Scale shape: a zero-shuffle row predicate over
+    pruned columns (text never read); at 10^12 docs the sample is the
+    only thing that leaves the scan.
+
+    Reference analog: SURVEY.md §2.6 O4's bounded-batch selection, in
+    its probability-proportional-to-size form."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    w = F.least(F.col("n_chars"), F.lit(2000))
+    return (
+        docs.filter(h < w * F.lit(WSAMPLE_UNIT))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(w / F.lit(2000.0), 6).alias("keep_prob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -36,6 +36,12 @@ PARITY = [
     "doc_fingerprint",
     "curation_final_selection",
     "events_spike_detection",
+    "events_funnel",
+    "retention_cohorts",
+    "daily_type_pivot",
+    "heavy_hitters_sample",
+    "events_cube",
+    "weighted_sample_docs",
 ]
 
 
@@ -670,3 +676,90 @@ def test_events_spike_detection_semantics(spark):
     assert (flagged["z"] >= 3.0).all()
     # every scored hour had a full trailing day (zero-var windows may drop out)
     assert len(df["z"].dropna()) <= len(df) - 24
+
+def test_events_funnel_stage_monotonicity(spark):
+    """A later funnel stage can never exceed an earlier one, and the
+    single-pass HOF implementation's totals match direct per-stage
+    counting (first-signup users) on the raw table."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.ops import relational
+
+    df = relational.events_funnel(spark, SF_DIR).toPandas()
+    assert (df["n_signup"] >= df["n_click"]).all()
+    assert (df["n_click"] >= df["n_purchase"]).all()
+    assert df["click_rate"].between(0, 1).all()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_signup_users = (
+        ev.filter(F.col("event_type") == "signup").select("user_id").distinct().count()
+    )
+    assert int(df["n_signup"].sum()) == n_signup_users
+
+
+def test_retention_cohorts_day0_full(spark):
+    """Offset-0 retention is exactly 1.0 and no offset exceeds it; the
+    sum of each cohort's day-0 size equals the distinct-user count."""
+    from curator_spark.ops import relational
+
+    df = relational.retention_cohorts(spark, SF_DIR).toPandas()
+    day0 = df[df["offset_days"] == 0]
+    assert (day0["retention"] == 1.0).all()
+    assert (df["n_active"] <= df["cohort_size"]).all()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert int(day0["cohort_size"].sum()) == ev.select("user_id").distinct().count()
+
+
+def test_daily_type_pivot_row_sums(spark):
+    """Wide counts re-sum to the raw per-day totals (pivot loses nothing)."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.ops import relational
+
+    df = relational.daily_type_pivot(spark, SF_DIR).toPandas()
+    wide_total = int(df[[c for c in df.columns if c.startswith("n_")]].sum().sum())
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert wide_total == ev.count()
+    assert set(df.columns) == {"day", "n_click", "n_error", "n_purchase", "n_signup", "n_view"}
+
+
+def test_events_cube_marginals_consistent(spark):
+    """The grand total equals the table count; each marginal's subtotal
+    set re-sums to the same grand total (grouping sets lose nothing)."""
+    from curator_spark.ops import relational
+
+    df = relational.events_cube(spark, SF_DIR).toPandas()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n = ev.count()
+    grand = df[(df["is_day_total"] == 1) & (df["is_type_total"] == 1)]
+    assert len(grand) == 1 and int(grand["n"].iloc[0]) == n
+    type_tot = df[(df["is_day_total"] == 1) & (df["is_type_total"] == 0)]
+    day_tot = df[(df["is_day_total"] == 0) & (df["is_type_total"] == 1)]
+    assert int(type_tot["n"].sum()) == n and int(day_tot["n"].sum()) == n
+
+
+def test_heavy_hitters_sample_estimator(spark):
+    """Top-k is exact-ordered with deterministic ties; estimates are
+    non-negative multiples of the 4x scale-up."""
+    from curator_spark.ops import relational
+
+    df = relational.heavy_hitters_sample(spark, SF_DIR).toPandas()
+    assert len(df) == 10
+    assert (df["n_exact"].diff().dropna() <= 0).all()
+    assert (df["n_est"] % 4 == 0).all() and (df["n_est"] >= 0).all()
+
+
+def test_weighted_sample_docs_certainty_and_subset(spark):
+    """Docs at/above the 2000-char cap are kept with certainty; every
+    sampled doc satisfies the integer threshold predicate (recomputed
+    locally), so the sample is a pure deterministic function of doc_id."""
+    import hashlib
+
+    from curator_spark.ops import text as text_ops
+
+    df = text_ops.weighted_sample_docs(spark, SF_DIR).toPandas()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "n_chars").toPandas()
+    cap = set(docs[docs["n_chars"] >= 2000]["doc_id"])
+    assert cap <= set(df["doc_id"])
+    for row in df.itertuples():
+        h = int(hashlib.md5(str(row.doc_id).encode()).hexdigest()[:15], 16)
+        assert h < min(row.n_chars, 2000) * text_ops.WSAMPLE_UNIT
