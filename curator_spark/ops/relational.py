@@ -734,29 +734,37 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: users are cohorted by their first active
     day; each later active day lands in (cohort_day, offset_days) with the
     retained-user count and the rate vs the cohort's day-0 size. Scale
-    shape: the (user_id, day) distinct and the first-day aggregate are
-    both map-side combinable; the activity⋈cohort join shuffles on
-    user_id once (both sides co-partition); the day-0 size table is
-    O(days) rows and broadcast. No windows, no skew hazard — the hottest
-    key is one user's day count.
+    shape — ONE scan, one data-sized shuffle: per-user day sets via
+    ``collect_set`` (map-side combinable, bounded by calendar days per
+    user), cohort = array_min of the same set (no second aggregate, no
+    activity⋈cohort join), explode to offsets, then the rollup; the
+    day-0 size comes from a window OVER THE ROLLUP (O(days²) rows, not
+    data-sized) instead of a self-join, so the rollup is computed once.
+    The naive distinct→join→self-join form costs 4 scans / 10 exchanges;
+    this is 1 scan / 4 (see PLANS.md).
 
     Reference analog: SURVEY.md §2.5 A4 throughput stats over lifetime
     windows (the per-cohort survival view of the same counters)."""
+    from pyspark.sql import Window as W
+
     ev = load(spark, sf_dir, "events")
     _require_utc(spark, "retention_cohorts")
-    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
-    first = act.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
-    ret = (
-        act.join(first, "user_id")
-        .groupBy("cohort_d", F.datediff("d", F.col("cohort_d")).alias("offset_days"))
-        .agg(F.count("*").alias("n_active"))
+    per_user = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .groupBy("user_id")
+        .agg(F.collect_set("d").alias("days"))
     )
-    base = (
-        ret.filter(F.col("offset_days") == 0)
-        .select("cohort_d", F.col("n_active").alias("cohort_size"))
+    exploded = per_user.select(
+        F.array_min("days").alias("cohort_d"), F.explode("days").alias("d")
+    )
+    ret = exploded.groupBy(
+        "cohort_d", F.datediff("d", F.col("cohort_d")).alias("offset_days")
+    ).agg(F.count("*").alias("n_active"))
+    day0 = F.max(F.when(F.col("offset_days") == 0, F.col("n_active"))).over(
+        W.partitionBy("cohort_d")
     )
     return (
-        ret.join(F.broadcast(base), "cohort_d")
+        ret.withColumn("cohort_size", day0)
         .select(
             F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
             "offset_days",
