@@ -659,6 +659,7 @@ def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("window_start", "event_type")
     )
 
+
 def _require_utc(spark: SparkSession, op: str) -> None:
     # same TIMESTAMP_NTZ hazard as events_sessionize: day bucketing must
     # render the stored wall-clock, which only matches the oracle under a
@@ -840,6 +841,7 @@ def heavy_hitters_sample(spark: SparkSession, sf_dir: str, k: int = 10) -> DataF
             ).alias("rel_error"),
         )
     )
+
 
 def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE rollup: (day × event_type) counts with BOTH marginal totals and
