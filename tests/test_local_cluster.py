@@ -75,3 +75,59 @@ def test_pipeline_on_real_executors_matches_local(spark, workdir):
         for r in spark.read.parquet(os.path.join(wh_lc, "clips_labeled")).collect()
     }
     assert lc == golden  # executor-boundary invariance, bit-exact
+
+
+# one query per distinct execution shape: HOF aggregate chain, collect_set
+# + window-over-rollup, conditional-agg top-k, Expand grouping sets, scan
+# predicate sampling, fused MapInPandas decode (Python workers on REMOTE
+# executors via the addPyFile zip), persisted-bucket LSH self-join
+LC_QUERIES = (
+    "events_funnel",
+    "retention_cohorts",
+    "heavy_hitters_sample",
+    "events_cube",
+    "weighted_sample_docs",
+    "audio_level_stats",
+    "minhash_dup_pairs",
+)
+
+QUERY_RUNNER = r"""
+import sys
+sys.path.insert(0, sys.argv[1])
+from curator_spark.session import build_session
+import __spark_entry__ as entrymod
+from tools.verify_oracles import norm, value_hash
+
+spark = build_session(master="local-cluster[2,4,2048]", app_name="lc_queries")
+qs = entrymod.queries()
+for name in sys.argv[3:]:
+    h = value_hash(norm(qs[name](spark, sys.argv[2]).toPandas()))
+    print(f"LC_HASH {name} {h}")
+spark.stop()
+"""
+
+
+def test_gate_queries_on_real_executors_match_local(spark):
+    """Executor-boundary invariance for the OPERATOR family (not just the
+    pipeline): the same gate queries on 2 real executor JVMs must
+    value-hash identically to this session's local-mode run — shuffles,
+    broadcasts, and Arrow batches all cross real process boundaries."""
+    import __spark_entry__ as entrymod
+    from tools.verify_oracles import norm, value_hash
+
+    sf_dir = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    golden = {
+        name: value_hash(norm(qs[name](spark, sf_dir).toPandas())) for name in LC_QUERIES
+    }
+
+    out = subprocess.run(
+        [sys.executable, "-c", QUERY_RUNNER, REPO, sf_dir, *LC_QUERIES],
+        capture_output=True, text=True, timeout=900, cwd=REPO,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8"},
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    got = dict(
+        line.split()[1:3] for line in out.stdout.splitlines() if line.startswith("LC_HASH")
+    )
+    assert got == golden
