@@ -126,6 +126,10 @@ def main() -> None:
         # round-4 addition: the terminal composed curation decision
         # (LSH dedup keep-list ∘ per-language quota ∘ hash split)
         "curation_final_selection": text.curation_final_selection,
+        # round-4 additions: the event-warehouse quartet's two heaviest
+        # shapes — single-pass HOF funnel and collect_set+window retention
+        "events_funnel": relational.events_funnel,
+        "retention_cohorts": relational.retention_cohorts,
     }
 
     # the FROZEN round-1 workload: bench totals across rounds mix different
