@@ -345,10 +345,12 @@ def clear_session_cache(spark: SparkSession) -> None:
     clear_transient_persists(spark)
 
 
-def minhash_dup_pairs(spark: SparkSession, sf_dir: str, family: str = "mix64") -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket.
-    The bucket groupBy is the only shuffle; pairing happens within
-    buckets. Production default is the digest-free ``mix64`` family."""
+def _dup_pair_edges(spark: SparkSession, sf_dir: str, family: str = "mix64") -> DataFrame:
+    """UNORDERED candidate pairs — the internal edge set. Downstream
+    consumers (connected components, Jaccard verify, the composed
+    curation decision) all re-shuffle on their own keys, so a global
+    sort here would be a pure-waste range exchange; only the gate-facing
+    ``minhash_dup_pairs`` pays it for deterministic output."""
     stacked = _stacked_buckets(spark, sf_dir, family)
     a = stacked.alias("a")
     b = stacked.alias("b")
@@ -356,8 +358,14 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str, family: str = "mix64") -
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def minhash_dup_pairs(spark: SparkSession, sf_dir: str, family: str = "mix64") -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+    The bucket groupBy is the only shuffle; pairing happens within
+    buckets. Production default is the digest-free ``mix64`` family."""
+    return _dup_pair_edges(spark, sf_dir, family).orderBy("doc_a", "doc_b")
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
@@ -371,7 +379,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5
         "doc_id",
         F.array_distinct(F.transform(idx, lambda i: F.substring(F.col("text"), i, k))).alias("sh"),
     )
-    cand = minhash_dup_pairs(spark, sf_dir)
+    cand = _dup_pair_edges(spark, sf_dir)
     a = sets.alias("sa")
     b = sets.alias("sb")
     joined = (
@@ -616,7 +624,7 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> Da
     to the dedup family's output, the way a production pipeline actually
     consumes LSH → verify → components."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    groups = dup_groups(spark, sf_dir, max_iters)
+    groups = _dup_group_labels(spark, sf_dir, max_iters)
     return (
         docs.join(groups, "doc_id", "left")
         .select(
@@ -637,7 +645,9 @@ def simhash_dup_groups(
     canonical assignment. Oracle: recursive transitive closure over the
     same pigeonhole-blocked pair CTE."""
     edges = simhash_near_pairs(spark, sf_dir, max_hamming).select("doc_a", "doc_b")
-    return _min_label_components(edges, "doc_a", "doc_b", "doc_id", max_iters, "simhash_dup_groups")
+    return _min_label_components(
+        edges, "doc_a", "doc_b", "doc_id", max_iters, "simhash_dup_groups"
+    ).orderBy("group_id", "doc_id")
 
 
 # --- embedding near-dup: multi-band signed-random-projection LSH ---------
@@ -853,7 +863,16 @@ def _min_label_components(
             "returning silently split groups"
         )
     adj.unpersist()
-    return labels.select(F.col("label").alias("group_id"), node).orderBy("group_id", node)
+    # UNORDERED: gate-facing wrappers add their own orderBy; internal
+    # consumers (keep-list, curation composition) re-join/re-sort anyway,
+    # so an order here would be a pure-waste range exchange for them
+    return labels.select(F.col("label").alias("group_id"), node)
+
+
+def _dup_group_labels(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFrame:
+    """Unordered MinHash-LSH component labels — the internal form."""
+    edges = _dup_pair_edges(spark, sf_dir).select("doc_a", "doc_b")
+    return _min_label_components(edges, "doc_a", "doc_b", "doc_id", max_iters, "dup_groups")
 
 
 def dup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFrame:
@@ -862,8 +881,7 @@ def dup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFra
     pipeline emits. Driver oracle: a DuckDB recursive transitive closure
     over the same LSH pair CTE (exact at oracle scale); exactness vs a
     union-find is also asserted in tests/test_ops.py."""
-    edges = minhash_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    return _min_label_components(edges, "doc_a", "doc_b", "doc_id", max_iters, "dup_groups")
+    return _dup_group_labels(spark, sf_dir, max_iters).orderBy("group_id", "doc_id")
 
 
 def embedding_dup_groups(
@@ -881,7 +899,9 @@ def embedding_dup_groups(
     edges = embedding_near_dups(spark, sf_dir, threshold, planted=planted).select(
         "vec_a", "vec_b"
     )
-    return _min_label_components(edges, "vec_a", "vec_b", "vec_id", max_iters, "embedding_dup_groups")
+    return _min_label_components(
+        edges, "vec_a", "vec_b", "vec_id", max_iters, "embedding_dup_groups"
+    ).orderBy("group_id", "vec_id")
 
 
 def embedding_near_dups_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:

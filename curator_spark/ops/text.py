@@ -490,7 +490,7 @@ def curation_final_selection(
     from . import dedup
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
-    groups = dedup.dup_groups(spark, sf_dir)
+    groups = dedup._dup_group_labels(spark, sf_dir)
     non_canonical = groups.filter(F.col("group_id") != F.col("doc_id")).select("doc_id")
     canon = docs.join(non_canonical, "doc_id", "left_anti")
     sampled = _quota_sample(canon, quota)
