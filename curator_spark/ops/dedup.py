@@ -566,24 +566,29 @@ def _simhash_batch(texts) -> np.ndarray:
     return out
 
 
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash (Charikar '02) over whitespace tokens, batch-vectorized
     (see _simhash_batch). Deterministic across partitionings (per-row
-    function of text only)."""
+    function of text only). UNORDERED — the pair join re-shuffles on block
+    keys, so the fingerprint sort is waste for it."""
 
     @F.pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:
         return pd.Series(_simhash_batch(list(texts)))
 
     docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", simhash("text").alias("simhash")).orderBy("doc_id")
+    return docs.select("doc_id", simhash("text").alias("simhash"))
 
 
-def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks
-    (a pair within hamming<=3 of 64 bits must agree on >=1 of 4 chunks —
-    pigeonhole blocking, standard public construction)."""
-    fps = simhash_fingerprints(spark, sf_dir)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-facing ordered view of :func:`_simhash_fps`."""
+    return _simhash_fps(spark, sf_dir).orderBy("doc_id")
+
+
+def _simhash_pair_edges(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
+    """UNORDERED SimHash near-pairs — internal edge set (the components
+    consumer re-shuffles immediately; see _dup_pair_edges)."""
+    fps = _simhash_fps(spark, sf_dir)
     chunks = fps.select(
         "doc_id",
         "simhash",
@@ -612,7 +617,14 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -
         )
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= max_hamming).orderBy("doc_a", "doc_b")
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks
+    (a pair within hamming<=3 of 64 bits must agree on >=1 of 4 chunks —
+    pigeonhole blocking, standard public construction)."""
+    return _simhash_pair_edges(spark, sf_dir, max_hamming).orderBy("doc_a", "doc_b")
 
 
 def dedup_keep_list(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFrame:
@@ -644,7 +656,7 @@ def simhash_dup_groups(
     dup_groups completes MinHash-LSH: candidates → components →
     canonical assignment. Oracle: recursive transitive closure over the
     same pigeonhole-blocked pair CTE."""
-    edges = simhash_near_pairs(spark, sf_dir, max_hamming).select("doc_a", "doc_b")
+    edges = _simhash_pair_edges(spark, sf_dir, max_hamming).select("doc_a", "doc_b")
     return _min_label_components(
         edges, "doc_a", "doc_b", "doc_id", max_iters, "simhash_dup_groups"
     ).orderBy("group_id", "doc_id")
@@ -755,15 +767,11 @@ def _emb_vectors(spark: SparkSession, sf_dir: str, planted: bool) -> DataFrame:
     return allv
 
 
-def embedding_near_dups(
+def _emb_near_dup_edges(
     spark: SparkSession, sf_dir: str, threshold: float = 0.9, planted: bool = False
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via 4x16-bit signed-random-projection
-    LSH + exact cosine verify on candidates only (no all-pairs join; the
-    band-key groupBy is the only shuffle over the full set). Pure over the
-    embeddings table unless ``planted`` (the benchmark fixture gate; see
-    :func:`embedding_near_dups_fixture`). Reference analog:
-    content-identity dedup (llm/llm.py:139-164) lifted to vectors."""
+    """UNORDERED embedding near-dup pairs — internal edge set (the
+    components consumer re-shuffles immediately; see _dup_pair_edges)."""
     allv = _emb_vectors(spark, sf_dir, planted)
     planes = EMB_PLANES  # 32 KB — ships in the UDF closure
 
@@ -804,8 +812,19 @@ def embedding_near_dups(
         .select("vec_a", "vec_b", _cos_sim(F.col("x.emb"), F.col("y.emb")).alias("cs"))
         .filter(F.col("cs") >= threshold)
         .select("vec_a", "vec_b", F.round("cs", 6).alias("cos_sim"))
-        .orderBy("vec_a", "vec_b")
     )
+
+
+def embedding_near_dups(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.9, planted: bool = False
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via 4x16-bit signed-random-projection
+    LSH + exact cosine verify on candidates only (no all-pairs join; the
+    band-key groupBy is the only shuffle over the full set). Pure over the
+    embeddings table unless ``planted`` (the benchmark fixture gate; see
+    :func:`embedding_near_dups_fixture`). Reference analog:
+    content-identity dedup (llm/llm.py:139-164) lifted to vectors."""
+    return _emb_near_dup_edges(spark, sf_dir, threshold, planted).orderBy("vec_a", "vec_b")
 
 
 def _min_label_components(
@@ -896,7 +915,7 @@ def embedding_dup_groups(
     assignment. Composes the embedding dedup DAG exactly like the text
     pipeline composes LSH → Jaccard → components. Pure over the embeddings
     table unless ``planted`` (benchmark fixture gate)."""
-    edges = embedding_near_dups(spark, sf_dir, threshold, planted=planted).select(
+    edges = _emb_near_dup_edges(spark, sf_dir, threshold, planted=planted).select(
         "vec_a", "vec_b"
     )
     return _min_label_components(

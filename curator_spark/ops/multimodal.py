@@ -220,8 +220,13 @@ def audio_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEAR_DUP_FIXTURE = (200, 20, 4)
 
 
-def audio_dup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
-    """Audio-native near-duplicate pairs — the dedup family extended to the
+def _audio_dup_pair_edges(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """UNORDERED audio near-dup pairs — internal edge set (the components
+    consumer re-shuffles immediately; see dedup._dup_pair_edges).
+
+    Audio-native near-duplicate pairs — the dedup family extended to the
     media payload itself (a volume-renormalized re-encode defeats byte
     digests; its energy shape does not).
 
@@ -272,8 +277,12 @@ def audio_dup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> D
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
-        .orderBy("clip_a", "clip_b")
     )
+
+
+def audio_dup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> DataFrame:
+    """Gate-facing ordered view of :func:`_audio_dup_pair_edges`."""
+    return _audio_dup_pair_edges(spark, sf_dir, max_hamming).orderBy("clip_a", "clip_b")
 
 
 LOUDNESS_SCHEMA = (
@@ -1003,7 +1012,7 @@ def audio_dup_groups(
     # synthesizing the clips a second time just to enumerate clip_ids
     # would double the fixture's waveform+encode cost
     ids = clips.near_dup_clip_ids(spark, *NEAR_DUP_FIXTURE)
-    edges = audio_dup_pairs(spark, sf_dir, max_hamming).select("clip_a", "clip_b")
+    edges = _audio_dup_pair_edges(spark, sf_dir, max_hamming).select("clip_a", "clip_b")
     groups = _min_label_components(
         edges, "clip_a", "clip_b", "clip_id", max_iters, "audio_dup_groups"
     )
