@@ -176,3 +176,34 @@ def test_code_exec_stage(spark):
     assert out[0]["stdout"].strip() == "42" and out[0]["exit_code"] == 0
     assert out[1]["stdout"].strip() == "hello"
     assert out[2]["exit_code"] == 3
+
+
+def test_run_query_cli():
+    """jobs/run_query.py: --list enumerates the registry; a named query
+    runs in a subprocess session and writes its parquet output."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
+    listing = subprocess.run(
+        [sys.executable, "jobs/run_query.py", "--list"],
+        capture_output=True, text=True, timeout=120, cwd=repo, env=env,
+    )
+    assert listing.returncode == 0
+    names = listing.stdout.split()
+    assert "events_funnel" in names and "clip_keep_summary" in names
+
+    with tempfile.TemporaryDirectory() as td:
+        out = subprocess.run(
+            [sys.executable, "jobs/run_query.py", "--name", "topk_events",
+             "--sf-dir", "/root/testdata/sf0.001", "--master", "local[4]",
+             "--output", os.path.join(td, "topk")],
+            capture_output=True, text=True, timeout=600, cwd=repo, env=env,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        rec = json.loads(out.stdout.strip().splitlines()[-1])
+        assert rec["rows"] == 20 and rec["query"] == "topk_events"
