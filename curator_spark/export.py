@@ -45,15 +45,36 @@ def export_dataset(
     out_dir: str,
     fingerprint: str | None = None,
     kept_only: bool = True,
+    data_format: str = "parquet",
 ) -> dict:
     """Write one run's curated table + card to ``out_dir``; returns the
     card metadata dict. ``kept_only`` exports the keep=true view (the
-    dataset a trainer consumes); pass False for the full labeled table."""
+    dataset a trainer consumes); pass False for the full labeled table.
+    ``data_format``: parquet (default), jsonl, or csv — the labeled table
+    is media-free (bytes never leave the decode stage), so the text
+    formats are lossless apart from their usual type erasure; stats are
+    computed from the read-back so the card describes what was actually
+    written."""
     labeled = pipe.output(fingerprint)
     df = labeled.filter(F.col("keep")) if kept_only else labeled
     os.makedirs(out_dir, exist_ok=True)
-    df.write.mode("overwrite").parquet(os.path.join(out_dir, "data"))
-    exported = pipe.spark.read.parquet(os.path.join(out_dir, "data"))
+    data_dir = os.path.join(out_dir, "data")
+    if data_format == "parquet":
+        df.write.mode("overwrite").parquet(data_dir)
+        exported = pipe.spark.read.parquet(data_dir)
+    elif data_format == "jsonl":
+        # arrays (reasons) survive; write.json emits one object per line
+        df.write.mode("overwrite").json(data_dir)
+        exported = pipe.spark.read.schema(df.schema).json(data_dir)
+    elif data_format == "csv":
+        # CSV has no array type: render the reasons list as a '|' string
+        flat = df.withColumn("reasons", F.concat_ws("|", "reasons"))
+        flat.write.mode("overwrite").option("header", True).csv(data_dir)
+        exported = (
+            pipe.spark.read.schema(flat.schema).option("header", True).csv(data_dir)
+        )
+    else:
+        raise ValueError(f"unknown data_format {data_format!r}")
 
     # keep_rate is the CURATION stat (kept / labeled), so it is always
     # measured over the full labeled run — computing it over a kept-only
@@ -66,6 +87,7 @@ def export_dataset(
         "run_fingerprint": fp,
         "config_json": pipe.cfg.canonical_json(),
         "kept_only": kept_only,
+        "data_format": data_format,
         "generated_at": datetime.now(timezone.utc).isoformat(),
         "schema": {f.name: f.dataType.simpleString() for f in exported.schema},
         **_stats(exported),

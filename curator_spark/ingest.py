@@ -9,7 +9,10 @@ an iterable of prompts or dicts becomes rows). The Spark analogs:
 - str → one-row, one-column.
 - iterable of str → one column (``column`` names it).
 - iterable of dict → one row per dict (union of keys = columns).
-- str path to a parquet file/dir → read.
+- str path → read by extension: ``.jsonl``/``.json`` (line-delimited,
+  the reference's response-file format), ``.csv`` (header row), else
+  parquet. Pass ``schema`` to skip the JSON/CSV inference pass — at
+  scale inference is an extra full read of the text files.
 
 Everything driver-materialized goes through a pandas frame: on this
 engine ``createDataFrame(list_of_rows)`` takes the Python-RDD path
@@ -27,8 +30,25 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _read_path(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Read a data file/dir by extension (module docstring's dispatch)."""
+    name = path.rstrip("/").lower()
+    if name.endswith((".jsonl", ".json")):
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        return reader.json(path)
+    if name.endswith(".csv"):
+        reader = spark.read.option("header", True)
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", True)
+        return reader.csv(path)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(path)
+
+
 def to_dataframe(
-    spark: SparkSession, data, column: str = "prompt"
+    spark: SparkSession, data, column: str = "prompt", schema=None
 ) -> DataFrame:
     """Coerce ``data`` into a DataFrame (see module docstring)."""
     if isinstance(data, DataFrame):
@@ -36,8 +56,8 @@ def to_dataframe(
     if isinstance(data, pd.DataFrame):
         return spark.createDataFrame(data)
     if isinstance(data, str):
-        if os.path.exists(data):  # a path → read it (parquet)
-            return spark.read.parquet(data)
+        if os.path.exists(data):  # a path → read it by extension
+            return _read_path(spark, data, schema)
         data = [data]
     if isinstance(data, dict):  # one row-shaped mapping → one row
         data = [data]

@@ -191,6 +191,52 @@ def test_ingest_coercion(spark, workdir):
         ingest.to_dataframe(spark, b"raw bytes")  # iterating yields ints
 
 
+def test_ingest_jsonl_csv_paths(spark, workdir):
+    """S1 path dispatch by extension: .jsonl and .csv read back the same
+    rows parquet does; an explicit schema skips type inference."""
+    import pandas as pd
+
+    from curator_spark import ingest
+
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a", "b", "c x"]})
+    src = ingest.to_dataframe(spark, pdf)
+
+    jp = os.path.join(workdir, "ing.jsonl")
+    src.coalesce(1).write.mode("overwrite").json(jp)
+    got_j = ingest.to_dataframe(spark, jp, schema="doc_id long, text string")
+    assert {(r["doc_id"], r["text"]) for r in got_j.collect()} == {
+        (1, "a"), (2, "b"), (3, "c x")
+    }
+
+    cp = os.path.join(workdir, "ing.csv")
+    src.coalesce(1).write.mode("overwrite").option("header", True).csv(cp)
+    got_c = ingest.to_dataframe(spark, cp)  # inferred types
+    assert {(r["doc_id"], r["text"]) for r in got_c.collect()} == {
+        (1, "a"), (2, "b"), (3, "c x")
+    }
+    assert dict(got_c.dtypes)["doc_id"] in ("int", "bigint")
+
+
+def test_export_dataset_formats(env, workdir):
+    """S5 export sink in its jsonl/csv renderings: same rows as parquet,
+    card stats measured from the read-back of what was written."""
+    from curator_spark.export import export_dataset
+
+    spark, inp, cfg, cat = env
+    pipe = Pipeline(spark, cat, cfg)
+    pipe.run(inp)
+    base = export_dataset(pipe, os.path.join(workdir, "exp_parquet"))
+    jl = export_dataset(pipe, os.path.join(workdir, "exp_jsonl"), data_format="jsonl")
+    cv = export_dataset(pipe, os.path.join(workdir, "exp_csv"), data_format="csv")
+    assert jl["n_rows"] == cv["n_rows"] == base["n_rows"]
+    assert jl["data_format"] == "jsonl" and cv["data_format"] == "csv"
+    assert jl["languages"] == base["languages"] == cv["languages"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        export_dataset(pipe, os.path.join(workdir, "exp_bad"), data_format="orc2")
+
+
 def test_full_cache_hit(env):
     spark, inp, cfg, cat = env
     pipe = Pipeline(spark, cat, cfg)
