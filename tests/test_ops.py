@@ -763,3 +763,20 @@ def test_weighted_sample_docs_certainty_and_subset(spark):
     for row in df.itertuples():
         h = int(hashlib.md5(str(row.doc_id).encode()).hexdigest()[:15], 16)
         assert h < min(row.n_chars, 2000) * text_ops.WSAMPLE_UNIT
+
+
+def test_require_utc_guard(spark):
+    """Day-bucketing ops refuse to run under a DST-observing session zone
+    rather than silently diverging from the oracle's wall-clock days."""
+    from curator_spark.ops import relational
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="timeZone=UTC"):
+            relational.events_funnel(spark, SF_DIR)
+        with pytest.raises(ValueError, match="timeZone=UTC"):
+            relational.events_cube(spark, SF_DIR)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    relational.events_funnel(spark, SF_DIR)  # restored zone works again
