@@ -15,6 +15,21 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the testdata tables as temp views so the engine's SQL
+    face (``spark.sql`` / ``jobs/run_query.py --sql``) can query them by
+    name — same names the DuckDB oracle side uses. Views are lazy: no
+    scan happens until a query touches one."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
 # ad-hoc persisted frames (tfidf's tf, cmvn's feature frame, ...): persist
 # keeps them recomputable on executor loss (unlike localCheckpoint) but
 # the blocks outlive the query — repeated gate/bench invocations would

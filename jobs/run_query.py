@@ -11,6 +11,8 @@ writes or prints the result — the operator library's production face
 
     python jobs/run_query.py --list          # enumerate registered queries
     python jobs/run_query.py --name topk_events --show 20
+    python jobs/run_query.py --sql "SELECT event_type, count(*) n \
+        FROM events GROUP BY 1 ORDER BY 1"   # ad-hoc SQL over the views
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--name", help="query name from __spark_entry__.queries()")
+    p.add_argument("--sql", help="run an ANSI SQL statement over the table views instead")
     p.add_argument("--list", action="store_true", help="print registered query names")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.1", help="table directory")
     p.add_argument("--master", default=None, help="override master (local runs)")
@@ -42,16 +45,23 @@ def main(argv: list[str] | None = None) -> int:
     if args.list:
         print("\n".join(qs))
         return 0
-    if not args.name:
-        p.error("--name or --list is required")
-    if args.name not in qs:
+    if bool(args.name) == bool(args.sql):
+        p.error("exactly one of --name / --sql (or --list) is required")
+    if args.name and args.name not in qs:
         p.error(f"unknown query {args.name!r} (use --list)")
 
     from curator_spark.session import build_session
 
-    spark = build_session(master=args.master, app_name=f"curator_query_{args.name}")
+    tag = args.name or "sql"
+    spark = build_session(master=args.master, app_name=f"curator_query_{tag}")
     t0 = time.monotonic()
-    df = qs[args.name](spark, args.sf_dir)
+    if args.sql:
+        from curator_spark.ops import register_views
+
+        register_views(spark, args.sf_dir)
+        df = spark.sql(args.sql)
+    else:
+        df = qs[args.name](spark, args.sf_dir)
     if args.output:
         df.write.mode("overwrite").parquet(args.output)
         n = spark.read.parquet(args.output).count()
@@ -60,7 +70,7 @@ def main(argv: list[str] | None = None) -> int:
     wall = round(time.monotonic() - t0, 2)
     if args.show:
         df.show(args.show, truncate=False)
-    print(json.dumps({"query": args.name, "rows": n, "wall_sec": wall,
+    print(json.dumps({"query": tag, "rows": n, "wall_sec": wall,
                       "sf_dir": args.sf_dir, "output": args.output}))
     spark.stop()
     return 0

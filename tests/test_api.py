@@ -207,3 +207,19 @@ def test_run_query_cli():
         assert out.returncode == 0, out.stderr[-2000:]
         rec = json.loads(out.stdout.strip().splitlines()[-1])
         assert rec["rows"] == 20 and rec["query"] == "topk_events"
+
+
+def test_sql_face_matches_dataframe_op(spark):
+    """register_views exposes the tables to spark.sql; an ANSI statement
+    over them matches the DataFrame operator row for row."""
+    from curator_spark.ops import register_views, relational
+
+    sf = "/root/testdata/sf0.001"
+    register_views(spark, sf)
+    via_sql = spark.sql(
+        "SELECT event_type, COUNT(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ).collect()
+    via_df = relational.status_counters(spark, sf).collect()
+    assert via_sql == via_df
