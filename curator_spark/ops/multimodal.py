@@ -1970,3 +1970,71 @@ def clip_keep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "keep")
     )
+
+
+AUGMENT_SCHEMA = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+    "transcript string, achieved_snr_db double, post_mix_clip_ratio double, "
+    "decode_ok boolean"
+)
+
+
+def augment_mix_stage(df: DataFrame, target_snr_db: float = 20.0) -> DataFrame:
+    """Noise augmentation at a target SNR over the clip table — emits rows
+    in the SAME schema the curation pipeline ingests (clip_id suffixed
+    ``_aug``, mixed audio re-encoded PCM16 WAV, transcript carried), so the
+    augmented corpus feeds the identical decode→score→rules DAG
+    downstream (asserted in tests/test_multimodal_row.py). One fused
+    MapInPandas: decode + seeded noise + re-encode inside the Arrow batch —
+    bytes cross the socket once each way, nothing fans out. The noise is
+    a pure function of clip_id (scoring/audio.mix_noise_at_snr), so the
+    augmentation is deterministic under any partitioning or resume.
+    Malformed payloads quarantine (decode_ok=false, bytes=NULL) like every
+    other media stage.
+
+    Reference analog: the media-payload transform face of M6
+    (SURVEY.md §2.2) — the reference transports payloads
+    (types/prompt.py:21-103); a training pipeline also perturbs them."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..scoring import audio as audio_scoring
+    from ..synth import audiogen
+
+    cols = [f.split()[0] for f in AUGMENT_SCHEMA.split(", ")]
+
+    def _aug(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                base = {
+                    "clip_id": f"{r.clip_id}_aug",
+                    "sr_hz": int(r.sr_hz),
+                    "dur_ms": int(r.dur_ms),
+                    "codec": "pcm_s16le",
+                    "transcript": r.transcript,
+                }
+                try:
+                    pcm = audio_scoring.decode(bytes(r.bytes), r.codec, int(r.sr_hz))
+                    mixed, stats = audio_scoring.mix_noise_at_snr(
+                        pcm, str(r.clip_id), target_snr_db
+                    )
+                    rows.append({
+                        **base,
+                        "bytes": audiogen.pcm16_to_wav(mixed, int(r.sr_hz)),
+                        "achieved_snr_db": stats["achieved_snr_db"],
+                        "post_mix_clip_ratio": stats["post_mix_clip_ratio"],
+                        "decode_ok": True,
+                    })
+                except Exception:  # noqa: BLE001 - quarantine semantics
+                    rows.append({
+                        **base,
+                        "bytes": None,
+                        "achieved_snr_db": None,
+                        "post_mix_clip_ratio": None,
+                        "decode_ok": False,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(_aug, schema=AUGMENT_SCHEMA)

@@ -499,3 +499,44 @@ def resample_nn(pcm, sr_hz: int, target_hz: int):
         return pcm[:0]
     idx = (np.arange(m, dtype=np.int64) * int(sr_hz)) // int(target_hz)
     return pcm[idx]
+
+
+def mix_noise_at_snr(
+    pcm: np.ndarray, clip_id: str, target_snr_db: float = 20.0
+) -> tuple[np.ndarray, dict[str, float | None]]:
+    """Deterministic white-noise augmentation at a target SNR — the
+    standard robustness-augmentation op of a speech training pipeline.
+    The noise is a pure function of ``clip_id`` (blake2b-seeded
+    RandomState), so augmentation is reproducible per clip under any
+    partitioning/resume — the same property every other stage here has.
+    Noise gain g solves 10·log10(Ps / (g²·Pn_unit)) = target; the mix is
+    clipped to [-1, 1] and the ACHIEVED SNR is re-measured against the
+    post-clip residual (clipping eats noise power on hot clips).
+    Silent signals (Ps = 0) pass through unmixed with None stats —
+    there is no signal to hold an SNR against."""
+    import hashlib
+
+    n = int(pcm.shape[0])
+    sig_p = float(np.dot(pcm, pcm) / n) if n else 0.0
+    if n == 0 or sig_p <= 0.0:
+        return pcm.copy(), {
+            "signal_rms_db": -120.0,
+            "noise_gain": None,
+            "achieved_snr_db": None,
+            "post_mix_clip_ratio": 0.0,
+        }
+    seed = int.from_bytes(
+        hashlib.blake2b(clip_id.encode("utf-8"), digest_size=4).digest(), "big"
+    )
+    noise = np.random.RandomState(seed).standard_normal(n)
+    noise_p_unit = float(np.dot(noise, noise) / n)
+    g = float(np.sqrt(sig_p / (10.0 ** (target_snr_db / 10.0)) / noise_p_unit))
+    mixed = np.clip(pcm + g * noise, -1.0, 1.0)
+    resid = mixed - pcm
+    resid_p = float(np.dot(resid, resid) / n)
+    return mixed, {
+        "signal_rms_db": float(20.0 * np.log10(max(np.sqrt(sig_p), 1e-6))),
+        "noise_gain": g,
+        "achieved_snr_db": float(10.0 * np.log10(sig_p / max(resid_p, 1e-300))),
+        "post_mix_clip_ratio": float(np.count_nonzero(np.abs(mixed) > CLIP_AMPLITUDE) / n),
+    }

@@ -114,3 +114,51 @@ def test_mm_quality_filter_semantics(spark):
     assert kept and dropped  # thresholds actually split the fixture
     assert all(r["reasons"] == "" for r in kept)
     assert all(r["reasons"] != "" for r in dropped)
+
+
+def test_augment_mix_stage_snr_and_pipeline_composition(spark, workdir):
+    """Noise augmentation: achieved SNR hits the target on clean clips
+    (clipping only ever spends noise power, so achieved >= target),
+    augmentation is deterministic, and the augmented output — same
+    schema as the input table — feeds the full curation pipeline."""
+    import os
+
+    import numpy as np
+
+    from curator_spark.catalog import ParquetCatalog
+    from curator_spark.config import PipelineConfig
+    from curator_spark.pipeline import Pipeline
+    from curator_spark.synth import clips
+
+    df = clips.generate_clips(spark, 80, 4)
+    out = multimodal.augment_mix_stage(df, target_snr_db=20.0)
+    rows = {r["clip_id"]: r for r in out.collect()}
+    ok = [r for r in rows.values() if r["decode_ok"]]
+    assert len(ok) >= 70  # the seeded batch is almost all decodable
+    snrs = np.array([r["achieved_snr_db"] for r in ok if r["achieved_snr_db"] is not None])
+    assert (snrs >= 19.99).all() and np.median(snrs) == pytest.approx(20.0, abs=0.2)
+    # deterministic: a second run produces byte-identical audio
+    again = {r["clip_id"]: r for r in multimodal.augment_mix_stage(df, 20.0).collect()}
+    some = next(r for r in ok if r["bytes"] is not None)
+    assert bytes(again[some["clip_id"]]["bytes"]) == bytes(some["bytes"])
+    # re-decode one mixed clip: SNR vs the original PCM matches the stats
+    orig = {r["clip_id"]: r for r in df.collect()}
+    src = orig[some["clip_id"].removesuffix("_aug")]
+    pcm0 = audio_scoring.decode(bytes(src["bytes"]), src["codec"], src["sr_hz"])
+    pcm1 = audio_scoring.decode(bytes(some["bytes"]), "pcm_s16le", some["sr_hz"])
+    resid = pcm1 - pcm0
+    meas = 10 * math.log10(float(pcm0 @ pcm0) / float(resid @ resid))
+    # PCM16 quantization of the mix adds ~1e-4 noise; tolerance covers it
+    assert meas == pytest.approx(some["achieved_snr_db"], abs=0.5)
+
+    # composition: the augmented corpus runs through the SAME pipeline
+    aug_path = os.path.join(workdir, "aug_clips")
+    out.filter("decode_ok").drop(
+        "achieved_snr_db", "post_mix_clip_ratio", "decode_ok"
+    ).write.parquet(aug_path)
+    cfg = PipelineConfig(n_partitions=4, commit_batches=1)
+    pipe = Pipeline(spark, ParquetCatalog(spark, os.path.join(workdir, "aug_wh")), cfg)
+    pipe.run(aug_path)
+    labeled = pipe.output()
+    assert labeled.count() == len([r for r in ok if r["bytes"] is not None])
+    assert labeled.filter("decode_ok").count() == labeled.count()
