@@ -2038,3 +2038,65 @@ def augment_mix_stage(df: DataFrame, target_snr_db: float = 20.0) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(_aug, schema=AUGMENT_SCHEMA)
+
+
+def speed_perturb_stage(
+    df: DataFrame, factors: tuple[tuple[int, int], ...] = ((9, 10), (11, 10))
+) -> DataFrame:
+    """Speed perturbation — the other standard speech augmentation
+    (Kaldi's 0.9x/1.1x staple): each clip re-emitted once per factor,
+    resampled by the EXACT integer ratio p/q (``resample_nn`` index
+    selection — speed p/q at an unchanged sample rate is precisely a
+    p→q resample of the sample sequence), so the augmented waveform is a
+    deterministic pure function of the input with no float resampling
+    kernel to disagree about. Output rows use the input schema
+    (clip_id suffixed ``_sp<p><q>``, PCM16 WAV, dur_ms rescaled), so the
+    perturbed corpus feeds the same curation DAG, like
+    :func:`augment_mix_stage`. One fused MapInPandas; quarantine
+    semantics as everywhere."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..scoring import audio as audio_scoring
+    from ..synth import audiogen
+
+    cols = [f.split()[0] for f in AUGMENT_SCHEMA.split(", ")]
+
+    def _sp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples():
+                for p, q in factors:
+                    base = {
+                        "clip_id": f"{r.clip_id}_sp{p}{q}",
+                        "sr_hz": int(r.sr_hz),
+                        "codec": "pcm_s16le",
+                        "transcript": r.transcript,
+                    }
+                    try:
+                        pcm = audio_scoring.decode(bytes(r.bytes), r.codec, int(r.sr_hz))
+                        out = audio_scoring.resample_nn(pcm, p, q)
+                        n_out = int(out.shape[0])
+                        rows.append({
+                            **base,
+                            "bytes": audiogen.pcm16_to_wav(out, int(r.sr_hz)),
+                            "dur_ms": round(n_out * 1000 / int(r.sr_hz)),
+                            "achieved_snr_db": None,   # no noise added
+                            "post_mix_clip_ratio": float(
+                                (abs(out) > audio_scoring.CLIP_AMPLITUDE).sum() / n_out
+                            ) if n_out else 0.0,
+                            "decode_ok": True,
+                        })
+                    except Exception:  # noqa: BLE001 - quarantine semantics
+                        rows.append({
+                            **base,
+                            "bytes": None,
+                            "dur_ms": int(r.dur_ms),
+                            "achieved_snr_db": None,
+                            "post_mix_clip_ratio": None,
+                            "decode_ok": False,
+                        })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(_sp, schema=AUGMENT_SCHEMA)

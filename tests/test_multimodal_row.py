@@ -162,3 +162,34 @@ def test_augment_mix_stage_snr_and_pipeline_composition(spark, workdir):
     labeled = pipe.output()
     assert labeled.count() == len([r for r in ok if r["bytes"] is not None])
     assert labeled.filter("decode_ok").count() == labeled.count()
+
+
+def test_speed_perturb_stage_exact_lengths(spark):
+    """Speed perturbation: one output per factor, exact integer-ratio
+    lengths ((n*q)//p samples), samples equal the local recompute, and
+    the schema matches the augmentation family (pipeline-composable)."""
+    import numpy as np
+
+    from curator_spark.synth import clips
+
+    df = clips.generate_clips(spark, 40, 4)
+    out = multimodal.speed_perturb_stage(df)
+    rows = {r["clip_id"]: r for r in out.collect()}
+    ok = [r for r in rows.values() if r["decode_ok"]]
+    assert len(rows) == 80 and len(ok) >= 70
+    assert out.schema == multimodal.augment_mix_stage(df).schema
+
+    orig = {r["clip_id"]: r for r in df.collect()}
+    checked = 0
+    for r in ok[:6]:
+        cid, tag = r["clip_id"].rsplit("_sp", 1)
+        p, q = int(tag[:-2]), int(tag[-2:])
+        src = orig[cid]
+        pcm = audio_scoring.decode(bytes(src["bytes"]), src["codec"], src["sr_hz"])
+        want = audio_scoring.resample_nn(pcm, p, q)
+        got = audio_scoring.decode(bytes(r["bytes"]), "pcm_s16le", r["sr_hz"])
+        assert got.shape[0] == (pcm.shape[0] * q) // p
+        # PCM16 round-trip quantizes to 1/32767 steps
+        assert np.abs(got - want).max() < 1e-4
+        checked += 1
+    assert checked == 6
