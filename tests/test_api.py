@@ -223,3 +223,33 @@ def test_sql_face_matches_dataframe_op(spark):
     ).collect()
     via_df = relational.status_counters(spark, sf).collect()
     assert via_sql == via_df
+
+
+def test_run_augment_cli(spark, workdir):
+    """jobs/run_augment.py: clips in → (originals + noise + 2 speeds)
+    out, zero quarantined on the clean seeded batch, pipeline schema."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from curator_spark.synth import clips
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inp = os.path.join(workdir, "aug_in")
+    clips.write_clips(spark, 50, inp)
+    out_dir = os.path.join(workdir, "aug_out")
+    res = subprocess.run(
+        [sys.executable, "jobs/run_augment.py", "--input", inp, "--output", out_dir,
+         "--noise-snr-db", "20", "--speed", "--include-originals",
+         "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, cwd=repo,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8"},
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rec["input_rows"] == 50 and rec["output_rows"] == 200
+    assert rec["quarantined"] == 0
+    aug = spark.read.parquet(out_dir)
+    src = spark.read.parquet(inp)
+    assert set(aug.columns) == set(src.columns)  # pipeline-ready schema
