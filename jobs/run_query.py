@@ -35,7 +35,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--list", action="store_true", help="print registered query names")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.1", help="table directory")
     p.add_argument("--master", default=None, help="override master (local runs)")
-    p.add_argument("--output", default=None, help="write result parquet here")
+    p.add_argument("--output", default=None, help="write the result table here")
+    p.add_argument("--format", default="parquet", choices=("parquet", "jsonl", "csv"),
+                   help="output format (default parquet)")
     p.add_argument("--show", type=int, default=0, help="print the first N rows")
     args = p.parse_args(argv)
 
@@ -63,8 +65,15 @@ def main(argv: list[str] | None = None) -> int:
     else:
         df = qs[args.name](spark, args.sf_dir)
     if args.output:
-        df.write.mode("overwrite").parquet(args.output)
-        n = spark.read.parquet(args.output).count()
+        if args.format == "parquet":
+            df.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+        elif args.format == "jsonl":
+            df.write.mode("overwrite").json(args.output)
+            n = spark.read.schema(df.schema).json(args.output).count()
+        else:
+            df.write.mode("overwrite").option("header", True).csv(args.output)
+            n = spark.read.option("header", True).csv(args.output).count()
     else:
         n = df.count()
     wall = round(time.monotonic() - t0, 2)
