@@ -274,3 +274,27 @@ def test_pitch_stats_invariants(xs, sr):
         assert p1["f0_hz"] is None
     if len(xs) - sr // 60 < min(sr // 25, 32):
         assert p1["voiced"] is False
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-1.0, max_value=1.0, allow_nan=False), max_size=400),
+    st.text(min_size=1, max_size=20),
+    st.floats(min_value=0.0, max_value=40.0, allow_nan=False),
+)
+def test_mix_noise_total_and_deterministic(samples, clip_id, target):
+    """Augmentation invariants for ANY signal: total (never raises),
+    deterministic per clip_id, output stays in [-1, 1], and achieved SNR
+    is never below target (clipping only ever removes noise power)."""
+    pcm = np.asarray(samples, dtype=np.float64)
+    m1, s1 = audio.mix_noise_at_snr(pcm, clip_id, target)
+    m2, s2 = audio.mix_noise_at_snr(pcm, clip_id, target)
+    assert np.array_equal(m1, m2) and s1 == s2
+    assert m1.shape == pcm.shape
+    if m1.size:
+        assert float(np.abs(m1).max()) <= 1.0
+    if s1["achieved_snr_db"] is not None:
+        assert s1["achieved_snr_db"] >= target - 1e-9
+        assert np.isfinite(s1["achieved_snr_db"])
+    else:  # silent or empty input passes through unmixed
+        assert np.array_equal(m1, pcm)
