@@ -67,11 +67,17 @@ def export_dataset(
         df.write.mode("overwrite").json(data_dir)
         exported = pipe.spark.read.schema(df.schema).json(data_dir)
     elif data_format == "csv":
-        # CSV has no array type: render the reasons list as a '|' string
+        # CSV has no array type: render the reasons list as a '|' string.
+        # escape='"' writes RFC-4180 doubled quotes and multiLine=True lets
+        # the reader keep embedded newlines inside quoted fields — without
+        # it a transcript containing '\n' splits into garbage rows and the
+        # card stats below describe a corrupted table.
         flat = df.withColumn("reasons", F.concat_ws("|", "reasons"))
-        flat.write.mode("overwrite").option("header", True).csv(data_dir)
+        (flat.write.mode("overwrite").option("header", True)
+             .option("escape", '"').csv(data_dir))
         exported = (
-            pipe.spark.read.schema(flat.schema).option("header", True).csv(data_dir)
+            pipe.spark.read.schema(flat.schema).option("header", True)
+            .option("escape", '"').option("multiLine", True).csv(data_dir)
         )
     else:
         raise ValueError(f"unknown data_format {data_format!r}")

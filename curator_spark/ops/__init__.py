@@ -34,20 +34,36 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 # keeps them recomputable on executor loss (unlike localCheckpoint) but
 # the blocks outlive the query — repeated gate/bench invocations would
 # accumulate cache. Registering here lets dedup.clear_session_cache drop
-# them between repeats, keeping memory bounded.
+# them between repeats; registration itself stays bounded (stopped-app
+# entries evicted, oldest live entry unpersisted past a cap) so even a
+# long-lived session that never calls clear_session_cache cannot
+# accumulate persists or registry refs without limit.
 _TRANSIENT_PERSISTS: list[tuple[str, DataFrame]] = []
+_TRANSIENT_CAP = 16  # oldest live persist evicted beyond this
 
 
 def register_transient_persist(spark: SparkSession, df: DataFrame) -> None:
-    _TRANSIENT_PERSISTS.append((spark.sparkContext.applicationId, df))
+    app = spark.sparkContext.applicationId
+    # only one SparkContext exists per Python process, so entries tagged
+    # with another applicationId belong to stopped sessions — their cache
+    # blocks died with the app; drop the stale refs instead of keeping
+    # (appId, df) tuples of dead applications forever
+    _TRANSIENT_PERSISTS[:] = [e for e in _TRANSIENT_PERSISTS if e[0] == app]
+    _TRANSIENT_PERSISTS.append((app, df))
+    while len(_TRANSIENT_PERSISTS) > _TRANSIENT_CAP:
+        _, old = _TRANSIENT_PERSISTS.pop(0)
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 - context raced to shutdown
+            pass
 
 
 def clear_transient_persists(spark: SparkSession) -> None:
     app = spark.sparkContext.applicationId
-    keep = []
     for a, df in _TRANSIENT_PERSISTS:
         if a == app:
-            df.unpersist()
-        else:
-            keep.append((a, df))
-    _TRANSIENT_PERSISTS[:] = keep
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 - context raced to shutdown
+                pass
+    _TRANSIENT_PERSISTS.clear()

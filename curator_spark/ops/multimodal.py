@@ -16,6 +16,22 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _opt_int(v):
+    """NULL-safe int coercion for metadata carried into quarantine rows.
+
+    Fused media stages build the carried-metadata dict BEFORE the
+    try/except that implements quarantine semantics, so a NULL / NaN /
+    uncoercible metadata value must degrade to None here rather than
+    raise and fail the whole Spark task (the decode call inside the try
+    still sees the raw value and quarantines the row)."""
+    try:
+        if v is None or (isinstance(v, float) and v != v):
+            return None
+        return int(v)
+    except (TypeError, ValueError, OverflowError):
+        return None
+
+
 def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode a deterministic synthetic clip batch and emit per-clip audio
     features (rms_db / silence_ratio / clip_ratio). The input is generated
@@ -1246,7 +1262,10 @@ def image_fingerprint_stage(df: DataFrame) -> DataFrame:
             for blob, fmt, w, h, iid in zip(
                 pdf["data"], pdf["fmt"], pdf["width"], pdf["height"], pdf["image_id"]
             ):
-                base = {"image_id": int(iid), "fmt": fmt, "width": int(w), "height": int(h)}
+                base = {
+                    "image_id": _opt_int(iid), "fmt": fmt,
+                    "width": _opt_int(w), "height": _opt_int(h),
+                }
                 try:
                     px = image_scoring.decode(bytes(blob), fmt, int(w), int(h))
                     blocks = image_scoring.ahash64(px)
@@ -1500,8 +1519,9 @@ def video_fingerprint_stage(df: DataFrame) -> DataFrame:
                 pdf["data"], pdf["fmt"], pdf["width"], pdf["height"],
                 pdf["n_frames"], pdf["fps"], pdf["video_id"],
             ):
-                base = {"video_id": int(vid), "fmt": fmt, "width": int(w),
-                        "height": int(h), "n_frames": int(nf)}
+                base = {"video_id": _opt_int(vid), "fmt": fmt,
+                        "width": _opt_int(w), "height": _opt_int(h),
+                        "n_frames": _opt_int(nf)}
                 try:
                     fr = video_scoring.decode(
                         bytes(blob), fmt, int(w), int(h), int(nf), int(fps_)
@@ -2010,8 +2030,8 @@ def augment_mix_stage(df: DataFrame, target_snr_db: float = 20.0) -> DataFrame:
             for r in pdf.itertuples():
                 base = {
                     "clip_id": f"{r.clip_id}_aug",
-                    "sr_hz": int(r.sr_hz),
-                    "dur_ms": int(r.dur_ms),
+                    "sr_hz": _opt_int(r.sr_hz),
+                    "dur_ms": _opt_int(r.dur_ms),
                     "codec": "pcm_s16le",
                     "transcript": r.transcript,
                 }
@@ -2070,7 +2090,7 @@ def speed_perturb_stage(
                 for p, q in factors:
                     base = {
                         "clip_id": f"{r.clip_id}_sp{p}{q}",
-                        "sr_hz": int(r.sr_hz),
+                        "sr_hz": _opt_int(r.sr_hz),
                         "codec": "pcm_s16le",
                         "transcript": r.transcript,
                     }
@@ -2092,7 +2112,7 @@ def speed_perturb_stage(
                         rows.append({
                             **base,
                             "bytes": None,
-                            "dur_ms": int(r.dur_ms),
+                            "dur_ms": _opt_int(r.dur_ms),
                             "achieved_snr_db": None,
                             "post_mix_clip_ratio": None,
                             "decode_ok": False,

@@ -334,13 +334,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str, gap_min: int = 30) -> Da
     # does; a foreign session with a DST-observing zone would shift two
     # timestamps straddling a transition by different offsets, changing
     # gaps by ±3600s and silently diverging from the oracle's epoch()).
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
-        raise ValueError(
-            f"events_sessionize requires spark.sql.session.timeZone=UTC "
-            f"(got {tz!r}): the TIMESTAMP_NTZ→epoch conversion is only "
-            "DST-safe under a fixed-offset zone"
-        )
+    _require_utc(
+        spark, "events_sessionize",
+        "the TIMESTAMP_NTZ→epoch conversion is only DST-safe under a "
+        "fixed-offset zone",
+    )
 
     def _epoch(c):
         return c.cast("timestamp").cast("double")
@@ -375,12 +373,7 @@ def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the wall-clock in the SESSION timezone while the oracle's strftime
     # renders the stored instant — a foreign non-UTC session would bucket
     # near-midnight events into different days. Guard, don't guess.
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
-        raise ValueError(
-            f"distinct_users_daily requires spark.sql.session.timeZone=UTC "
-            f"(got {tz!r}): day bucketing is only oracle-stable under UTC"
-        )
+    _require_utc(spark, "distinct_users_daily")
     # day as a STRING: Spark DateType and DuckDB DATE render to different
     # pandas dtypes in the driver's hash compare; a formatted string is
     # dtype-stable across both engines
@@ -464,13 +457,11 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     its time-ordered form."""
     from pyspark.sql import Window as W
 
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
-        raise ValueError(
-            f"events_asof_join requires spark.sql.session.timeZone=UTC "
-            f"(got {tz!r}): the TIMESTAMP_NTZ→epoch-micros conversion is "
-            "only DST-safe under a fixed-offset zone"
-        )
+    _require_utc(
+        spark, "events_asof_join",
+        "the TIMESTAMP_NTZ→epoch-micros conversion is only DST-safe under "
+        "a fixed-offset zone",
+    )
     ev = load(spark, sf_dir, "events")
     left = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts", "value"
@@ -543,13 +534,11 @@ def events_range_join(spark: SparkSession, sf_dir: str, window_s: int = 300) -> 
 
     Reference analog: rejoin-by-id (SURVEY.md §2.4 J1) in its
     time-window form; same UTC guard as events_sessionize."""
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
-        raise ValueError(
-            f"events_range_join requires spark.sql.session.timeZone=UTC "
-            f"(got {tz!r}): the TIMESTAMP_NTZ→epoch-micros conversion is "
-            "only DST-safe under a fixed-offset zone"
-        )
+    _require_utc(
+        spark, "events_range_join",
+        "the TIMESTAMP_NTZ→epoch-micros conversion is only DST-safe under "
+        "a fixed-offset zone",
+    )
     ev = load(spark, sf_dir, "events")
     w_us = window_s * 1_000_000
     eus = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -660,15 +649,19 @@ def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _require_utc(spark: SparkSession, op: str) -> None:
-    # same TIMESTAMP_NTZ hazard as events_sessionize: day bucketing must
-    # render the stored wall-clock, which only matches the oracle under a
-    # fixed-offset session zone. Guard, don't guess.
+def _require_utc(
+    spark: SparkSession,
+    op: str,
+    detail: str = "day bucketing is only oracle-stable under UTC",
+) -> None:
+    # same TIMESTAMP_NTZ hazard everywhere: rendering/epoch-converting the
+    # stored wall-clock only matches the oracle under a fixed-offset
+    # session zone. ONE whitelist for every time-bucketing operator —
+    # guard, don't guess.
     tz = spark.conf.get("spark.sql.session.timeZone")
     if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
         raise ValueError(
-            f"{op} requires spark.sql.session.timeZone=UTC (got {tz!r}): "
-            "day bucketing is only oracle-stable under UTC"
+            f"{op} requires spark.sql.session.timeZone=UTC (got {tz!r}): {detail}"
         )
 
 

@@ -92,19 +92,7 @@ def lsh_topk(spark: SparkSession, sf_dir: str, k: int = 10, query_id: int = 0) -
         f"{b}:{sum(int(qbits[b * ANN_LSH_BITS + j]) << j for j in range(ANN_LSH_BITS))}"
         for b in range(ANN_LSH_BANDS)
     ]
-    planes = ANN_PLANES
-
-    @F.pandas_udf("array<int>")
-    def band_keys(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        E = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (E @ planes.T) > 0
-        keys = np.zeros((len(E), ANN_LSH_BANDS), dtype=np.int64)
-        for b in range(ANN_LSH_BANDS):
-            for j in range(ANN_LSH_BITS):
-                keys[:, b] |= bits[:, b * ANN_LSH_BITS + j].astype(np.int64) << j
-        return pd.Series([row for row in keys.astype(np.int32)])
+    band_keys = _band_keys_udf()
 
     stacked = emb.select(
         "vec_id",
@@ -149,6 +137,29 @@ def _ann_planes() -> np.ndarray:
 
 
 ANN_PLANES = _ann_planes()
+
+
+def _band_keys_udf():
+    """The ONE SRP band-key kernel, shared by the in-flight probe path
+    (:func:`lsh_topk`) and the materialized index build
+    (:func:`build_lsh_index`). They must pack sign bits into band keys
+    identically — a divergence would make ``lsh_topk_indexed`` probe
+    buckets the index never wrote — so the kernel exists exactly once."""
+    planes = ANN_PLANES
+
+    @F.pandas_udf("array<int>")
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (E @ planes.T) > 0
+        keys = np.zeros((len(E), ANN_LSH_BANDS), dtype=np.int64)
+        for b in range(ANN_LSH_BANDS):
+            for j in range(ANN_LSH_BITS):
+                keys[:, b] |= bits[:, b * ANN_LSH_BITS + j].astype(np.int64) << j
+        return pd.Series([row for row in keys.astype(np.int32)])
+
+    return band_keys
 
 
 # XXH64 primes (public algorithm, Collet) — Spark's xxhash64(long) is
@@ -372,19 +383,7 @@ def build_lsh_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     import os
 
     emb = load(spark, sf_dir, "embeddings")
-    planes = ANN_PLANES
-
-    @F.pandas_udf("array<int>")
-    def band_keys(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        E = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (E @ planes.T) > 0
-        keys = np.zeros((len(E), ANN_LSH_BANDS), dtype=np.int64)
-        for b in range(ANN_LSH_BANDS):
-            for j in range(ANN_LSH_BITS):
-                keys[:, b] |= bits[:, b * ANN_LSH_BITS + j].astype(np.int64) << j
-        return pd.Series([row for row in keys.astype(np.int32)])
+    band_keys = _band_keys_udf()
 
     (
         emb.select(

@@ -379,28 +379,32 @@ ORDER BY m.clip_id
 """
 
 
-def _band_energy_ctes() -> str:
-    """Shared CTE chain ``bins → fsize → dft → en → piv``: per-clip probe
-    band energies ``e1..e4`` + total, the framed single-bin DFT replayed
-    in SQL (the extracted core of the spectral oracle, reused by the
-    cepstral one). Assumes ``meta``/``sampx`` from :func:`_samples_cte`
-    are in scope."""
+def _band_energy_ctes(frame_cte: str = "fsize", energy_cte: str = "en") -> str:
+    """Shared CTE chain ``bins → <frame_cte> → dft → <energy_cte> → piv``:
+    per-clip probe band energies ``e1..e4`` + total, the framed single-bin
+    DFT replayed in SQL (the extracted core of the spectral oracle, reused
+    by the cepstral and composed quality-filter oracles). Assumes
+    ``meta``/``sampx`` from :func:`_samples_cte` are in scope; pass
+    alternate CTE names when the caller's WITH-chain already uses
+    ``fsize``/``en`` for other frame sizes (audio_quality_filter_sql's
+    20 ms pass) — the body is shared either way so the DFT replay exists
+    in exactly one place."""
     from .audio import SPECTRAL_BANDS_HZ, SPECTRAL_FRAME_MS
 
     f1, f2, f3, f4 = SPECTRAL_BANDS_HZ
     ang = "(((2 * pi() * b.fb) * s.k) / m.sr_hz)"
     return f"""bins(fb) AS (VALUES ({f1!r}), ({f2!r}), ({f3!r}), ({f4!r})),
-fsize AS (
+{frame_cte} AS (
   SELECT clip_id, GREATEST(CAST(sr_hz * {SPECTRAL_FRAME_MS} / 1000 AS BIGINT), 1) AS frame
   FROM meta
 ), dft AS (
   SELECT s.clip_id, b.fb, s.k // f.frame AS fi,
     SUM(s.x * cos({ang})) AS sc,
     SUM(s.x * sin({ang})) AS ss
-  FROM sampx s JOIN meta m USING (clip_id) JOIN fsize f USING (clip_id)
+  FROM sampx s JOIN meta m USING (clip_id) JOIN {frame_cte} f USING (clip_id)
   CROSS JOIN bins b
   GROUP BY s.clip_id, b.fb, s.k // f.frame
-), en AS (
+), {energy_cte} AS (
   SELECT clip_id, fb, SUM(sc * sc + ss * ss) AS e FROM dft GROUP BY clip_id, fb
 ), piv AS (
   SELECT clip_id, SUM(e) AS tot,
@@ -408,7 +412,7 @@ fsize AS (
     MAX(e) FILTER (WHERE fb = {f2!r}) AS e2,
     MAX(e) FILTER (WHERE fb = {f3!r}) AS e3,
     MAX(e) FILTER (WHERE fb = {f4!r}) AS e4
-  FROM en GROUP BY clip_id
+  FROM {energy_cte} GROUP BY clip_id
 )"""
 
 
@@ -516,10 +520,9 @@ def audio_quality_filter_sql(path: str) -> str:
     mirroring the fused Spark stage), then the keep/drop rules as
     NULL-aware CASE tags concat_ws'd in fixed order — both engines skip
     NULL tags, so the reasons string is identical by construction."""
-    from .audio import SPECTRAL_BANDS_HZ, SPECTRAL_FRAME_MS
+    from .audio import SPECTRAL_BANDS_HZ
 
     f1, f2, f3, f4 = SPECTRAL_BANDS_HZ
-    ang = "(((2 * pi() * b.fb) * s.k) / m.sr_hz)"
     return f"""WITH {_samples_cte(path)},
 fsize AS (
   SELECT clip_id, GREATEST(CAST(sr_hz * 20 / 1000 AS BIGINT), 1) AS frame
@@ -555,27 +558,7 @@ fsize AS (
   SELECT clip_id, nf,
     COALESCE((last_fi + 1) * 20 - first_fi * 20, 0) AS kept_ms
   FROM bounds
-), bins(fb) AS (VALUES ({f1!r}), ({f2!r}), ({f3!r}), ({f4!r})),
-fs50 AS (
-  SELECT clip_id, GREATEST(CAST(sr_hz * {SPECTRAL_FRAME_MS} / 1000 AS BIGINT), 1) AS frame
-  FROM meta
-), dft AS (
-  SELECT s.clip_id, b.fb, s.k // f.frame AS fi,
-    SUM(s.x * cos({ang})) AS sc,
-    SUM(s.x * sin({ang})) AS ss
-  FROM sampx s JOIN meta m USING (clip_id) JOIN fs50 f USING (clip_id)
-  CROSS JOIN bins b
-  GROUP BY s.clip_id, b.fb, s.k // f.frame
-), en2 AS (
-  SELECT clip_id, fb, SUM(sc * sc + ss * ss) AS e FROM dft GROUP BY clip_id, fb
-), piv AS (
-  SELECT clip_id, SUM(e) AS tot,
-    MAX(e) FILTER (WHERE fb = {f1!r}) AS e1,
-    MAX(e) FILTER (WHERE fb = {f2!r}) AS e2,
-    MAX(e) FILTER (WHERE fb = {f3!r}) AS e3,
-    MAX(e) FILTER (WHERE fb = {f4!r}) AS e4
-  FROM en2 GROUP BY clip_id
-), dom AS (
+), {_band_energy_ctes(frame_cte="fs50", energy_cte="en2")}, dom AS (
   SELECT clip_id,
     CASE WHEN round(e1 / tot, 6) >= round(e2 / tot, 6)
               AND round(e1 / tot, 6) >= round(e3 / tot, 6)

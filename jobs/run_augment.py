@@ -58,14 +58,27 @@ def main(argv: list[str] | None = None) -> int:
     aug = parts[0]
     for extra in parts[1:]:
         aug = aug.unionByName(extra)
+    # observe() counts quarantined rows DURING the output write — a
+    # separate count() would re-run the whole decode+augment+encode DAG
+    # a second time just to count failures
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("augment_metrics")
+    aug = aug.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_aug"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_ok"),
+    )
     kept = aug.filter("decode_ok").select(*CLIP_COLS)
     if args.include_originals:
         kept = src.select(*CLIP_COLS).unionByName(kept)
     kept.write.mode("overwrite").parquet(args.output)
 
-    n_in = src.count()
+    n_in = src.count()  # parquet count() is row-group metadata, not a scan
     n_out = spark.read.parquet(args.output).count()
-    n_quarantined = aug.filter("NOT decode_ok").count()
+    m = obs.get
+    n_quarantined = int(m["n_aug"]) - int(m["n_ok"] or 0)
     print(json.dumps({
         "input_rows": n_in,
         "output_rows": n_out,

@@ -72,8 +72,12 @@ def main(argv: list[str] | None = None) -> int:
             df.write.mode("overwrite").json(args.output)
             n = spark.read.schema(df.schema).json(args.output).count()
         else:
-            df.write.mode("overwrite").option("header", True).csv(args.output)
-            n = spark.read.option("header", True).csv(args.output).count()
+            # escape + multiLine keep embedded newlines/quotes in string
+            # fields intact across the write→read round trip
+            (df.write.mode("overwrite").option("header", True)
+               .option("escape", '"').csv(args.output))
+            n = (spark.read.option("header", True).option("escape", '"')
+                 .option("multiLine", True).csv(args.output).count())
     else:
         n = df.count()
     wall = round(time.monotonic() - t0, 2)

@@ -253,3 +253,41 @@ def test_run_augment_cli(spark, workdir):
     aug = spark.read.parquet(out_dir)
     src = spark.read.parquet(inp)
     assert set(aug.columns) == set(src.columns)  # pipeline-ready schema
+
+
+def test_run_augment_cli_counts_quarantine_without_recompute(spark, workdir):
+    """Quarantine counting rides the output write via observe() — it must
+    still be exact when rows DO quarantine (one NULL-sr_hz input row
+    poisons all 3 of its augmented copies, which are excluded from the
+    output corpus)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from curator_spark.synth import clips
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    inp = os.path.join(workdir, "aug_in_bad")
+    clean = os.path.join(workdir, "aug_in_clean")
+    clips.write_clips(spark, 20, clean)
+    src = spark.read.parquet(clean)
+    bad_id = src.orderBy("clip_id").first()["clip_id"]
+    src.withColumn(
+        "sr_hz",
+        F.when(F.col("clip_id") == bad_id, F.lit(None)).otherwise(F.col("sr_hz")),
+    ).write.parquet(inp)
+    out_dir = os.path.join(workdir, "aug_out_bad")
+    res = subprocess.run(
+        [sys.executable, "jobs/run_augment.py", "--input", inp, "--output", out_dir,
+         "--noise-snr-db", "20", "--speed", "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, cwd=repo,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8"},
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rec["input_rows"] == 20
+    assert rec["quarantined"] == 3  # noise + 2 speed copies of the bad row
+    assert rec["output_rows"] == 19 * 3

@@ -193,3 +193,46 @@ def test_speed_perturb_stage_exact_lengths(spark):
         assert np.abs(got - want).max() < 1e-4
         checked += 1
     assert checked == 6
+
+
+def test_stages_quarantine_null_metadata(spark):
+    """A NULL/NaN metadata value (sr_hz, dur_ms, width, ...) must degrade
+    to a decode_ok=false row, never fail the Spark task: the carried-
+    metadata dict is built BEFORE the quarantine try/except, so the
+    coercion there has to be NULL-safe (ops/multimodal._opt_int)."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.synth import clips
+
+    df = clips.generate_clips(spark, 8, 2)
+    bad_id = df.orderBy("clip_id").first()["clip_id"]
+    poisoned = df.withColumn(
+        "sr_hz",
+        F.when(F.col("clip_id") == bad_id, F.lit(None)).otherwise(F.col("sr_hz")),
+    ).withColumn(
+        "dur_ms",
+        F.when(F.col("clip_id") == bad_id, F.lit(None)).otherwise(F.col("dur_ms")),
+    )
+    for stage in (
+        lambda d: multimodal.augment_mix_stage(d, 20.0),
+        multimodal.speed_perturb_stage,
+    ):
+        rows = stage(poisoned).collect()  # must not raise
+        bad = [r for r in rows if r["clip_id"].startswith(bad_id)]
+        assert bad and all(not r["decode_ok"] for r in bad)
+        assert all(r["sr_hz"] is None and r["bytes"] is None for r in bad)
+
+    img = multimodal.generate_images(spark, 8, 2).withColumn(
+        "width", F.when(F.col("image_id") == 0, F.lit(None)).otherwise(F.col("width"))
+    )
+    irows = multimodal.image_fingerprint_stage(img).collect()
+    ibad = [r for r in irows if r["image_id"] == 0]
+    assert len(ibad) == 1 and not ibad[0]["decode_ok"] and ibad[0]["width"] is None
+
+    vid = multimodal.generate_videos(spark, 6, 2).withColumn(
+        "n_frames",
+        F.when(F.col("video_id") == 0, F.lit(None)).otherwise(F.col("n_frames")),
+    )
+    vrows = multimodal.video_fingerprint_stage(vid).collect()
+    vbad = [r for r in vrows if r["video_id"] == 0]
+    assert len(vbad) == 1 and not vbad[0]["decode_ok"] and vbad[0]["n_frames"] is None

@@ -544,3 +544,48 @@ def test_publish_dataset_hub_layout(env, workdir):
     pub = spark.read.parquet(os.path.join(data, "*.parquet"))
     assert pub.count() == sum(info["splits"].values())
     assert pub.select("clip_id").distinct().count() == pub.count()
+
+
+def test_export_csv_preserves_embedded_newlines(spark, workdir):
+    """CSV export must round-trip string fields containing newlines and
+    quotes: without escape='"' + multiLine=True on the read-back, a
+    transcript with '\\n' splits into garbage rows and the card stats
+    describe a corrupted table."""
+    from curator_spark.config import PipelineConfig
+    from curator_spark.export import export_dataset
+
+    labeled = spark.createDataFrame(
+        [
+            ("c0", 'line one\nline "two"', "en", 120.5, 0.9, 0, True, []),
+            ("c1", "plain", "en", 80.0, 0.8, 1, True, ["pii"]),
+            ("c2", "dropped\nrow", "de", 900.0, 0.4, 0, False, ["ppl"]),
+        ],
+        "clip_id string, scrubbed_transcript string, lang string, "
+        "ppl double, lang_conf double, scrub_hits int, keep boolean, "
+        "reasons array<string>",
+    )
+
+    class _FakePipe:
+        def __init__(self):
+            self.spark = spark
+            self.cfg = PipelineConfig(n_partitions=2, commit_batches=1)
+            self.last_fingerprint = "csvtest"
+
+        def output(self, fingerprint=None):
+            return labeled
+
+    out_dir = os.path.join(workdir, "exp_csv_nl")
+    info = export_dataset(_FakePipe(), out_dir, data_format="csv")
+    assert info["n_rows"] == 2  # kept_only: c2 dropped, NOT split rows
+    assert info["languages"] == {"en": 2}
+    back = (
+        spark.read.schema(
+            "clip_id string, scrubbed_transcript string, lang string, "
+            "ppl double, lang_conf double, scrub_hits int, keep boolean, "
+            "reasons string"
+        )
+        .option("header", True).option("escape", '"').option("multiLine", True)
+        .csv(os.path.join(out_dir, "data"))
+    )
+    got = {r["clip_id"]: r["scrubbed_transcript"] for r in back.collect()}
+    assert got == {"c0": 'line one\nline "two"', "c1": "plain"}
