@@ -188,7 +188,7 @@ def audio_fingerprint_stage(df: DataFrame) -> DataFrame:
             for b, c, sr, dur, cid in zip(
                 pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["dur_ms"], pdf["clip_id"]
             ):
-                base = {"clip_id": cid, "dur_ms": int(dur), "sr_hz": int(sr)}
+                base = {"clip_id": cid, "dur_ms": _opt_int(dur), "sr_hz": _opt_int(sr)}
                 try:
                     pcm = audio_scoring.decode(bytes(b), c, int(sr))
                     blocks = audio_scoring.fingerprint(pcm)
@@ -875,7 +875,11 @@ def window_decode_stage(
             for b, c, sr, dur, cid in zip(
                 pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["dur_ms"], pdf["clip_id"]
             ):
-                wins = _wins(int(dur))
+                # NULL dur_ms → one zero-length quarantine window (the
+                # except path below iterates wins, so it must exist even
+                # when the metadata itself is the malformed part)
+                d = _opt_int(dur)
+                wins = _wins(d) if d is not None else [(0, 0, 0)]
                 try:
                     pcm = audio_scoring.decode(bytes(b), c, int(sr))
                     n = pcm.shape[0]
@@ -1080,7 +1084,7 @@ def audio_resample_stats(
         for pdf in it:
             rows = []
             for b, c, sr, cid in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["clip_id"]):
-                base = {"clip_id": cid, "sr_hz": int(sr)}
+                base = {"clip_id": cid, "sr_hz": _opt_int(sr)}
                 try:
                     pcm = audio_scoring.decode(bytes(b), c, int(sr))
                     out = audio_scoring.resample_nn(pcm, int(sr), target_hz)

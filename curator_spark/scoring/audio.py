@@ -438,13 +438,19 @@ def level_stats(pcm: np.ndarray, sr_hz: int) -> dict[str, float | None]:
 
 def decode_features(blob: bytes, codec: str, sr_hz: int, dur_ms: int) -> dict[str, float]:
     """decode → features → drop PCM. One call per row inside an Arrow batch;
-    PCM (up to ~100x the encoded bytes) never persists past the call."""
+    PCM (up to ~100x the encoded bytes) never persists past the call.
+    Metadata is coerced INSIDE the quarantine try so callers can pass raw
+    (possibly NULL/NaN) table values — a malformed-metadata row marks
+    itself, it doesn't fail the Spark task."""
     try:
+        sr_hz = int(sr_hz)
+        dur_ms = int(dur_ms)
         pcm = decode(bytes(blob), codec, sr_hz)
     except Exception:  # noqa: BLE001 - quarantine semantics: ANY malformed
         # payload (truncated chunk → struct.error, bad header → ValueError,
-        # unknown codec → NotImplementedError) must mark the row, never kill
-        # the task (≙ per-row retry→failure path, SURVEY §2.8 T2)
+        # unknown codec → NotImplementedError, NULL metadata → ValueError)
+        # must mark the row, never kill the task (≙ per-row retry→failure
+        # path, SURVEY §2.8 T2)
         return {"rms_db": float("nan"), "silence_ratio": 1.0, "clip_ratio": 1.0, "dur_err_ms": 1e9}
     return features(pcm, sr_hz, dur_ms)
 

@@ -69,8 +69,11 @@ def _with_decode_features(pdf: pd.DataFrame, out: pd.DataFrame) -> pd.DataFrame:
     are identical)."""
     from .scoring import audio as audio_scoring
 
+    # raw (possibly NULL) metadata goes straight in: decode_features
+    # coerces inside its quarantine try, so a NULL sr_hz/dur_ms row
+    # becomes decode_ok=false instead of failing the task on int(NaN)
     feats = [
-        audio_scoring.decode_features(b, c, int(sr), int(d))
+        audio_scoring.decode_features(b, c, sr, d)
         for b, c, sr, d in zip(pdf["bytes"], pdf["codec"], pdf["sr_hz"], pdf["dur_ms"])
     ]
     out["rms_db"] = np.array([f["rms_db"] for f in feats], dtype=np.float64)

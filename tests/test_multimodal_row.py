@@ -236,3 +236,19 @@ def test_stages_quarantine_null_metadata(spark):
     vrows = multimodal.video_fingerprint_stage(vid).collect()
     vbad = [r for r in vrows if r["video_id"] == 0]
     assert len(vbad) == 1 and not vbad[0]["decode_ok"] and vbad[0]["n_frames"] is None
+
+    # the MAIN pipeline decode stage + the other per-clip audio kernels
+    # share the same contract (decode_features coerces inside its try)
+    from curator_spark import stages
+
+    drows = stages.decode_stage(poisoned).collect()
+    dbad = [r for r in drows if r["clip_id"] == bad_id]
+    assert len(dbad) == 1 and not dbad[0]["decode_ok"]
+
+    frows = multimodal.audio_fingerprint_stage(poisoned).collect()
+    fbad = [r for r in frows if r["clip_id"] == bad_id]
+    assert len(fbad) == 1 and not fbad[0]["decode_ok"] and fbad[0]["sr_hz"] is None
+
+    wrows = multimodal.window_decode_stage(poisoned).collect()
+    wbad = [r for r in wrows if r["clip_id"] == bad_id]
+    assert len(wbad) == 1 and not wbad[0]["decode_ok"]
