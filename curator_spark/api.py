@@ -56,6 +56,37 @@ def fingerprint_fn(*fns: Callable) -> str:
     return h.hexdigest()
 
 
+def _closure_repr(fn: Callable) -> str:
+    """Captured parameters are part of a stage's identity: two stages from
+    the same factory with different closed-over args (e.g.
+    ``code_exec_stage(timeout_s=10)`` vs ``600``) share SOURCE, so source
+    alone would collide their cache/resume fingerprints and a rerun with
+    new parameters would be served the stale results. Captured callables
+    hash by their own source (a raw repr would embed a per-process memory
+    address and spuriously bust the cache between identical runs)."""
+    return _closure_repr_at(fn, 0)
+
+
+def _closure_repr_at(fn: Callable, depth: int) -> str:
+    if depth > 4:  # cycles / pathological nesting — identity gets fuzzy here
+        return "<deep>"
+    try:
+        nonlocals = inspect.getclosurevars(fn).nonlocals
+    except TypeError:
+        return ""
+    parts = []
+    for name in sorted(nonlocals):
+        v = nonlocals[name]
+        if callable(v):
+            # recurse: a factory often captures its params one level down
+            # (code_exec_stage's timeout_s lives in _run_one's closure,
+            # which _exec captures) — source alone would miss them
+            parts.append((name, fingerprint_fn(v), _closure_repr_at(v, depth + 1)))
+        else:
+            parts.append((name, repr(v)))
+    return repr(parts)
+
+
 @dataclass(frozen=True)
 class VectorMap:
     """A named, retry-wrapped vectorized map stage.
@@ -80,7 +111,10 @@ class VectorMap:
     @property
     def fingerprint(self) -> str:
         return fingerprint_fn(self.fn) + hashlib.blake2b(
-            repr((self.defaults, self.params_col)).encode(), digest_size=8
+            repr(
+                (self.defaults, self.params_col, self.retries, _closure_repr(self.fn))
+            ).encode(),
+            digest_size=8,
         ).hexdigest()
 
     def __call__(self, df: DataFrame) -> DataFrame:
@@ -136,7 +170,11 @@ def _run_batch(
     retries: int,
 ) -> pd.DataFrame:
     last_err = None
-    for _ in range(max(1, retries)):
+    # retries counts RE-tries, per the documented contract: 1 initial
+    # attempt + `retries` whole-batch retries before bisecting (so a
+    # transient failure is always re-tried at least once when retries>=1
+    # instead of going straight to O(log n) per-row sub-runs)
+    for _ in range(1 + max(0, retries)):
         try:
             out = fn(pdf.copy())
             out = out[[c for c in out_cols if c in out.columns]].copy()
@@ -147,8 +185,10 @@ def _run_batch(
     if len(pdf) <= 1:  # single poisoned row → quarantine (≙ failed request)
         return _quarantine(pdf, key, out_cols, f"{type(last_err).__name__}: {last_err}")
     mid = len(pdf) // 2  # bisect: only truly-poisoned rows get quarantined
-    left = _run_batch(pdf.iloc[:mid], fn, key, out_cols, 1)
-    right = _run_batch(pdf.iloc[mid:], fn, key, out_cols, 1)
+    # sub-runs get a single attempt each: the batch already consumed its
+    # retry budget, bisection is only isolating the poisoned rows
+    left = _run_batch(pdf.iloc[:mid], fn, key, out_cols, 0)
+    right = _run_batch(pdf.iloc[mid:], fn, key, out_cols, 0)
     # all-NA quarantine halves vs typed success halves: the intermediate
     # pandas dtype after concat is irrelevant — mapInPandas converts with
     # the DECLARED Spark schema either way — so the pandas 3.x empty/all-NA

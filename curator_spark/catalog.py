@@ -42,19 +42,25 @@ def dir_snapshot_id(path: str) -> str:
         # the path itself; real remote tables get identity from
         # IcebergCatalog.snapshot_id instead.
         return hashlib.blake2b(f"nonlocal:{path}".encode(), digest_size=16).hexdigest()
-    h = hashlib.blake2b(digest_size=16)
-    for root, dirs, files in sorted(os.walk(path)):
-        # prune hidden DIRECTORIES too (Spark's reader semantics): a
-        # crashed writer's _temporary subtree must not change the
-        # fingerprint of data the reader ignores
-        dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
-        for f in sorted(files):
+    entries = []
+    # os.walk must be consumed LAZILY for dirs[:] pruning to take effect —
+    # sorted(os.walk(...)) would materialize the whole walk first and hash
+    # files under _temporary/.spark-staging subtrees the reader ignores
+    # (a crashed writer's junk would then change the fingerprint of
+    # logically identical data, defeating resume exactly after a crash).
+    # Determinism comes from sorting the collected entries instead.
+    for root, dirs, files in os.walk(path):
+        # prune hidden DIRECTORIES too (Spark's reader semantics)
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
             if f.startswith(("_", ".")):
                 continue
             full = os.path.join(root, f)
-            rel = os.path.relpath(full, path)
             st = os.stat(full)
-            h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+            entries.append((os.path.relpath(full, path), st.st_size, st.st_mtime_ns))
+    h = hashlib.blake2b(digest_size=16)
+    for rel, size, mtime_ns in sorted(entries):
+        h.update(f"{rel}:{size}:{mtime_ns}".encode())
     return h.hexdigest()
 
 

@@ -61,7 +61,10 @@ def list_parquet_files(input_path: str) -> list[str]:
     not be decoded by manifest mode when the column path would ignore
     it)."""
     files = []
-    for root, dirs, names in os.walk(input_path):
+    # absolute paths: src_file provenance must match the spelling
+    # input_file_name()-derived marks use (pipeline._src_file_expr) even
+    # when the caller passes a relative input_path
+    for root, dirs, names in os.walk(os.path.abspath(input_path)):
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for n in sorted(names):
             if n.endswith(".parquet") and not n.startswith(("_", ".")):

@@ -74,11 +74,17 @@ AUDIT_STAGES = ("decode", "score", "scrub", "decide")
 
 
 def _src_file_expr():
-    """Source-file provenance, normalized to a plain path: Spark's
-    ``input_file_name()`` returns a ``file:``-scheme URI while the
-    manifest reader records the OS path — the dedup (clip_id, src_file)
-    join must see ONE spelling or cross-file marks silently miss."""
-    return F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+    """Source-file provenance, normalized to a plain absolute path:
+    Spark's ``input_file_name()`` returns a ``file:``-scheme,
+    PERCENT-ENCODED URI while the manifest reader records the raw OS path
+    — the dedup (clip_id, digest, src_file) join must see ONE spelling or
+    cross-file marks silently miss (a path containing a space arrives as
+    ``%20`` on one side and ``' '`` on the other). A literal ``+`` is
+    pre-protected as ``%2B`` because ``url_decode`` follows
+    x-www-form-urlencoded semantics and would turn it into a space,
+    which ``Path.toUri`` never produces."""
+    path = F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+    return F.url_decode(F.regexp_replace(path, r"\+", "%2B"))
 
 
 @dataclass
@@ -195,23 +201,39 @@ class Pipeline:
             # so the fallback pays the generic computed-key cost (each
             # commit group scans the table) — correctness over speed; the
             # warning tells the operator to re-layout the input.
-            s = raw.agg(
-                F.min("part_key").alias("lo"),
-                F.max("part_key").alias("hi"),
-                F.sum(F.col("part_key").isNull().cast("long")).alias("nulls"),
-            ).collect()[0]
-            if (s["nulls"] or 0) > 0 or s["lo"] is None or s["lo"] < 0 or s["hi"] >= cfg.n_partitions:
+            # the type gate matters as much as the range gate: the commit
+            # filters select INTEGER keys, so a double part_key holding
+            # 3.5 would pass a min/max check yet match no group (silently
+            # dropped rows), and a string column would make the driver
+            # comparisons below raise
+            pk_type = dict(raw.dtypes)["part_key"]
+            if pk_type in ("tinyint", "smallint", "int", "bigint"):
+                s = raw.agg(
+                    F.min("part_key").alias("lo"),
+                    F.max("part_key").alias("hi"),
+                    F.sum(F.col("part_key").isNull().cast("long")).alias("nulls"),
+                ).collect()[0]
+                problem = None
+                if (s["nulls"] or 0) > 0 or s["lo"] is None or s["lo"] < 0 or s["hi"] >= cfg.n_partitions:
+                    problem = (
+                        f"layout [{s['lo']}, {s['hi']}] (nulls={s['nulls']}) does "
+                        f"not fit n_partitions={cfg.n_partitions}"
+                    )
+            else:
+                problem = (
+                    f"column type {pk_type!r} is not integral, so integer commit "
+                    "groups could never select its rows"
+                )
+            if problem is not None:
                 if "clip_id" not in raw.columns:
                     raise ValueError(
-                        f"input part_key layout [{s['lo']}, {s['hi']}] (nulls={s['nulls']}) "
-                        f"does not fit n_partitions={cfg.n_partitions} and no clip_id "
-                        "column exists to recompute it"
+                        f"input part_key {problem} and no clip_id column exists "
+                        "to recompute it"
                     )
                 import warnings
 
                 warnings.warn(
-                    f"input part_key layout [{s['lo']}, {s['hi']}] (nulls={s['nulls']}) does not "
-                    f"fit n_partitions={cfg.n_partitions}; recomputing part_key from clip_id",
+                    f"input part_key {problem}; recomputing part_key from clip_id",
                     stacklevel=2,
                 )
                 base = raw.drop("part_key").withColumn("part_key", hash_part_key(cfg.n_partitions))
@@ -296,8 +318,25 @@ class Pipeline:
                     else None
                 )
             else:
+                from pyspark.sql import Observation
+
                 df_g = base.filter(F.col("part_key").isin(missing))
-                rows_in = None  # counted after the write (input-side scan)
+                # input-side row counts ride the write job as observe()
+                # metrics — still independent evidence at the SCAN (the
+                # audit reconciles them against the committed output), but
+                # without the extra full-input job a post-write
+                # groupBy().count() would launch per commit group. One
+                # conditional sum per missing key; bounded by
+                # n_partitions/G, never by data volume.
+                obs_in = Observation(f"rows_in_g{g}")
+                df_g = df_g.observe(
+                    obs_in,
+                    *[
+                        F.sum((F.col("part_key") == int(k)).cast("long")).alias(f"k{k}")
+                        for k in missing
+                    ],
+                )
+                rows_in = None  # resolved from obs_in after the write
                 labeled = stages.apply_all(df_g, cfg.rules)
             if labeled is not None and dup_marks is not None:
                 labeled = self._apply_dedup(labeled, dup_marks)
@@ -317,10 +356,8 @@ class Pipeline:
 
             t1 = time.monotonic()
             if rows_in is None:
-                rows_in = {
-                    r["part_key"]: r["n"]
-                    for r in df_g.groupBy("part_key").agg(F.count("*").alias("n")).collect()
-                }
+                m = obs_in.get  # populated by the write job just above
+                rows_in = {int(k): int(m[f"k{k}"] or 0) for k in missing}
             res.timings[f"rows_in_g{g}"] = time.monotonic() - t1
             t1 = time.monotonic()
             self._commit_audit(fingerprint, missing, rows_in, wall_ms)

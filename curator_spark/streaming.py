@@ -40,6 +40,37 @@ CLIPS_SCHEMA = (
 )
 
 
+def _file_source(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int,
+    schema: str = CLIPS_SCHEMA,
+) -> DataFrame:
+    """The module's ONE file-stream source recipe (explicit schema +
+    ``maxFilesPerTrigger`` bounding per-micro-batch memory). Every entry
+    point reads through this so a recipe change (e.g. ``cleanSource``
+    tuning) cannot silently drift between them."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def _write_batch_keyed(
+    df: DataFrame, output_dir: str, batch_id: int, partition_by: tuple[str, ...] = ()
+) -> None:
+    """The module's ONE idempotent-replay sink recipe: ``foreachBatch`` is
+    at-least-once (a crash between the write and the streaming checkpoint
+    commit re-delivers the batch), so each batch overwrites ITS OWN hive
+    subdir keyed by the deterministic batch_id — a replay rewrites the
+    same directory instead of appending duplicates."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(f"{output_dir}/batch_id={batch_id}")
+
+
 def stream_pipeline(
     spark: SparkSession,
     input_dir: str,
@@ -56,28 +87,14 @@ def stream_pipeline(
     is appended parquet partitioned by ``part_key`` like the batch path.
     """
     cfg = cfg or PipelineConfig()
-    reader = (
-        spark.readStream.schema(CLIPS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
+    reader = _file_source(spark, input_dir, max_files_per_trigger)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         labeled = stages.apply_all(
             batch_df.withColumn("part_key", pipeline_mod.hash_part_key(cfg.n_partitions)),
             cfg.rules,
         ).withColumn("ingest_ts", F.current_timestamp())  # arrival-time lineage
-        # idempotent replay: foreachBatch is at-least-once (a crash between
-        # this write and the streaming checkpoint commit re-delivers the
-        # batch), so each batch overwrites ITS OWN hive subdir keyed by the
-        # deterministic batch_id — a replay rewrites the same directory
-        # instead of appending duplicates. This is the documented
-        # foreachBatch exactly-once recipe (batch_id-keyed idempotent sink).
-        (
-            labeled.write.mode("overwrite")
-            .partitionBy("part_key")
-            .parquet(f"{output_dir}/batch_id={batch_id}")
-        )
+        _write_batch_keyed(labeled, output_dir, batch_id, partition_by=("part_key",))
 
     writer = reader.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
@@ -109,15 +126,12 @@ def stream_audio_features(
     at-least-once replay after a crash rewrites the same directory
     instead of appending duplicates (the recipe shared by every sink in
     this module). Returns the started ``StreamingQuery``."""
-    src = (
-        spark.readStream.schema(CLIPS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
+    src = _file_source(spark, input_dir, max_files_per_trigger)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        feats = stages.decode_stage(batch_df.drop("transcript"))
-        feats.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+        _write_batch_keyed(
+            stages.decode_stage(batch_df.drop("transcript")), output_dir, batch_id
+        )
 
     writer = src.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
@@ -146,15 +160,13 @@ def stream_scrub_transcripts(
     + batch_id-keyed overwrite sink (an at-least-once replay rewrites
     the same subdir instead of appending duplicates). Returns the
     started ``StreamingQuery``."""
-    src = (
-        spark.readStream.schema(CLIPS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
+    src = _file_source(spark, input_dir, max_files_per_trigger)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        out = stages.scrub_detail_stage(batch_df.select("clip_id", "transcript"))
-        out.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+        _write_batch_keyed(
+            stages.scrub_detail_stage(batch_df.select("clip_id", "transcript")),
+            output_dir, batch_id,
+        )
 
     writer = src.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
@@ -221,30 +233,36 @@ def stream_exact_dedup(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    src = (
-        spark.readStream.schema(CLIPS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
-    keyed = src.withColumn("digest", stages.transcript_digest())
+    src = _file_source(spark, input_dir, max_files_per_trigger)
+    # narrow projection BEFORE the digest groupBy: the state function
+    # reads only clip_id, so shipping the full row would shuffle (and
+    # Arrow-transfer into the Python worker) every clip's audio bytes —
+    # the exact payload manifest mode exists to keep off the wire
+    keyed = src.select("clip_id", stages.transcript_digest().alias("digest"))
 
     def _dedup(key, pdfs, state):
-        first = None
+        first = None  # min NON-NULL clip_id seen this batch
         n = 0
         for pdf in pdfs:
             n += len(pdf)
-            if len(pdf):
-                cand = pdf.sort_values("clip_id").iloc[:1]
-                if first is None or cand["clip_id"].iloc[0] < first["clip_id"].iloc[0]:
-                    first = cand
+            nn = pdf["clip_id"].dropna()
+            if len(nn):
+                m = nn.min()
+                if first is None or m < first:
+                    first = m
         if state.exists:
             dup_count, canonical = state.get
             state.update((int(dup_count) + n, canonical))
+        elif n:
+            # canonical_id is NULL when every row of the digest carries a
+            # NULL clip_id (same semantics as batch dedup_exact's
+            # min(clip_id)); comparing through pandas-native min avoids
+            # the str-vs-None comparison a raw sort would hit
+            canonical = None if first is None else str(first)
+            state.update((n - 1, canonical))
+            yield pd.DataFrame({"digest": [key[0]], "canonical_id": [canonical]})
         else:
-            canonical = None if first is None else str(first["clip_id"].iloc[0])
-            state.update((n - (0 if first is None else 1), canonical))
-            if first is not None:
-                yield pd.DataFrame({"digest": [key[0]], "canonical_id": [canonical]})
+            state.update((0, None))
 
     dedup = keyed.groupBy("digest").applyInPandasWithState(
         _dedup,
@@ -263,10 +281,7 @@ def stream_exact_dedup(
         )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        # batch_id-keyed overwrite: replay after a crash rewrites the same
-        # subdir instead of appending duplicates (same recipe as
-        # stream_pipeline)
-        batch_df.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+        _write_batch_keyed(batch_df, output_dir, batch_id)
 
     return (
         dedup.writeStream.foreachBatch(_sink)
@@ -336,10 +351,7 @@ def stream_hourly_metrics(
         )
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        # batch_id-keyed overwrite: replay after a crash rewrites the same
-        # subdir instead of appending duplicates (same recipe as
-        # stream_pipeline / stream_exact_dedup)
-        batch_df.write.mode("overwrite").parquet(f"{output_dir}/batch_id={batch_id}")
+        _write_batch_keyed(batch_df, output_dir, batch_id)
 
     return (
         agg.writeStream.outputMode("update")

@@ -291,3 +291,57 @@ def test_run_augment_cli_counts_quarantine_without_recompute(spark, workdir):
     assert rec["input_rows"] == 20
     assert rec["quarantined"] == 3  # noise + 2 speed copies of the bad row
     assert rec["output_rows"] == 19 * 3
+
+
+def test_vector_map_fingerprint_sees_closure_and_retries():
+    """Two stages from the same factory with different captured
+    parameters share SOURCE — the fingerprint must still differ, or a
+    cache/resume layer would serve one configuration's results for the
+    other. Same parameters ⇒ same fingerprint (the cache must still
+    hit across rebuilds)."""
+    from curator_spark.api import code_exec_stage
+
+    fast = code_exec_stage(timeout_s=1.0)
+    slow = code_exec_stage(timeout_s=600.0)
+    again = code_exec_stage(timeout_s=1.0)
+    assert fast.fingerprint == again.fingerprint
+    assert fast.fingerprint != slow.fingerprint
+    # retries is part of the identity too (it changes quarantine output)
+    assert fast.fingerprint != code_exec_stage(timeout_s=1.0, retries=3).fingerprint
+
+
+def test_vector_map_retries_means_retries(spark):
+    """retries=N ⇒ 1 initial attempt + N whole-batch re-tries before
+    bisecting, per the documented contract: a batch that fails exactly
+    once must succeed on the retry without any per-row sub-runs (which
+    would re-execute every row)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from curator_spark import api
+
+    marker_dir = tempfile.mkdtemp()
+
+    def flaky(pdf: pd.DataFrame) -> pd.DataFrame:
+        marker = os.path.join(marker_dir, f"b{int(pdf['row_key'].iloc[0])}")
+        with open(marker, "a") as fh:
+            fh.write("x")
+        if os.path.getsize(marker) == 1:
+            raise RuntimeError("transient")
+        out = pdf[["row_key"]].copy()
+        out["v"] = pdf["row_key"] * 2
+        return out
+
+    stage = api.VectorMap(
+        name="flaky", fn=flaky, out_schema="row_key long, v long", retries=1
+    )
+    df = spark.createDataFrame([(i,) for i in range(8)], "row_key long").coalesce(1)
+    rows = stage(df).collect()
+    assert all(r["_error"] is None for r in rows) and len(rows) == 8
+    # exactly 2 attempts (initial + 1 retry), batch never bisected: ONE
+    # marker file with 2 writes
+    markers = os.listdir(marker_dir)
+    assert len(markers) == 1
+    assert os.path.getsize(os.path.join(marker_dir, markers[0])) == 2

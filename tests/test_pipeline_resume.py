@@ -589,3 +589,57 @@ def test_export_csv_preserves_embedded_newlines(spark, workdir):
     )
     got = {r["clip_id"]: r["scrubbed_transcript"] for r in back.collect()}
     assert got == {"c0": 'line one\nline "two"', "c1": "plain"}
+
+
+def test_dir_snapshot_ignores_crashed_writer_junk(spark, workdir):
+    """A crashed writer's _temporary subtree (and dotfiles) must not
+    change the input fingerprint: os.walk has to be consumed lazily for
+    the dirs[:] pruning to take effect — a sorted(os.walk(...)) wrapper
+    materializes the walk first and silently hashes the junk, so a
+    resume after a crash would recompute the whole run."""
+    from curator_spark.catalog import dir_snapshot_id
+
+    inp = os.path.join(workdir, "snap_in")
+    clips.write_clips(spark, 10, inp)
+    before = dir_snapshot_id(inp)
+    junk = os.path.join(inp, "_temporary", "0")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-0.parquet"), "wb") as fh:
+        fh.write(b"garbage")
+    with open(os.path.join(inp, ".hidden.crc"), "wb") as fh:
+        fh.write(b"crc")
+    assert dir_snapshot_id(inp) == before
+    # a REAL data change must still move it
+    with open(os.path.join(inp, "extra.parquet"), "wb") as fh:
+        fh.write(b"x")
+    assert dir_snapshot_id(inp) != before
+
+
+def test_src_file_spelling_matches_manifest_reader(spark, workdir):
+    """The dedup (clip_id, digest, src_file) join requires ONE path
+    spelling on both sides: input_file_name() percent-encodes (space →
+    %20) while the manifest reader records the raw OS path. The
+    normalized marks expression must reproduce the manifest spelling
+    even for paths with spaces and '+'."""
+    from curator_spark import manifest
+    from curator_spark.pipeline import _src_file_expr
+
+    inp = os.path.join(workdir, "odd dir+name")
+    clips.write_clips(spark, 6, inp)
+    man_files = set(manifest.list_parquet_files(inp))
+    assert man_files  # the generator wrote at least one part file
+    spark_files = {
+        r["src_file"]
+        for r in spark.read.parquet(inp)
+        .select(_src_file_expr().alias("src_file"))
+        .distinct()
+        .collect()
+    }
+    # the manifest may additionally list EMPTY part files (no row carries
+    # their name through input_file_name); every row-bearing file must
+    # match the manifest spelling exactly — space and '+' intact
+    assert spark_files and spark_files <= man_files
+    assert all("odd dir+name" in p for p in spark_files)
+    # relative input path: the manifest side must still record absolute
+    rel = os.path.relpath(inp)
+    assert set(manifest.list_parquet_files(rel)) == man_files

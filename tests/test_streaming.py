@@ -294,3 +294,43 @@ def test_stream_scrub_matches_batch_and_restarts_exactly_once(spark, workdir):
     q = streaming.stream_scrub_transcripts(spark, inp, out, ckpt)
     q.awaitTermination(120)
     assert spark.read.option("basePath", out).parquet(out).count() == N
+
+
+def test_stream_exact_dedup_tolerates_null_clip_ids(spark, workdir):
+    """A digest group whose rows carry NULL clip_ids must not crash the
+    state function (str-vs-None comparison) nor emit the literal string
+    'None': all-null groups emit canonical_id NULL (batch dedup_exact's
+    min(clip_id) semantics); mixed groups pick the min NON-NULL id."""
+    import pandas as pd
+
+    inp = os.path.join(workdir, "landing_null")
+    ckpt = os.path.join(workdir, "ck_dedup_null")
+    base = clips.clips_pandas(6)
+    pdf = base.copy()
+    ids = list(pdf["clip_id"])
+    ids[0] = None               # transcript 0: null + non-null holder below
+    pdf["clip_id"] = ids
+    dup = base.iloc[[0, 1]].copy()
+    dup["clip_id"] = [None, None]  # transcript 1 gains an all-null twin set
+    out = pd.concat([pdf, dup], ignore_index=True)
+    only_null = base.iloc[[2]].copy()
+    only_null["clip_id"] = [None]
+    only_null["transcript"] = ["null-only transcript"]  # its OWN digest
+    out = pd.concat([out, only_null], ignore_index=True)
+    spark.createDataFrame(out, schema=streaming.CLIPS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+
+    q = streaming.stream_exact_dedup(spark, inp, ckpt, query_name="sd_null")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sd_null").toPandas()
+    assert len(got) == 7  # 6 base digests + the null-only transcript
+    by_digest = got.set_index("digest")["canonical_id"]
+    import hashlib
+
+    d_null_only = hashlib.md5("null-only transcript".encode()).hexdigest()
+    assert pd.isna(by_digest[d_null_only])  # NULL, not the string 'None'
+    d0 = hashlib.md5(base["transcript"].iloc[0].encode()).hexdigest()
+    assert pd.isna(by_digest[d0])  # transcript 0's only holder is null
+    d1 = hashlib.md5(base["transcript"].iloc[1].encode()).hexdigest()
+    assert by_digest[d1] == base["clip_id"].iloc[1]  # min NON-NULL wins
