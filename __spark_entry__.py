@@ -1389,7 +1389,8 @@ WITH w AS (
   FROM documents
 )
 SELECT doc_id, n_chars, len(words) AS n_words,
-  round((n_chars - len(words) + 1) / greatest(len(words), 1), 6) AS mean_word_len,
+  round(CAST(COALESCE(list_sum(list_transform(words, x -> length(x))), 0) AS DOUBLE)
+        / greatest(len(words), 1), 6) AS mean_word_len,
   round(CAST(len(list_distinct(words)) AS DOUBLE) / greatest(len(words), 1), 6) AS distinct_ratio,
   round(CAST(len(list_filter(words, x -> list_contains(['the','a','of','and','to'], x))) AS DOUBLE)
         / greatest(len(words), 1), 6) AS stopword_frac

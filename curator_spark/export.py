@@ -180,24 +180,32 @@ def publish_dataset(
     shutil.rmtree(data_dir, ignore_errors=True)
     os.makedirs(data_dir, exist_ok=True)
 
+    # ONE partitioned write produces all three splits in a single scan of
+    # the labeled table (three filtered writes would re-scan it per
+    # split); partitionBy also drops the split column from the data files,
+    # matching the hub shard layout. Counts come from the written shards'
+    # parquet footers — metadata reads, not data scans.
+    tmp = os.path.join(repo_dir, "_tmp_splits")
+    kept.write.mode("overwrite").partitionBy("split").parquet(tmp)
     split_rows: dict[str, int] = {}
     shards: list[str] = []
     for split in ("train", "val", "test"):
-        tmp = os.path.join(repo_dir, f"_tmp_{split}")
-        part = kept.filter(F.col("split") == split).drop("split")
-        part.write.mode("overwrite").parquet(tmp)
+        sdir = os.path.join(tmp, f"split={split}")
         files = sorted(
-            f for f in os.listdir(tmp) if f.endswith(".parquet") and not f.startswith(".")
+            f for f in (os.listdir(sdir) if os.path.isdir(sdir) else [])
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
         )
         n = len(files)
+        split_shards = []
         for i, f in enumerate(files):
             shard = f"{split}-{i:05d}-of-{n:05d}.parquet"
-            os.replace(os.path.join(tmp, f), os.path.join(data_dir, shard))
-            shards.append(shard)
-        shutil.rmtree(tmp, ignore_errors=True)
+            os.replace(os.path.join(sdir, f), os.path.join(data_dir, shard))
+            split_shards.append(shard)
+        shards.extend(split_shards)
         split_rows[split] = pipe.spark.read.parquet(
-            *(os.path.join(data_dir, s) for s in shards if s.startswith(split))
+            *(os.path.join(data_dir, s) for s in split_shards)
         ).count() if n else 0
+    shutil.rmtree(tmp, ignore_errors=True)
 
     if checksums:
         with open(os.path.join(repo_dir, "SHA256SUMS"), "w") as fh:

@@ -72,5 +72,16 @@ def to_dataframe(
             "or a pandas frame with explicit columns instead"
         )
     if isinstance(rows[0], dict):
-        return spark.createDataFrame(pd.DataFrame(rows))
+        # NOT via pandas: pd.DataFrame NaN-fills keys missing from a row,
+        # silently promoting int columns to float64 (id=1 round-trips as
+        # 1.0 / DoubleType). Spark's own inference over tuples merges
+        # types across ALL rows and keeps ints long with proper nulls.
+        keys: list = []
+        for d in rows:
+            for k in d:
+                if k not in keys:
+                    keys.append(k)
+        return spark.createDataFrame(
+            [tuple(d.get(k) for k in keys) for d in rows], schema=keys
+        )
     return spark.createDataFrame(pd.DataFrame({column: rows}))

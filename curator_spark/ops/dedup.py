@@ -417,18 +417,19 @@ def cross_doc_dup_spans(
     identity (llm/llm.py:139-164) lifted from whole rows to spans;
     ``dup_ngram_fraction`` is the WITHIN-doc twin.
 
-    Scale shape (100 TB): ONE scan, no joins. explode is narrow; then
-    (gram, doc_id) hash-agg with map-side combine (a corpus-universal
-    span — boilerplate headers, license text — arrives at its reducer
-    pre-combined), a window count over the gram partitioning for the
-    cross-doc test, and a final per-doc rollup. No text ever shuffles —
-    only 32-hex digests with small counts. This is the standard scalable
-    relaxation of the suffix-array construction in the public Lee et al.
-    2022 dedup paper. (A naive three-branch formulation — totals,
-    gram-counts, join back — re-derives the scan+explode per branch:
-    3 scans / 7 exchanges in the explain vs this plan's 1 scan / 4.)"""
-    from pyspark.sql import Window as W
-
+    Scale shape (100 TB): ONE scan. explode is narrow; then (gram,
+    doc_id) hash-agg with map-side combine (a corpus-universal span —
+    boilerplate headers, license text — arrives at its reducer
+    pre-combined and is PERSISTED so both consumers reuse it), a
+    map-side-combinable per-gram doc count joined back on gram (the one
+    skew-prone key, handled by AQE skew-join splitting — a count WINDOW
+    over the gram partitioning would funnel every holder of a universal
+    gram into one un-splittable sort task), and a final per-doc rollup.
+    No text ever shuffles — only 32-hex digests with small counts. This
+    is the standard scalable relaxation of the suffix-array construction
+    in the public Lee et al. 2022 dedup paper. (A naive three-branch
+    formulation re-derives the scan+explode per branch: 3 scans in the
+    explain vs this plan's 1.)"""
     docs = load(spark, sf_dir, "documents")
     npos = F.when(
         F.length("text") >= k, F.floor((F.length("text") - k) / stride) + 1
@@ -443,8 +444,23 @@ def cross_doc_dup_spans(
         ).alias("gram"),
     )
     per_doc_gram = spans.groupBy("gram", "doc_id").agg(F.count("*").alias("cnt"))
-    nd = F.count("*").over(W.partitionBy("gram"))  # distinct docs holding the gram
-    flagged = per_doc_gram.withColumn("cross", nd > 1)
+    # cross-doc test via groupBy + join-back, NOT a count window over the
+    # gram partitioning: a corpus-universal gram (boilerplate header,
+    # license text) would put one row per holding document into a single
+    # un-splittable window task — the same skew shape bigram_self_ppl's
+    # docstring rejects. The groupBy is map-side combinable and the
+    # join's hot key is AQE-skew-splittable. per_doc_gram persists so the
+    # second consumer does not re-derive the scan+explode.
+    from pyspark.storagelevel import StorageLevel
+
+    from . import register_transient_persist
+
+    per_doc_gram = per_doc_gram.persist(StorageLevel.MEMORY_AND_DISK)
+    register_transient_persist(spark, per_doc_gram)
+    gram_docs = per_doc_gram.groupBy("gram").agg(
+        F.count("*").alias("nd")  # distinct docs holding the gram
+    )
+    flagged = per_doc_gram.join(gram_docs, "gram").withColumn("cross", F.col("nd") > 1)
     return (
         flagged.groupBy("doc_id")
         .agg(

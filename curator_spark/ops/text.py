@@ -19,6 +19,11 @@ def _words():
     return F.filter(F.split(F.col("text"), " ", -1), lambda w: w != F.lit(""))
 
 
+# the ONE stopword list shared by every quality feature (and mirrored in
+# the DuckDB oracles) — duplicate copies could drift independently
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens + a BPE-ish subword proxy (ceil(chars/4) is the
     public rule-of-thumb byte-level estimate) per document."""
@@ -67,14 +72,21 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     words = _words()
     n_words = F.size(words)
-    stop = F.array(F.lit("the"), F.lit("a"), F.lit("of"), F.lit("and"), F.lit("to"))
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
     stop_hits = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+    # exact mean word length: sum of per-word lengths / word count. The
+    # closed form (n_chars - n_words + 1) / n_words assumes exactly one
+    # separator between words, so repeated/leading/trailing spaces would
+    # count as word characters and inflate the feature.
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
     return (
         docs.select(
             "doc_id",
             F.length("text").alias("n_chars"),
             n_words.alias("n_words"),
-            F.round((F.length("text") - n_words + 1) / F.greatest(n_words, F.lit(1)), 6).alias(
+            F.round(word_chars / F.greatest(n_words, F.lit(1)), 6).alias(
                 "mean_word_len"
             ),
             F.round(F.size(F.array_distinct(words)) / F.greatest(n_words, F.lit(1)), 6).alias(
@@ -165,11 +177,11 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     failed-rule reasons — the documents-table face of the clip DAG's
     decide stage."""
     docs = load(spark, sf_dir, "documents")
-    words = F.filter(F.split(F.col("text"), " ", -1), lambda w: w != F.lit(""))
+    words = _words()
     n_words = F.size(words)
     nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
     symbols = F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
-    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to"]])
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
     stop_hits = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
 
     feat = docs.select(
@@ -396,7 +408,10 @@ def _quota_sample(docs: DataFrame, quota: int) -> DataFrame:
     for lang, cnt in counts.items():
         frac = min(1.0, 8.0 * quota / max(cnt, 1))
         cut = f"{min(0xFFFFFFFF, int(frac * 0x100000000)):08x}"
-        cond = (F.col("lang") == F.lit(lang)) & (
+        # eqNullSafe: a NULL lang is a legitimate group key here — a
+        # plain == comparison is NULL under three-valued logic, which
+        # would silently drop every NULL-lang row at the cut
+        cond = F.col("lang").eqNullSafe(F.lit(lang).cast("string")) & (
             (F.substring("sample_key", 1, 8) < F.lit(cut)) | F.lit(frac >= 1.0)
         )
         cut_expr = cond if cut_expr is None else (cut_expr | cond)
@@ -411,10 +426,17 @@ def _quota_sample(docs: DataFrame, quota: int) -> DataFrame:
     if short:  # hash-tail shortfall: exact fallback for just those languages
         # the short language's cut-survivors are ALSO in the unfiltered
         # fallback slice — drop them from the cut side or they'd appear
-        # twice and double-count against the quota
-        survivors = survivors.filter(~F.col("lang").isin(short)).union(
-            docs.filter(F.col("lang").isin(short))
-        )
+        # twice and double-count against the quota. The membership test
+        # must be null-proof twice over: isin with a NULL in the LIST
+        # returns NULL for every non-member (which would erase ALL other
+        # languages through ~NULL), and a NULL lang ROW needs isNull()
+        # to reach its fallback slice.
+        short_nn = [s for s in short if s is not None]
+        in_short = F.col("lang").isin(short_nn) if short_nn else F.lit(False)
+        if any(s is None for s in short):
+            in_short = in_short | F.col("lang").isNull()
+        in_short = F.coalesce(in_short, F.lit(False))
+        survivors = survivors.filter(~in_short).union(docs.filter(in_short))
     w = Window.partitionBy("lang").orderBy("sample_key", "doc_id")
     return (
         survivors.withColumn("rk", F.row_number().over(w).cast("long"))

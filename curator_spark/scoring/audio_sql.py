@@ -110,7 +110,12 @@ def _samples_cte(path: str) -> str:
   FROM read_parquet('{path}')
 ), meta AS (
   SELECT clip_id, codec, sr_hz, dur_ms, hx,
-    CASE WHEN codec = 'ulaw' THEN TRUE
+    -- COALESCE: a NULL payload must be ok=FALSE (the Python side raises
+    -- on bytes(None) and quarantines), not NULL — the WAV header
+    -- comparisons against a NULL hx would otherwise leak NULL into ok
+    -- and desync decode_ok between the engines
+    COALESCE(
+    CASE WHEN codec = 'ulaw' THEN hx IS NOT NULL
          WHEN codec = 'pcm_s16le' THEN
            nb >= 44
            AND substring(hx, 1, 8) = '52494646'    -- 'RIFF'
@@ -123,7 +128,7 @@ def _samples_cte(path: str) -> str:
            -- int16 view of an odd byte count raises in the Python decoder
            AND LEAST({_byte('81')} + 256 * {_byte('83')} + 65536 * {_byte('85')}
                      + 16777216 * {_byte('87')}, nb - 44) % 2 = 0
-         ELSE FALSE END AS ok,
+         ELSE FALSE END, FALSE) AS ok,
     CASE WHEN codec = 'ulaw' THEN nb
          ELSE LEAST({_byte('81')} + 256 * {_byte('83')} + 65536 * {_byte('85')}
                     + 16777216 * {_byte('87')}, nb - 44) // 2
@@ -158,9 +163,12 @@ feat AS (
   FROM sampx GROUP BY clip_id
 )
 SELECT m.clip_id, m.codec,
-  CASE WHEN m.ok THEN f.rms_db ELSE CAST('nan' AS DOUBLE) END AS rms_db,
-  CASE WHEN m.ok THEN f.silence_ratio ELSE 1.0 END AS silence_ratio,
-  CASE WHEN m.ok THEN f.clip_ratio ELSE 1.0 END AS clip_ratio,
+  -- COALESCE fallbacks are the Python zero-sample constants
+  -- (audio.features at n == 0): an ok clip with an EMPTY payload (0
+  -- samples) has no feat row but still decodes successfully
+  CASE WHEN m.ok THEN COALESCE(f.rms_db, -120.0) ELSE CAST('nan' AS DOUBLE) END AS rms_db,
+  CASE WHEN m.ok THEN COALESCE(f.silence_ratio, 1.0) ELSE 1.0 END AS silence_ratio,
+  CASE WHEN m.ok THEN COALESCE(f.clip_ratio, 0.0) ELSE 1.0 END AS clip_ratio,
   m.ok AS decode_ok
 FROM meta m LEFT JOIN feat f USING (clip_id)
 ORDER BY m.clip_id

@@ -71,12 +71,16 @@ def _pixels_cte(path: str) -> str:
   FROM read_parquet('{path}')
 ), meta AS (
   SELECT image_id, fmt, width, height, hx,
+    -- COALESCE: a NULL payload makes the nb comparisons NULL, and a
+    -- NULL ok would skip quality/reason tags downstream where the
+    -- Python decoder quarantines with ok=false
+    COALESCE(
     CASE WHEN width IS NULL OR height IS NULL OR width <= 0 OR height <= 0 THEN FALSE
          WHEN fmt = 'ppm' THEN
            nb = length(hdr) + width * height * 3
            AND substring(hx, 1, 2 * length(hdr)) = hex(encode(hdr))
          WHEN fmt = 'rgb8_raw' THEN nb = width * height * 3
-         ELSE FALSE END AS ok,
+         ELSE FALSE END, FALSE) AS ok,
     CASE WHEN fmt = 'ppm' THEN length(hdr) ELSE 0 END AS off
   FROM raw
 ), toks AS (
@@ -139,7 +143,12 @@ SELECT m.image_id, m.fmt,
   CASE WHEN m.ok THEN round(s.mean_lum, 6) END AS mean_lum,
   CASE WHEN m.ok THEN round(s.contrast, 6) END AS contrast,
   CASE WHEN m.ok THEN round(e.entropy, 6) + 0.0 END AS entropy,
-  CASE WHEN m.ok THEN round((x.ex + y.ey) / 2.0 / 1000.0, 6) END AS edge_strength,
+  -- COALESCE 0.0 per axis: a 1-pixel-wide/-tall image has no horizontal/
+  -- vertical neighbor pairs, so its ex/ey CTE emits no row — Python
+  -- (image.features) defines that axis as 0.0 and still averages
+  CASE WHEN m.ok
+       THEN round((COALESCE(x.ex, 0.0) + COALESCE(y.ey, 0.0)) / 2.0 / 1000.0, 6)
+  END AS edge_strength,
   CASE WHEN m.ok THEN round(m.width / CAST(m.height AS DOUBLE), 6) END AS aspect,
   CASE WHEN m.ok THEN t.thumb_bytes END AS thumb_bytes,
   m.ok AS decode_ok

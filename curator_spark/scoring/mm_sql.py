@@ -118,12 +118,16 @@ afeat AS (
   FROM read_parquet('{path}')
 ), imeta AS (
   SELECT clip_id, width, height, hx,
+    -- COALESCE: NULL image bytes make the nb comparisons NULL; ok must
+    -- be FALSE (Python quarantines) or 'NOT im.ok' in the quality rules
+    -- silently skips the image_decode reason tag
+    COALESCE(
     CASE WHEN width IS NULL OR height IS NULL OR width <= 0 OR height <= 0 THEN FALSE
          WHEN img_fmt = 'ppm' THEN
            nb = length(hdr) + width * height * 3
            AND substring(hx, 1, 2 * length(hdr)) = hex(encode(hdr))
          WHEN img_fmt = 'rgb8_raw' THEN nb = width * height * 3
-         ELSE FALSE END AS ok,
+         ELSE FALSE END, FALSE) AS ok,
     CASE WHEN img_fmt = 'ppm' THEN length(hdr) ELSE 0 END AS off
   FROM iraw
 ), itoks AS (

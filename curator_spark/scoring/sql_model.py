@@ -28,6 +28,16 @@ from ..synth import textgen
 from . import langid as _langid
 from . import lm as _lm
 
+_L = textgen.LANGS  # SQL literals derive from the ONE language tuple
+
+
+def _prior_fallback() -> str:
+    """Empty/NULL-text fallback language — the SAME argmax(log_prior) the
+    Python side takes (langid.score_text), derived rather than hardcoded
+    so reordering LANG_PROBS cannot desync the engines on exactly the
+    hard-to-localize empty-document rows."""
+    return textgen.LANGS[int(np.argmax(textgen.LANG_PROBS))]
+
 _BOS = "<s>"
 
 
@@ -174,9 +184,9 @@ def _langid_ctes() -> str:
 ), pred AS (
   SELECT d.doc_id,
     COALESCE(CASE WHEN s.a0 IS NULL THEN NULL
-                  WHEN s.a0 >= s.a1 AND s.a0 >= s.a2 THEN 'avelian'
-                  WHEN s.a1 >= s.a2 THEN 'brontic'
-                  ELSE 'cyrric' END, 'avelian') AS pred_lang,
+                  WHEN s.a0 >= s.a1 AND s.a0 >= s.a2 THEN '{_L[0]}'
+                  WHEN s.a1 >= s.a2 THEN '{_L[1]}'
+                  ELSE '{_L[2]}' END, '{_prior_fallback()}') AS pred_lang,
     COALESCE(round(greatest(s.e0, s.e1, s.e2) / (s.e0 + s.e1 + s.e2), 6), 0.0) AS lang_conf
   FROM documents d LEFT JOIN soft s USING (doc_id)
 )"""

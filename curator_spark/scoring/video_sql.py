@@ -63,12 +63,15 @@ def video_frame_features_sql(path: str, sample_every: int = 2) -> str:
   FROM read_parquet('{path}')
 ), meta AS (
   SELECT video_id, fmt, width, height, n_frames, hx,
+    -- COALESCE: NULL data makes the nb comparison NULL; ok must be
+    -- FALSE (Python quarantines on a null payload), never NULL
+    COALESCE(
     CASE WHEN width IS NULL OR height IS NULL OR width <= 0 OR height <= 0
               OR n_frames IS NULL OR n_frames <= 0 THEN FALSE
          WHEN fmt = 'gray8_seq' THEN
            nb = length(hdr) + width * height * n_frames
            AND substring(hx, 1, 2 * length(hdr)) = hex(encode(hdr))
-         ELSE FALSE END AS ok,
+         ELSE FALSE END, FALSE) AS ok,
     length(hdr) AS off,
     width * height AS npx
   FROM raw
@@ -145,12 +148,15 @@ def _vhash_ctes(path: str) -> str:
   FROM read_parquet('{path}')
 ), meta AS (
   SELECT video_id, fmt, width, height, n_frames, hx,
+    -- COALESCE: NULL data makes the nb comparison NULL; ok must be
+    -- FALSE (Python quarantines on a null payload), never NULL
+    COALESCE(
     CASE WHEN width IS NULL OR height IS NULL OR width <= 0 OR height <= 0
               OR n_frames IS NULL OR n_frames <= 0 THEN FALSE
          WHEN fmt = 'gray8_seq' THEN
            nb = length(hdr) + width * height * n_frames
            AND substring(hx, 1, 2 * length(hdr)) = hex(encode(hdr))
-         ELSE FALSE END AS ok,
+         ELSE FALSE END, FALSE) AS ok,
     length(hdr) AS off,
     width * height AS npx
   FROM raw

@@ -345,3 +345,16 @@ def test_vector_map_retries_means_retries(spark):
     markers = os.listdir(marker_dir)
     assert len(markers) == 1
     assert os.path.getsize(os.path.join(marker_dir, markers[0])) == 2
+
+
+def test_ingest_dicts_with_missing_keys_keep_integer_types(spark):
+    """List-of-dicts ingest with non-uniform keys: the missing value must
+    arrive as a NULL, not drag the whole column to double via pandas
+    NaN-fill (id=1 must not round-trip as 1.0/DoubleType — a later join
+    against a long doc_id would silently cast)."""
+    from curator_spark import ingest
+
+    df = ingest.to_dataframe(spark, [{"id": 1, "x": "a"}, {"x": "b"}])
+    assert dict(df.dtypes)["id"] == "bigint"
+    rows = {r["x"]: r["id"] for r in df.collect()}
+    assert rows == {"a": 1, "b": None}

@@ -780,3 +780,39 @@ def test_require_utc_guard(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
     relational.events_funnel(spark, SF_DIR)  # restored zone works again
+
+
+def test_quota_sample_null_lang_is_a_group_not_poison(spark):
+    """A NULL lang is a legitimate group key: under three-valued logic a
+    plain == / isin comparison against it evaluates to NULL, which
+    (before the eqNullSafe/coalesce guards) silently dropped EVERY row —
+    including all healthy languages — whenever a NULL-lang group hit the
+    shortfall fallback."""
+    import hashlib
+
+    import pandas as pd
+
+    from curator_spark.ops.text import _quota_sample
+
+    quota = 5
+    # adversarial NULL-lang docs: all hash above the 8x cutoff, forcing
+    # the NULL group through the shortfall fallback
+    cut = f"{min(0xFFFFFFFF, int(min(1.0, 8.0 * quota / 200) * 0x100000000)):08x}"
+    ids, i = [], 0
+    while len(ids) < 200:
+        if hashlib.md5(str(i).encode()).hexdigest()[:8] >= cut:
+            ids.append(i)
+        i += 1
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ids + list(range(10_000, 10_400)),
+            "lang": pd.array([None] * 200 + ["ok"] * 400, dtype="string"),
+        }
+    )
+    out = _quota_sample(spark.createDataFrame(pdf), quota).collect()
+    null_rows = [r for r in out if r["lang"] is None]
+    ok_rows = [r for r in out if r["lang"] == "ok"]
+    assert len(null_rows) == quota  # the NULL group samples its quota
+    assert len(ok_rows) == quota    # ...and does not erase the others
+    want = sorted(ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))[:quota]
+    assert sorted(r["doc_id"] for r in null_rows) == sorted(want)

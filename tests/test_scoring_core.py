@@ -564,3 +564,68 @@ def test_level_stats_physics():
     assert silent["rms"] == 0.0 and silent["peak"] == 0.0 and silent["crest_db"] is None
     empty = audio.level_stats(np.array([]), sr)
     assert empty == {"dc_offset": None, "rms": None, "peak": None, "crest_db": None}
+
+
+def test_audio_oracle_null_and_empty_payload_parity(spark, tmp_path):
+    """The SQL decode oracle must agree with the Python stage on the
+    degenerate payloads the fixtures never emit: a NULL bytes column
+    (any codec) is ok=FALSE (Python raises on bytes(None) and
+    quarantines — a NULL comparison leaking into ok would desync
+    decode_ok), and an EMPTY ulaw payload decodes ok with the
+    zero-sample feature constants (-120 / 1.0 / 0.0)."""
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+
+    from curator_spark import stages
+    from curator_spark.scoring import audio_sql
+    from curator_spark.synth import clips
+
+    base = clips.clips_pandas(4)
+    rows = base.iloc[:2].copy()
+    extra = pd.DataFrame(
+        {
+            "clip_id": ["z_empty_ulaw", "z_null_pcm", "z_null_ulaw"],
+            "bytes": [b"", None, None],
+            "sr_hz": [8000, 16000, 8000],
+            "dur_ms": [0, 1000, 1000],
+            "codec": ["ulaw", "pcm_s16le", "ulaw"],
+            "transcript": ["", "", ""],
+        }
+    )
+    pdf = pd.concat([rows, extra], ignore_index=True)
+    path = str(tmp_path / "degen.parquet")
+    pdf.to_parquet(path)
+
+    got_sql = (
+        duckdb.connect()
+        .execute(audio_sql.audio_decode_features_sql(path))
+        .df()
+        .set_index("clip_id")
+    )
+    sdf = spark.createDataFrame(
+        pdf,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string",
+    )
+    got_spark = {
+        r["clip_id"]: r for r in stages.decode_stage(sdf).collect()
+    }
+    assert set(got_sql.index) == set(got_spark)
+    for cid, srow in got_spark.items():
+        qrow = got_sql.loc[cid]
+        assert bool(qrow["decode_ok"]) == bool(srow["decode_ok"]), cid
+        # tolerance, not equality-after-round: the SQL side is already
+        # rounded half-up while the raw stage output is not, and Python's
+        # round() banker's-rounds — the gate itself rounds BOTH sides
+        # with the same half-up pair (F.round / duckdb round)
+        for col in ("silence_ratio", "clip_ratio"):
+            assert abs(float(qrow[col]) - float(srow[col])) <= 1.01e-6, (cid, col)
+        # Spark's quarantine NaN surfaces as NULL after the Arrow
+        # boundary; DuckDB keeps it a literal NaN — both mean "no value"
+        a = float(qrow["rms_db"]) if qrow["rms_db"] is not None else float("nan")
+        b = float(srow["rms_db"]) if srow["rms_db"] is not None else float("nan")
+        assert (a != a and b != b) or abs(a - b) <= 1.01e-6, cid
+    assert not got_spark["z_null_pcm"]["decode_ok"]
+    assert not got_spark["z_null_ulaw"]["decode_ok"]
+    assert got_spark["z_empty_ulaw"]["decode_ok"]
+    assert got_spark["z_empty_ulaw"]["rms_db"] == -120.0
