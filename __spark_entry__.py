@@ -423,7 +423,7 @@ SELECT doc_id, lang, rk,
        ELSE 'train' END AS split
 FROM (
   SELECT doc_id, lang, rk,
-    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+    CAST(('0x' || substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       / 4294967296.0 AS frac
   FROM ranked WHERE rk <= 40
 ) ORDER BY lang, rk
@@ -1425,7 +1425,9 @@ SELECT doc_id, lang, sample_key, rk FROM (
 ) WHERE rk <= 40 ORDER BY lang, rk
 """,
         # dataset_split: md5-prefix fraction (exact: x/2^32 is a dyadic
-        # division, identical in IEEE double on both engines)
+        # division, identical in IEEE double on both engines); the hash is
+        # domain-separated ('split|' || id) so it is independent of the
+        # bare-md5 sample_key lang_quota_sample ranks by
         "dataset_split": """
 SELECT doc_id, lang,
   CASE WHEN frac < 0.1 THEN 'test'
@@ -1433,7 +1435,7 @@ SELECT doc_id, lang,
        ELSE 'train' END AS split
 FROM (
   SELECT doc_id, lang,
-    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+    CAST(('0x' || substring(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       / 4294967296.0 AS frac
   FROM documents
 ) ORDER BY doc_id

@@ -208,6 +208,10 @@ def events_spike_detection(
     from pyspark.sql import Window as W
 
     ev = load(spark, sf_dir, "events")
+    _require_utc(
+        spark, "events_spike_detection",
+        "hour bucketing is only oracle-stable under UTC",
+    )
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
         F.count("*").alias("n")
     )
@@ -438,7 +442,9 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     two sides, union, and run ONE window pass partitioned by ``user_id``
     ordered by ``(ts, is_right DESC)`` — a right row at the exact left
     timestamp sorts first, giving inclusive (<=) semantics — with
-    ``last(value, ignorenulls)`` carrying the latest purchase forward.
+    ``last(struct(ts, value), ignorenulls)`` carrying the latest purchase
+    ROW forward (one struct, so a NULL-valued newest purchase yields NULL
+    value + its own timestamp, never a mix of two purchases).
     ONE shuffle total; at 10^12 rows this is the textbook plan (both
     sides co-partition on the same key; a sort-merge range join or a
     per-left-row subquery would be quadratic in the hot keys). Hot-user
@@ -493,13 +499,18 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", F.desc("is_right"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    pts = F.when(F.col("is_right") == 1, F.col("ts"))
+    # Carry (ts, pval) as ONE struct so both fields come from the SAME
+    # matched purchase row: last(pval, ignorenulls) alone would skip a
+    # newest purchase whose value is NULL and pair an older value with the
+    # newer timestamp — DuckDB's ASOF JOIN returns the matched row's NULL.
+    prow = F.when(F.col("is_right") == 1, F.struct("ts", "pval"))
     micros = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
         F.col("last_purchase_ts").cast("timestamp")
     )
     return (
-        tagged.withColumn("last_purchase_value", F.last("pval", ignorenulls=True).over(w))
-        .withColumn("last_purchase_ts", F.last(pts, ignorenulls=True).over(w))
+        tagged.withColumn("lp", F.last(prow, ignorenulls=True).over(w))
+        .withColumn("last_purchase_value", F.col("lp")["pval"])
+        .withColumn("last_purchase_ts", F.col("lp")["ts"])
         .filter(F.col("is_right") == 0)
         .select(
             "event_id",
@@ -687,17 +698,22 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def first_at_or_after(typ: str, lower):
+        # try_element_at, not element_at: under Spark 4's default ANSI mode
+        # element_at(empty, 1) THROWS, and "no later event of this type" is
+        # the normal drop-off case a funnel exists to count — it must yield
+        # NULL, not kill the job.
         hit = F.filter(
             F.col("evs"),
             lambda x: (x["event_type"] == F.lit(typ)) & (x["ts"] >= lower),
         )
-        return F.element_at(hit, 1)["ts"]
+        return F.try_element_at(hit, F.lit(1))["ts"]
 
     staged = (
         per_user.withColumn(
             "t1",
-            F.element_at(
-                F.filter(F.col("evs"), lambda x: x["event_type"] == F.lit("signup")), 1
+            F.try_element_at(
+                F.filter(F.col("evs"), lambda x: x["event_type"] == F.lit("signup")),
+                F.lit(1),
             )["ts"],
         )
         .withColumn("t2", first_at_or_after("click", F.col("t1")))

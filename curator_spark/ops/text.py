@@ -268,13 +268,28 @@ def bigram_self_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: the perplexity score feeding the keep/drop rules
     (SURVEY.md §2.7 math; scoring/lm.py is the fixed-weight twin)."""
+    from pyspark import StorageLevel
+
+    from . import register_transient_persist
+
     docs = load(spark, sf_dir, "documents")
-    words = _words()
-    toks = docs.select("doc_id", F.explode(words).alias("w"))
+    # ONE corpus scan + word split, persisted: four consumers (unigram
+    # counts, V, the bigram explode, and the per-doc base) would
+    # otherwise each re-derive scan→split→explode — Catalyst cannot
+    # ReuseExchange the differently-shaped subtrees. persist (not
+    # localCheckpoint) stays recomputable on executor loss; freed by
+    # clear_session_cache like tfidf's tf.
+    ws_arr = _words()
+    ws = docs.select("doc_id", ws_arr.alias("ws")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    register_transient_persist(spark, ws)
+    wcol = F.col("ws")
+    toks = ws.select("doc_id", F.explode("ws").alias("w"))
     uni = toks.groupBy("w").agg(F.count("*").alias("cu"))
-    v = uni.count()  # vocabulary size: one scalar, bounded
-    npairs = F.greatest(F.size(words) - 1, F.lit(0))
-    bigr = docs.select(
+    v = uni.count()  # vocabulary size: one scalar, bounded (materializes ws)
+    npairs = F.greatest(F.size(wcol) - 1, F.lit(0))
+    bigr = ws.select(
         "doc_id",
         npairs.alias("n_bigrams"),
         F.explode_outer(
@@ -283,8 +298,8 @@ def bigram_self_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(
                     F.sequence(F.lit(0), npairs - 1),
                     lambda i: F.struct(
-                        F.element_at(words, i + 1).alias("a"),
-                        F.concat_ws(" ", F.slice(words, i + 1, 2)).alias("pair"),
+                        F.element_at(wcol, i + 1).alias("a"),
+                        F.concat_ws(" ", F.slice(wcol, i + 1, 2)).alias("pair"),
                     ),
                 ),
             ).otherwise(F.array().cast("array<struct<a:string,pair:string>>"))
@@ -300,7 +315,7 @@ def bigram_self_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     per_doc = scored.groupBy("doc_id").agg(F.sum("term").alias("logsum"))
-    base = docs.select("doc_id", npairs.cast("int").alias("n_bigrams"))
+    base = ws.select("doc_id", npairs.cast("int").alias("n_bigrams"))
     h = -F.col("logsum").cast("double") / F.col("n_bigrams")
     return (
         base.join(per_doc, "doc_id", "left")
@@ -469,11 +484,22 @@ def _split_expr(val_frac: float, test_frac: float, id_col: str = "doc_id"):
     """The pure-codegen split assignment column (md5 prefix of ``id_col``
     as a uniform dyadic fraction — exact IEEE double on both engines).
     Shared by dataset_split, curation_final_selection, and the hub-style
-    publisher (export.publish_dataset splits on clip_id)."""
+    publisher (export.publish_dataset splits on clip_id).
+
+    The hash is DOMAIN-SEPARATED (``'split|' || id``): lang_quota_sample
+    ranks docs by the bare ``md5(id)``, so an unsalted split over its
+    output would be perfectly correlated with selection — the ~quota
+    smallest hashes per language all land below the test/val cutoffs and
+    'train' starves (observed: 0 train rows at quota≪corpus). Salting
+    makes split ⫫ selection while staying a pure function of the id."""
     frac = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
-            "double"
-        )
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
         / F.lit(float(0x100000000))
     )
     return (

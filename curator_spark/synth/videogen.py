@@ -53,13 +53,22 @@ NEAR_DUP_ID_OFFSET = 1_000_000  # planted twin of video i gets id i + OFFSET
 NEAR_DUP_DELTA = 6  # brightness shift of the re-encoded twin
 
 
+def _is_codec_stub(video_id: int) -> bool:
+    """External-codec stub cadence (≙ mmrows.AUDIO_STUB_MOD). ONE
+    definition: make_video quarantines these ids AND near_dup_video skips
+    them — if the predicates drifted apart, quarantined base rows would
+    get planted twins (pairless singletons corrupting the dedup
+    fixture)."""
+    return video_id % 9 == 5
+
+
 def near_dup_video(video_id: int, delta: int = NEAR_DUP_DELTA) -> dict | None:
     """A brightness-shifted re-encode of video ``video_id`` — same
     recording, new exposure/encoder pass: byte-different, slice-block
     luminance shape identical. Returns ``None`` for external-codec stub
     ids (their base row is quarantined, so a planted twin would be a
     pairless singleton — the fixture skips them by design)."""
-    if video_id % 9 == 5:
+    if _is_codec_stub(video_id):
         return None
     frames = make_frames(video_id).astype(np.int64)
     frames = np.clip(frames + delta, 0, 255).astype(np.uint8)
@@ -79,7 +88,7 @@ def make_video(video_id: int) -> dict:
     """One synthetic row: id, format, dims, frame count, encoded bytes."""
     frames = make_frames(video_id)
     n, h, w = frames.shape
-    if video_id % 9 == 5:  # external-codec stub → quarantine path
+    if _is_codec_stub(video_id):  # external-codec stub → quarantine path
         rng = _rng(video_id)
         blob, fmt = b"\x00\x00\x00\x01" + rng.bytes(64), "h264"
     else:

@@ -816,3 +816,92 @@ def test_quota_sample_null_lang_is_a_group_not_poison(spark):
     assert len(ok_rows) == quota    # ...and does not erase the others
     want = sorted(ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))[:quota]
     assert sorted(r["doc_id"] for r in null_rows) == sorted(want)
+
+
+def _write_events_fixture(spark, tmp_path, rows):
+    """Write a tiny events.parquet shaped like the testdata table and
+    return the sf_dir the ops load from."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/events.parquet"
+    )
+    return sf_dir
+
+
+def test_events_funnel_incomplete_dropoff(spark, tmp_path):
+    """Mid-funnel drop-off must COUNT as drop-off, not crash: under
+    Spark 4's default ANSI mode element_at(empty, 1) throws, so a user
+    with no later click/purchase used to kill the whole query. (Both sf
+    fixtures coincidentally convert 100%, hence this dedicated case.)"""
+    from curator_spark.ops import relational
+
+    rows = [
+        # user 1: full funnel
+        (1, "2024-01-01 10:00:00", 1, "signup", 1.0, "{}"),
+        (2, "2024-01-01 11:00:00", 1, "click", None, "{}"),
+        (3, "2024-01-01 12:00:00", 1, "purchase", 9.0, "{}"),
+        # user 2: signup only — the ANSI crash case
+        (4, "2024-01-01 10:30:00", 2, "signup", 1.0, "{}"),
+        # user 3: signup + click, no purchase
+        (5, "2024-01-02 09:00:00", 3, "signup", 1.0, "{}"),
+        (6, "2024-01-02 09:05:00", 3, "click", None, "{}"),
+        # user 4: click BEFORE signup only — ordered funnel must not count it
+        (7, "2024-01-02 08:00:00", 4, "click", None, "{}"),
+        (8, "2024-01-02 09:30:00", 4, "signup", 1.0, "{}"),
+        # user 5: never signs up — excluded from every cohort
+        (9, "2024-01-01 10:00:00", 5, "purchase", 3.0, "{}"),
+    ]
+    sf_dir = _write_events_fixture(spark, tmp_path, rows)
+    df = (
+        relational.events_funnel(spark, sf_dir)
+        .toPandas()
+        .set_index("cohort_day")
+    )
+    d1, d2 = df.loc["2024-01-01"], df.loc["2024-01-02"]
+    assert (d1["n_signup"], d1["n_click"], d1["n_purchase"]) == (2, 1, 1)
+    assert (d2["n_signup"], d2["n_click"], d2["n_purchase"]) == (2, 1, 0)
+    assert d2["purchase_rate"] == 0.0
+
+
+def test_events_asof_join_null_value_purchase(spark, tmp_path):
+    """The matched (most recent) purchase must supply BOTH the value and
+    the timestamp — a newest purchase with NULL value yields NULL
+    last_purchase_value with ITS OWN lag, never an older purchase's value
+    paired with the newer timestamp (DuckDB's ASOF JOIN semantics)."""
+    from curator_spark.ops import relational
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "purchase", 5.0, "{}"),
+        (2, "2024-01-01 11:00:00", 1, "purchase", None, "{}"),
+        (3, "2024-01-01 12:00:00", 1, "click", 0.5, "{}"),
+        # user 2: click with no prior purchase at all
+        (4, "2024-01-01 12:00:00", 2, "click", 0.5, "{}"),
+    ]
+    sf_dir = _write_events_fixture(spark, tmp_path, rows)
+    out = {
+        r["event_id"]: r
+        for r in relational.events_asof_join(spark, sf_dir).collect()
+    }
+    r3 = out[3]
+    assert r3["last_purchase_value"] is None  # matched row's NULL, not 5.0
+    assert r3["asof_lag_us"] == 3_600_000_000  # lag to 11:00, not 10:00
+    r4 = out[4]
+    assert r4["last_purchase_value"] is None and r4["asof_lag_us"] is None
+
+
+def test_curation_split_independent_of_selection(spark):
+    """The train/val/test hash is domain-separated from the quota-sample
+    ranking key: unsalted, the selected (smallest-md5) docs all landed
+    below the test/val cutoffs and 'train' starved to zero."""
+    from curator_spark.ops import text
+
+    sel = text.curation_final_selection(spark, SF_DIR).toPandas()
+    counts = sel["split"].value_counts()
+    assert counts.get("train", 0) > 0.5 * len(sel)
+    assert set(counts.index) <= {"train", "val", "test"}
