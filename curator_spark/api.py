@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import hashlib
 import inspect
+import re
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 
@@ -52,7 +53,7 @@ def fingerprint_fn(*fns: Callable) -> str:
         try:
             h.update(inspect.getsource(fn).encode())
         except (OSError, TypeError):  # builtins / lambdas from REPL
-            h.update(repr(fn).encode())
+            h.update(_stable_repr(fn).encode())
     return h.hexdigest()
 
 
@@ -83,8 +84,21 @@ def _closure_repr_at(fn: Callable, depth: int) -> str:
             # which _exec captures) — source alone would miss them
             parts.append((name, fingerprint_fn(v), _closure_repr_at(v, depth + 1)))
         else:
-            parts.append((name, repr(v)))
+            parts.append((name, _stable_repr(v)))
     return repr(parts)
+
+
+_ADDR_RE = re.compile(r" at 0x[0-9a-fA-F]+")
+
+
+def _stable_repr(v) -> str:
+    """repr with per-process memory addresses stripped: a captured object
+    with the default ``<Foo object at 0x7f..>`` repr (a handle, a
+    dataclass-less config object) would otherwise change the stage
+    fingerprint EVERY process — cache/resume would never hit again.
+    Coarser identity is safe: two instances of such a type were already
+    indistinguishable by repr within one process."""
+    return _ADDR_RE.sub(" at 0x", repr(v))
 
 
 @dataclass(frozen=True)

@@ -207,14 +207,20 @@ def publish_dataset(
         ).count() if n else 0
     shutil.rmtree(tmp, ignore_errors=True)
 
+    sums_path = os.path.join(repo_dir, "SHA256SUMS")
     if checksums:
-        with open(os.path.join(repo_dir, "SHA256SUMS"), "w") as fh:
+        with open(sums_path, "w") as fh:
             for shard in shards:
                 h = hashlib.sha256()
                 with open(os.path.join(data_dir, shard), "rb") as sf:
                     for chunk in iter(lambda: sf.read(1 << 20), b""):
                         h.update(chunk)
                 fh.write(f"{h.hexdigest()}  data/{shard}\n")
+    elif os.path.exists(sums_path):
+        # re-publish with checksums=False: a SURVIVING manifest from a
+        # previous publish would describe shards that no longer exist —
+        # an integrity file actively lying about the dataset. Remove it.
+        os.remove(sums_path)
 
     fp = fingerprint or pipe.last_fingerprint
     info = {
@@ -245,8 +251,11 @@ md5(clip_id) split assignment (test < {test_frac} <= val < {test_frac + val_frac
 | split | rows |
 |---|---|
 {split_lines}
-
-Shard integrity: `sha256sum -c SHA256SUMS` (from this directory).
 """
         )
+        if checksums:  # only advertise a manifest that actually exists
+            fh.write(
+                "\nShard integrity: `sha256sum -c SHA256SUMS` "
+                "(from this directory).\n"
+            )
     return info

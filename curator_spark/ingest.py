@@ -37,7 +37,14 @@ def _read_path(spark: SparkSession, path: str, schema=None) -> DataFrame:
         reader = spark.read.schema(schema) if schema is not None else spark.read
         return reader.json(path)
     if name.endswith(".csv"):
-        reader = spark.read.option("header", True)
+        # same RFC-4180 options the export side writes with (export.py):
+        # doubled-quote escaping + multiLine, so a transcript containing
+        # '\n' or '"' round-trips instead of splitting into garbage rows
+        reader = (
+            spark.read.option("header", True)
+            .option("escape", '"')
+            .option("multiLine", True)
+        )
         if schema is not None:
             reader = reader.schema(schema)
         else:
@@ -81,7 +88,28 @@ def to_dataframe(
             for k in d:
                 if k not in keys:
                     keys.append(k)
-        return spark.createDataFrame(
-            [tuple(d.get(k) for k in keys) for d in rows], schema=keys
+        # a key that is None in EVERY row gives inference no evidence at
+        # all and createDataFrame hard-crashes ("Some of types cannot be
+        # determined"); default those columns to string (an always-empty
+        # optional field is a normal row shape) and infer the rest
+        dead = [k for k in keys if all(d.get(k) is None for d in rows)]
+        if not dead:
+            return spark.createDataFrame(
+                [tuple(d.get(k) for k in keys) for d in rows], schema=keys
+            )
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        live = [k for k in keys if k not in dead]
+        if not live:
+            return spark.createDataFrame(
+                [tuple(None for _ in keys) for _ in rows],
+                StructType([StructField(k, StringType()) for k in keys]),
+            )
+        out = spark.createDataFrame(
+            [tuple(d.get(k) for k in live) for d in rows], schema=live
         )
+        for k in dead:
+            out = out.withColumn(k, F.lit(None).cast("string"))
+        return out.select(*keys)
     return spark.createDataFrame(pd.DataFrame({column: rows}))

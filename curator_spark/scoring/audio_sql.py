@@ -115,7 +115,11 @@ def _samples_cte(path: str) -> str:
     -- comparisons against a NULL hx would otherwise leak NULL into ok
     -- and desync decode_ok between the engines
     COALESCE(
-    CASE WHEN codec = 'ulaw' THEN hx IS NOT NULL
+    -- sr_hz IS NOT NULL: every Spark audio kernel coerces int(sr_hz)
+    -- inside its quarantine try, so a NULL sample rate is decode_ok=false
+    -- on that side regardless of payload health (the pcm branch already
+    -- gets this from the header-vs-metadata sr equality going NULL→FALSE)
+    CASE WHEN codec = 'ulaw' THEN sr_hz IS NOT NULL AND hx IS NOT NULL
          WHEN codec = 'pcm_s16le' THEN
            nb >= 44
            AND substring(hx, 1, 8) = '52494646'    -- 'RIFF'
@@ -165,11 +169,17 @@ feat AS (
 SELECT m.clip_id, m.codec,
   -- COALESCE fallbacks are the Python zero-sample constants
   -- (audio.features at n == 0): an ok clip with an EMPTY payload (0
-  -- samples) has no feat row but still decodes successfully
-  CASE WHEN m.ok THEN COALESCE(f.rms_db, -120.0) ELSE CAST('nan' AS DOUBLE) END AS rms_db,
-  CASE WHEN m.ok THEN COALESCE(f.silence_ratio, 1.0) ELSE 1.0 END AS silence_ratio,
-  CASE WHEN m.ok THEN COALESCE(f.clip_ratio, 0.0) ELSE 1.0 END AS clip_ratio,
-  m.ok AS decode_ok
+  -- samples) has no feat row but still decodes successfully.
+  -- dur_ms IS NOT NULL: the features kernel coerces int(dur_ms) inside
+  -- its quarantine try (decode_features / decode_stage), so NULL dur is
+  -- decode_ok=false for THIS op even when the payload decodes
+  CASE WHEN m.ok AND m.dur_ms IS NOT NULL
+       THEN COALESCE(f.rms_db, -120.0) ELSE CAST('nan' AS DOUBLE) END AS rms_db,
+  CASE WHEN m.ok AND m.dur_ms IS NOT NULL
+       THEN COALESCE(f.silence_ratio, 1.0) ELSE 1.0 END AS silence_ratio,
+  CASE WHEN m.ok AND m.dur_ms IS NOT NULL
+       THEN COALESCE(f.clip_ratio, 0.0) ELSE 1.0 END AS clip_ratio,
+  (m.ok AND m.dur_ms IS NOT NULL) AS decode_ok
 FROM meta m LEFT JOIN feat f USING (clip_id)
 ORDER BY m.clip_id
 """
@@ -195,8 +205,10 @@ feat AS (
   FROM sampx s JOIN gains g USING (clip_id) GROUP BY s.clip_id
 )
 SELECT m.clip_id,
-  CASE WHEN m.ok THEN round(g.rms_db, 6) END AS rms_db,
-  CASE WHEN m.ok THEN round(g.gain_db, 6) END AS gain_db,
+  -- COALESCE fallbacks = audio.loudness() at n == 0 (an ok clip with an
+  -- EMPTY payload has no feat/gains row but still decodes successfully)
+  CASE WHEN m.ok THEN round(COALESCE(g.rms_db, -120.0), 6) END AS rms_db,
+  CASE WHEN m.ok THEN round(COALESCE(g.gain_db, {target_db!r} + 120.0), 6) END AS gain_db,
   CASE WHEN m.ok THEN round(COALESCE(p.pr, 0.0), 6) END AS post_gain_clip_ratio,
   m.ok AS decode_ok
 FROM meta m
@@ -658,7 +670,17 @@ feat0 AS (
   FROM sampx GROUP BY clip_id
 ),
 okf AS (
-  SELECT f.* FROM feat0 f JOIN meta m USING (clip_id) WHERE m.ok
+  -- LEFT join + zero-sample constants (audio.features at n == 0): an ok
+  -- clip with an EMPTY payload has no feat0 row but the Spark op still
+  -- includes it in the corpus moments — an inner join would both drop
+  -- its output row AND skew every clip's z-score. dur_ms IS NOT NULL
+  -- mirrors decode_stage's int(dur_ms) quarantine.
+  SELECT m.clip_id,
+    COALESCE(f.rms_db, -120.0) AS rms_db,
+    COALESCE(f.silence_ratio, 1.0) AS silence_ratio,
+    COALESCE(f.clip_ratio, 0.0) AS clip_ratio
+  FROM meta m LEFT JOIN feat0 f USING (clip_id)
+  WHERE m.ok AND m.dur_ms IS NOT NULL
 ),
 mo AS (
   SELECT COUNT(*) AS n, {moments} FROM okf
@@ -678,15 +700,19 @@ def window_decode_features_sql(
     (ops/multimodal.py:window_decode_stage)."""
     return f"""WITH {_samples_cte(path)},
 wins AS (
+  -- COALESCE(dur_ms, 0): the Spark stage maps NULL dur_ms to ONE
+  -- zero-length (0,0,0) window (window_decode_stage) — dur=0 reproduces
+  -- that exactly, while raw NULL would leak through LEAST/GREATEST
+  -- (which IGNORE NULLs in DuckDB) as a fabricated 0-500ms live window
   SELECT m.clip_id, m.sr_hz, m.ok, m.n, CAST(k AS INT) AS win_idx,
     CAST(k * {window_ms} AS INT) AS start_ms,
-    CAST(LEAST(k * {window_ms} + {window_ms}, m.dur_ms) AS INT) AS end_ms,
-    GREATEST(1, CAST(m.dur_ms // {window_ms}
-      + CASE WHEN m.dur_ms - (m.dur_ms // {window_ms}) * {window_ms} >= {min_tail_ms}
+    CAST(LEAST(k * {window_ms} + {window_ms}, COALESCE(m.dur_ms, 0)) AS INT) AS end_ms,
+    GREATEST(1, CAST(COALESCE(m.dur_ms, 0) // {window_ms}
+      + CASE WHEN COALESCE(m.dur_ms, 0) - (COALESCE(m.dur_ms, 0) // {window_ms}) * {window_ms} >= {min_tail_ms}
              THEN 1 ELSE 0 END AS INT)) AS n_windows
   FROM meta m, LATERAL (SELECT unnest(range(0,
-    GREATEST(1, CAST(m.dur_ms // {window_ms}
-      + CASE WHEN m.dur_ms - (m.dur_ms // {window_ms}) * {window_ms} >= {min_tail_ms}
+    GREATEST(1, CAST(COALESCE(m.dur_ms, 0) // {window_ms}
+      + CASE WHEN COALESCE(m.dur_ms, 0) - (COALESCE(m.dur_ms, 0) // {window_ms}) * {window_ms} >= {min_tail_ms}
              THEN 1 ELSE 0 END AS BIGINT)))) AS k) ks
 ), seg AS (
   SELECT w.clip_id, w.win_idx,

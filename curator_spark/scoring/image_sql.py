@@ -205,12 +205,18 @@ def _ahash_ctes() -> str:
     CAST(SUM(bit * (1 << CAST(block % 16 AS INT))) AS INT) AS key
   FROM bits GROUP BY image_id, CAST(block // 16 AS INT)
 ), fp AS (
-  SELECT image_id,
-    MAX(CASE WHEN band = 0 THEN key END) AS b0,
-    MAX(CASE WHEN band = 1 THEN key END) AS b1,
-    MAX(CASE WHEN band = 2 THEN key END) AS b2,
-    MAX(CASE WHEN band = 3 THEN key END) AS b3
-  FROM blocks GROUP BY image_id
+  -- dense over ok ids with COALESCE(.., 0): a band whose 16 grid rows
+  -- are ALL empty (height < 8 leaves 8x8 rows unused) has no blocks
+  -- row, but the Python packer emits 0 for it — NULL would poison
+  -- xor/hamming and drop band-key matches (same fix as the audio
+  -- fingerprint's dense grid CTE)
+  SELECT m.image_id,
+    COALESCE(MAX(CASE WHEN band = 0 THEN key END), 0) AS b0,
+    COALESCE(MAX(CASE WHEN band = 1 THEN key END), 0) AS b1,
+    COALESCE(MAX(CASE WHEN band = 2 THEN key END), 0) AS b2,
+    COALESCE(MAX(CASE WHEN band = 3 THEN key END), 0) AS b3
+  FROM meta m LEFT JOIN blocks USING (image_id)
+  WHERE m.ok GROUP BY m.image_id
 ), mus AS (
   SELECT image_id, (CAST(ts AS DOUBLE) / npx) / 1000.0 AS mean_lum FROM tot
 )"""
@@ -243,9 +249,17 @@ fpv AS (
   SELECT m.image_id, m.width, m.height, mu.mean_lum, f.b0, f.b1, f.b2, f.b3
   FROM meta m JOIN fp f USING (image_id) JOIN mus mu USING (image_id)
   WHERE m.ok
+), bands AS (
+  -- candidates from the DENSE fingerprint (not sparse blocks): two
+  -- images sharing an all-empty band must still band-match on key 0,
+  -- exactly as the Spark op's pigeonhole join over [b0..b3] does
+  SELECT image_id, 0 AS band, b0 AS key FROM fp
+  UNION ALL SELECT image_id, 1, b1 FROM fp
+  UNION ALL SELECT image_id, 2, b2 FROM fp
+  UNION ALL SELECT image_id, 3, b3 FROM fp
 ), cand AS (
   SELECT a.image_id AS img_a, b.image_id AS img_b
-  FROM blocks a JOIN blocks b
+  FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.image_id < b.image_id
   GROUP BY 1, 2
 ), pairs AS (

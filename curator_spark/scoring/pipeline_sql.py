@@ -164,11 +164,16 @@ afeat AS (
     COUNT(*) FILTER (WHERE abs(x) > 0.985) / CAST(COUNT(*) AS DOUBLE) AS clip_ratio
   FROM sampx GROUP BY clip_id
 ), audio AS (
-  SELECT m.clip_id, m.dur_ms, m.ok AS decode_ok,
-    CASE WHEN NOT m.ok THEN CAST('nan' AS DOUBLE)
+  -- ok AND dur_ms IS NOT NULL: decode_stage coerces int(dur_ms) inside
+  -- its quarantine try, so NULL dur is decode_ok=false (reason 'decode')
+  -- on the Spark side even when the payload itself decodes
+  SELECT m.clip_id, m.dur_ms, (m.ok AND m.dur_ms IS NOT NULL) AS decode_ok,
+    CASE WHEN NOT (m.ok AND m.dur_ms IS NOT NULL) THEN CAST('nan' AS DOUBLE)
          ELSE COALESCE(f.rms_db, -120.0) END AS rms_db,
-    CASE WHEN NOT m.ok THEN 1.0 ELSE COALESCE(f.silence_ratio, 1.0) END AS silence_ratio,
-    CASE WHEN NOT m.ok THEN 1.0 ELSE COALESCE(f.clip_ratio, 0.0) END AS clip_ratio
+    CASE WHEN NOT (m.ok AND m.dur_ms IS NOT NULL) THEN 1.0
+         ELSE COALESCE(f.silence_ratio, 1.0) END AS silence_ratio,
+    CASE WHEN NOT (m.ok AND m.dur_ms IS NOT NULL) THEN 1.0
+         ELSE COALESCE(f.clip_ratio, 0.0) END AS clip_ratio
   FROM meta m LEFT JOIN afeat f USING (clip_id)
 ), documents AS (
   SELECT clip_id AS doc_id, COALESCE(transcript, '') AS text

@@ -189,12 +189,17 @@ def _vhash_ctes(path: str) -> str:
     CAST(SUM(bit * (1 << CAST(cell % 16 AS INT))) AS INT) AS key
   FROM bits GROUP BY video_id, CAST(cell // 16 AS INT)
 ), fp AS (
-  SELECT video_id,
-    MAX(CASE WHEN band = 0 THEN key END) AS b0,
-    MAX(CASE WHEN band = 1 THEN key END) AS b1,
-    MAX(CASE WHEN band = 2 THEN key END) AS b2,
-    MAX(CASE WHEN band = 3 THEN key END) AS b3
-  FROM blocks GROUP BY video_id
+  -- dense over ok ids with COALESCE(.., 0): a band whose 16 cells are
+  -- ALL empty (e.g. n_frames <= 3 leaves whole time slices unused) has
+  -- no blocks row, but the Python packer emits 0 for it — NULL here
+  -- would poison xor/hamming downstream and drop band-key matches
+  SELECT m.video_id,
+    COALESCE(MAX(CASE WHEN band = 0 THEN key END), 0) AS b0,
+    COALESCE(MAX(CASE WHEN band = 1 THEN key END), 0) AS b1,
+    COALESCE(MAX(CASE WHEN band = 2 THEN key END), 0) AS b2,
+    COALESCE(MAX(CASE WHEN band = 3 THEN key END), 0) AS b3
+  FROM meta m LEFT JOIN blocks USING (video_id)
+  WHERE m.ok GROUP BY m.video_id
 ), mus AS (
   SELECT video_id, CAST(ts AS DOUBLE) / npx AS mean_lum FROM tot
 )"""
@@ -225,9 +230,17 @@ fpv AS (
          f.b0, f.b1, f.b2, f.b3
   FROM meta m JOIN fp f USING (video_id) JOIN mus mu USING (video_id)
   WHERE m.ok
+), bands AS (
+  -- candidates from the DENSE fingerprint (not sparse blocks): two clips
+  -- that share an all-empty band must still band-match on key 0, exactly
+  -- as the Spark op's pigeonhole join over the packed [b0..b3] does
+  SELECT video_id, 0 AS band, b0 AS key FROM fp
+  UNION ALL SELECT video_id, 1, b1 FROM fp
+  UNION ALL SELECT video_id, 2, b2 FROM fp
+  UNION ALL SELECT video_id, 3, b3 FROM fp
 ), cand AS (
   SELECT a.video_id AS vid_a, b.video_id AS vid_b
-  FROM blocks a JOIN blocks b
+  FROM bands a JOIN bands b
     ON a.band = b.band AND a.key = b.key AND a.video_id < b.video_id
   GROUP BY 1, 2
 ), pairs AS (

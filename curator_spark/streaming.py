@@ -163,8 +163,14 @@ def stream_scrub_transcripts(
     src = _file_source(spark, input_dir, max_files_per_trigger)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # drop the RAW transcript before the sink: scrub_detail_stage only
+        # ADDS columns, and writing the unscrubbed text next to its
+        # scrubbed twin would leak the very PII this stream removes (the
+        # batch twin pii_scrub_detail selects it away identically)
         _write_batch_keyed(
-            stages.scrub_detail_stage(batch_df.select("clip_id", "transcript")),
+            stages.scrub_detail_stage(
+                batch_df.select("clip_id", "transcript")
+            ).drop("transcript"),
             output_dir, batch_id,
         )
 

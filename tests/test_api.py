@@ -358,3 +358,56 @@ def test_ingest_dicts_with_missing_keys_keep_integer_types(spark):
     assert dict(df.dtypes)["id"] == "bigint"
     rows = {r["x"]: r["id"] for r in df.collect()}
     assert rows == {"a": 1, "b": None}
+
+
+def test_ingest_dicts_with_all_null_key(spark):
+    """A key that is None in EVERY row (an always-empty optional field)
+    gives Spark's inference no type evidence anywhere — it must default
+    to a NULL string column, not crash createDataFrame."""
+    from curator_spark import ingest
+
+    df = ingest.to_dataframe(spark, [{"id": 1, "note": None}, {"id": 2, "note": None}])
+    assert df.columns == ["id", "note"]
+    assert dict(df.dtypes) == {"id": "bigint", "note": "string"}
+    assert [r["note"] for r in df.orderBy("id").collect()] == [None, None]
+    # degenerate shape: EVERY key all-None
+    df2 = ingest.to_dataframe(spark, [{"a": None}, {"a": None}])
+    assert df2.count() == 2 and dict(df2.dtypes) == {"a": "string"}
+
+
+def test_ingest_csv_roundtrip_embedded_newline(spark, tmp_path):
+    """CSV read-back uses the same RFC-4180 options the export side
+    writes with: a transcript containing '\\n' and '\"' must survive as
+    ONE row, not split into garbage rows."""
+    from curator_spark import ingest
+
+    path = str(tmp_path / "t.csv")
+    df = spark.createDataFrame(
+        [(1, 'line one\nline "two"'), (2, "plain")], ["id", "text"]
+    )
+    df.coalesce(1).write.option("header", True).option("escape", '"').csv(path)
+    back = ingest.to_dataframe(spark, path)
+    rows = {r["id"]: r["text"] for r in back.collect()}
+    assert len(rows) == 2
+    assert rows[1] == 'line one\nline "two"'
+
+
+def test_fingerprint_stable_for_default_repr_captures():
+    """A captured object with the default '<Foo object at 0x..>' repr must
+    NOT leak its per-process address into the stage fingerprint — that
+    would bust cache/resume on every rerun of an identical pipeline."""
+    from curator_spark.api import _closure_repr, fingerprint_fn
+
+    class Handle:  # default repr embeds id(self)
+        pass
+
+    def factory(h):
+        def fn(pdf):
+            return (h, pdf)
+
+        return fn
+
+    a, b = factory(Handle()), factory(Handle())
+    assert repr(a.__closure__[0].cell_contents) != repr(b.__closure__[0].cell_contents)
+    assert _closure_repr(a) == _closure_repr(b)
+    assert fingerprint_fn(a) == fingerprint_fn(b)

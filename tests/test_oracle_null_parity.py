@@ -1,0 +1,163 @@
+"""Spark-stage vs DuckDB-oracle parity on ADVERSARIAL rows the seeded
+fixtures never contain: NULL sr_hz, NULL dur_ms, empty payloads, NULL
+payloads. The gate fixtures are fully healthy, so these input classes are
+exactly where the two engines could silently drift apart — every Spark
+audio kernel quarantines on ``int(sr_hz)`` (and the features path on
+``int(dur_ms)``), and the SQL oracles must reproduce that decode_ok
+boundary plus the zero-sample feature constants."""
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from curator_spark import stages
+from curator_spark.ops import multimodal
+from curator_spark.scoring import audio_sql
+from curator_spark.synth import clips
+
+
+@pytest.fixture(scope="module")
+def adversarial_path(tmp_path_factory):
+    base = clips.clips_pandas(8)
+    pdf = base.copy()
+    # find one decodable payload per codec to clone into poisoned rows
+    ulaw_i = next(i for i in range(len(pdf)) if pdf["codec"][i] == "ulaw")
+    # row poisons (metadata NULLs keep an otherwise-decodable payload so
+    # the quarantine decision is driven by the metadata alone)
+    pdf.loc[2, "codec"] = "ulaw"
+    pdf.loc[2, "bytes"] = pdf["bytes"][ulaw_i]
+    pdf.loc[2, "sr_hz"] = None          # NULL sample rate
+    pdf.loc[3, "dur_ms"] = None         # NULL duration
+    pdf.loc[4, "codec"] = "ulaw"
+    pdf.loc[4, "bytes"] = b""           # EMPTY payload: decodes to 0 samples
+    pdf.loc[5, "bytes"] = None          # NULL payload
+    pdf["sr_hz"] = pdf["sr_hz"].astype("Int32")
+    pdf["dur_ms"] = pdf["dur_ms"].astype("Int32")
+    path = str(tmp_path_factory.mktemp("adv") / "clips.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    return path
+
+
+def _vals_equal(a, b) -> bool:
+    a_null = a is None or (isinstance(a, float) and math.isnan(a))
+    b_null = b is None or (isinstance(b, float) and math.isnan(b))
+    if a_null or b_null:
+        # decode-failure rows: Spark NaN ≙ oracle NaN, Spark None ≙ NULL;
+        # NaN-vs-None is NOT equal (the features path uses NaN, the other
+        # kernels use NULL — the oracle must match each exactly)
+        return (
+            (a is None and b is None)
+            or (a_null and b_null and not (a is None or b is None))
+        )
+    if isinstance(a, float) or isinstance(b, float):
+        return abs(float(a) - float(b)) < 1e-9
+    return a == b
+
+
+def _assert_frames_match(spark_pdf, oracle_pdf, keys):
+    spark_pdf = spark_pdf.sort_values(keys).reset_index(drop=True)
+    oracle_pdf = oracle_pdf.sort_values(keys).reset_index(drop=True)
+    assert list(spark_pdf.columns) == list(oracle_pdf.columns)
+    assert len(spark_pdf) == len(oracle_pdf)
+    for col in spark_pdf.columns:
+        for i in range(len(spark_pdf)):
+            a = spark_pdf[col][i]
+            b = oracle_pdf[col][i]
+            a = a.item() if hasattr(a, "item") else a
+            b = b.item() if hasattr(b, "item") else b
+            a = None if a is pd.NA or (isinstance(a, float) and pd.isna(a) and col.endswith("ok")) else a
+            b = None if b is pd.NA else b
+            assert _vals_equal(a, b), (col, i, a, b, spark_pdf[col].tolist(), oracle_pdf[col].tolist())
+
+
+def test_decode_features_parity_on_adversarial_rows(spark, adversarial_path):
+    """decode_stage quarantines NULL sr_hz AND NULL dur_ms (int() inside
+    the try); the oracle's decode_ok must draw the identical boundary and
+    use the zero-sample constants for the empty-payload clip."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(adversarial_path)
+    got = (
+        stages.decode_stage(df)
+        .select(
+            "clip_id",
+            "codec",
+            F.round("rms_db", 6).alias("rms_db"),
+            F.round("silence_ratio", 6).alias("silence_ratio"),
+            F.round("clip_ratio", 6).alias("clip_ratio"),
+            "decode_ok",
+        )
+        .toPandas()
+    )
+    want = duckdb.sql(audio_sql.audio_decode_features_sql(adversarial_path)).df()
+    _assert_frames_match(got, want, ["clip_id"])
+    by_id = got.set_index("clip_id")
+    assert not by_id.loc["clip_000000000002", "decode_ok"]  # NULL sr
+    assert not by_id.loc["clip_000000000003", "decode_ok"]  # NULL dur
+    assert by_id.loc["clip_000000000004", "decode_ok"]      # empty payload
+    assert by_id.loc["clip_000000000004", "rms_db"] == -120.0
+    assert not by_id.loc["clip_000000000005", "decode_ok"]  # NULL payload
+
+
+def test_loudness_parity_on_adversarial_rows(spark, adversarial_path):
+    """loudness_stage never touches dur_ms, so NULL dur stays decode_ok;
+    NULL sr quarantines; the empty-payload clip gets the n==0 constants
+    (-120 dB rms, target+120 gain) on BOTH engines."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(adversarial_path)
+    got = (
+        multimodal.loudness_stage(df)
+        .select(
+            "clip_id",
+            F.round("rms_db", 6).alias("rms_db"),
+            F.round("gain_db", 6).alias("gain_db"),
+            F.round("post_gain_clip_ratio", 6).alias("post_gain_clip_ratio"),
+            "decode_ok",
+        )
+        .toPandas()
+    )
+    want = duckdb.sql(audio_sql.loudness_normalize_sql(adversarial_path)).df()
+    _assert_frames_match(got, want, ["clip_id"])
+    by_id = got.set_index("clip_id")
+    assert not by_id.loc["clip_000000000002", "decode_ok"]  # NULL sr
+    assert by_id.loc["clip_000000000003", "decode_ok"]      # NULL dur: unused here
+    row4 = by_id.loc["clip_000000000004"]                   # empty payload
+    assert row4["decode_ok"] and row4["rms_db"] == -120.0 and row4["gain_db"] == 100.0
+
+
+def test_window_decode_parity_on_adversarial_rows(spark, adversarial_path):
+    """window_decode_stage maps NULL dur_ms to ONE zero-length window; the
+    oracle's COALESCE(dur_ms, 0) must reproduce that exactly instead of
+    fabricating a live 0-500ms window via NULL-ignoring LEAST/GREATEST."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(adversarial_path)
+    got = (
+        multimodal.window_decode_stage(df)
+        .select(
+            "clip_id",
+            "win_idx",
+            "start_ms",
+            "end_ms",
+            "n_windows",
+            F.round("rms_db", 6).alias("rms_db"),
+            F.round("silence_ratio", 6).alias("silence_ratio"),
+            "decode_ok",
+        )
+        .toPandas()
+    )
+    want = duckdb.sql(audio_sql.window_decode_features_sql(adversarial_path)).df()
+    _assert_frames_match(got, want, ["clip_id", "win_idx"])
+    nulldur = got[got["clip_id"] == "clip_000000000003"]
+    assert len(nulldur) == 1  # exactly one zero-length window
+    r = nulldur.iloc[0]
+    assert (r["start_ms"], r["end_ms"], r["n_windows"]) == (0, 0, 1)
+    assert bool(r["decode_ok"]) and r["rms_db"] == -120.0 and r["silence_ratio"] == 1.0

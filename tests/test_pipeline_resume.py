@@ -545,6 +545,13 @@ def test_publish_dataset_hub_layout(env, workdir):
     assert pub.count() == sum(info["splits"].values())
     assert pub.select("clip_id").distinct().count() == pub.count()
 
+    # re-publish with checksums=False: the PREVIOUS run's SHA256SUMS must
+    # not survive to describe shards that no longer exist, and the README
+    # must stop advertising a manifest that is not there
+    publish_dataset(pipe, repo, checksums=False)
+    assert not os.path.exists(os.path.join(repo, "SHA256SUMS"))
+    assert "SHA256SUMS" not in open(os.path.join(repo, "README.md")).read()
+
 
 def test_export_csv_preserves_embedded_newlines(spark, workdir):
     """CSV export must round-trip string fields containing newlines and

@@ -281,10 +281,14 @@ def test_stream_scrub_matches_batch_and_restarts_exactly_once(spark, workdir):
         stages.scrub_detail_stage(
             spark.read.parquet(inp).select("clip_id", "transcript")
         )
+        .drop("transcript")
         .orderBy("clip_id")
         .toPandas()
     )
     assert len(got) == N
+    # the RAW transcript must never reach the compliance sink — writing it
+    # next to scrubbed_transcript would leak the PII the stream removes
+    assert "transcript" not in got.columns
     cols = sorted(want.columns)
     assert sorted(got.columns) == cols
     assert got[cols].reset_index(drop=True).equals(want[cols].reset_index(drop=True))
