@@ -199,16 +199,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Bernoulli sampling (the quality-weighted corpus-mixing primitive)
         "events_cube": relational.events_cube,
         "weighted_sample_docs": text.weighted_sample_docs,
-        # text/dedup entries changed THIS round (skew-safe bigram counts,
-        # single-scan tfidf, AQE-decided decontamination join), so they
+        # text entries changed THIS round (skew-safe bigram counts,
+        # single-scan tfidf, and the DOMAIN-SEPARATED split hash — the
+        # last one changes dataset_split's VALUES, so it must be inside
+        # the window for the driver to attest the new behavior), so they
         # stay inside the driver's 50-window
         "bigram_self_ppl": text.bigram_self_ppl,
         "tfidf_top_terms": text.tfidf_top_terms,
-        "decontaminate_ngrams": dedup.decontaminate_ngrams,
+        "dataset_split": text.dataset_split,
         # the 50-entry window is now exactly full: 47 round-4-new entries
-        # + the 3 changed-this-round text/dedup queries above. Everything
-        # below is r01-r03-proven and intentionally outside the window
-        # (still covered by tools/verify_oracles.py).
+        # + the 3 changed-this-round text queries above. Everything below
+        # is r01-r03-proven and intentionally outside the window (still
+        # covered by tools/verify_oracles.py); decontaminate_ngrams
+        # rotated out (r03-green, unchanged) to make room for the changed
+        # dataset_split.
+        "decontaminate_ngrams": dedup.decontaminate_ngrams,
         "dedup_exact": dedup.dedup_exact,
         "minhash_signatures": dedup.minhash_signatures,
         "minhash_signatures_fast": dedup.minhash_signatures_fast,
@@ -229,7 +234,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": similarity.ivf_topk,
         "kmeans_assign": similarity.kmeans_assign,
         "lang_quota_sample": text.lang_quota_sample,
-        "dataset_split": text.dataset_split,
         "langid_docs": text.langid_docs,              # full oracle (inlined weights)
         "doc_quality_filter": text.doc_quality_filter,
         "token_count": text.token_count,
