@@ -1327,6 +1327,13 @@ def image_dup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> D
     both engines by construction."""
     df = generate_images_with_near_dups(spark, *IMAGE_DUP_FIXTURE)
     fp = image_fingerprint_stage(df).filter(F.col("decode_ok"))
+    return _image_dup_pair_edges(fp, max_hamming)
+
+
+def _image_dup_pair_edges(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Band-bucket self-join + verify over a fingerprint frame — split
+    out (like ``_audio_dup_pair_edges``) so tests can drive the pair
+    logic over adversarial tables the seeded fixture never produces."""
     carry = ["b0", "b1", "b2", "b3", "width", "height", "mean_lum"]
     bands = fp.select(
         "image_id", *carry,
@@ -1579,6 +1586,14 @@ def video_dup_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -> D
     in shape and dies) → popcount threshold → distinct."""
     df = generate_videos_with_near_dups(spark, *VIDEO_DUP_FIXTURE)
     fp = video_fingerprint_stage(df).filter(F.col("decode_ok"))
+    return _video_dup_pair_edges(fp, max_hamming)
+
+
+def _video_dup_pair_edges(fp: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Band-bucket self-join + verify over a video fingerprint frame —
+    split out (like ``_audio_dup_pair_edges``) so tests can drive the
+    pair logic over adversarial tables the seeded fixture never
+    produces."""
     carry = ["b0", "b1", "b2", "b3", "width", "height", "n_frames", "mean_lum"]
     bands = fp.select(
         "video_id", *carry,

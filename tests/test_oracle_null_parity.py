@@ -161,3 +161,118 @@ def test_window_decode_parity_on_adversarial_rows(spark, adversarial_path):
     r = nulldur.iloc[0]
     assert (r["start_ms"], r["end_ms"], r["n_windows"]) == (0, 0, 1)
     assert bool(r["decode_ok"]) and r["rms_db"] == -120.0 and r["silence_ratio"] == 1.0
+
+
+def _write_tiny_images(tmp_path_factory):
+    """Two 2x2 images whose aHash bands 1 and 3 are structurally EMPTY
+    (height < 8 leaves 8x8-grid rows unused) and whose non-empty band
+    keys DIFFER — the pair is discoverable ONLY through the empty bands'
+    shared key 0, and the packed fingerprint must show b1 = b3 = 0 (not
+    NULL) on both engines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def px(hot_rc):
+        a = np.full((2, 2, 3), 100, dtype=np.uint8)
+        a[hot_rc[0], hot_rc[1], :] = 220
+        return a
+
+    rows = [
+        {"image_id": 1, "fmt": "rgb8_raw", "width": 2, "height": 2,
+         "data": px((0, 0)).tobytes()},
+        {"image_id": 2, "fmt": "rgb8_raw", "width": 2, "height": 2,
+         "data": px((1, 0)).tobytes()},
+    ]
+    path = str(tmp_path_factory.mktemp("tinyimg") / "images.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False), path)
+    return path
+
+
+def test_image_fingerprint_empty_bands_pack_zero(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from curator_spark.scoring import image_sql
+
+    path = _write_tiny_images(tmp_path_factory)
+    df = spark.read.parquet(path)
+    fp = multimodal.image_fingerprint_stage(df)
+    got = (
+        fp.select(
+            "image_id", "fmt", "width", "height", "b0", "b1", "b2", "b3",
+            F.round("mean_lum", 6).alias("mean_lum"), "decode_ok",
+        )
+        .toPandas()
+    )
+    want = duckdb.sql(image_sql.image_fingerprints_sql(path)).df()
+    _assert_frames_match(got, want, ["image_id"])
+    by_id = got.set_index("image_id")
+    # empty bands pack 0 (NULL would poison hamming / drop candidates)
+    assert (by_id.loc[1, ["b1", "b3"]] == 0).all()
+    assert by_id.loc[1, "b0"] != by_id.loc[2, "b0"]  # non-empty bands differ
+
+    # the pair is found ONLY via the empty bands' key-0 buckets — on the
+    # Spark op AND the oracle (the old sparse-blocks candidate join had
+    # no rows for empty bands and silently missed it)
+    spark_pairs = (
+        multimodal._image_dup_pair_edges(fp.filter(F.col("decode_ok")))
+        .toPandas()
+    )
+    oracle_pairs = duckdb.sql(image_sql.image_dup_pairs_sql(path)).df()
+    assert len(spark_pairs) == 1 and len(oracle_pairs) == 1
+    assert (
+        int(spark_pairs["hamming"][0]) == int(oracle_pairs["hamming"][0]) == 2
+    )
+
+
+def test_video_fingerprint_empty_bands_pack_zero(spark, tmp_path_factory):
+    """Video twin: 2-frame clips leave time slices 2,3,6,7 empty → vhash
+    bands 1 and 3 empty; same discovery-only-via-empty-bands shape."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from curator_spark.scoring import video_sql
+    from curator_spark.synth import videogen
+
+    def clip(hot):
+        frames = np.full((2, 8, 8), 100, dtype=np.uint8)
+        f, r0, c0 = hot
+        frames[f, r0 : r0 + 4, c0 : c0 + 2] = 220  # one 4x2 spatial block
+        return frames
+
+    rows = []
+    for vid, hot in ((1, (0, 0, 0)), (2, (1, 0, 0))):
+        frames = clip(hot)
+        rows.append(
+            {"video_id": vid, "fmt": "gray8_seq", "width": 8, "height": 8,
+             "n_frames": 2, "fps": videogen.FPS,
+             "data": videogen.encode_gray8_seq(frames)}
+        )
+    path = str(tmp_path_factory.mktemp("tinyvid") / "videos.parquet")
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False), path)
+
+    df = spark.read.parquet(path)
+    fp = multimodal.video_fingerprint_stage(df)
+    got = (
+        fp.select(
+            "video_id", "fmt", "width", "height", "n_frames",
+            "b0", "b1", "b2", "b3",
+            F.round("mean_lum", 6).alias("mean_lum"), "decode_ok",
+        )
+        .toPandas()
+    )
+    want = duckdb.sql(video_sql.video_fingerprints_sql(path)).df()
+    _assert_frames_match(got, want, ["video_id"])
+    by_id = got.set_index("video_id")
+    assert (by_id.loc[1, ["b1", "b3"]] == 0).all()
+    assert by_id.loc[1, "b0"] != by_id.loc[2, "b0"]
+
+    spark_pairs = (
+        multimodal._video_dup_pair_edges(fp.filter(F.col("decode_ok")))
+        .toPandas()
+    )
+    oracle_pairs = duckdb.sql(video_sql.video_dup_pairs_sql(path)).df()
+    assert len(spark_pairs) == 1 and len(oracle_pairs) == 1
+    assert (
+        int(spark_pairs["hamming"][0]) == int(oracle_pairs["hamming"][0]) == 2
+    )
