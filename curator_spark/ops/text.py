@@ -535,12 +535,23 @@ def curation_final_selection(
 
     Reference analog: the keep/drop decision feeding generation (F4 +
     §2.6 O2) composed end-to-end."""
-    from . import dedup
+    from pyspark import StorageLevel
+
+    from . import dedup, register_transient_persist
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     groups = dedup._dup_group_labels(spark, sf_dir)
     non_canonical = groups.filter(F.col("group_id") != F.col("doc_id")).select("doc_id")
-    canon = docs.join(non_canonical, "doc_id", "left_anti")
+    # persist the NARROW (doc_id, lang) survivor frame: _quota_sample runs
+    # two bounded driver collects (per-language counts, shortfall probe)
+    # plus the final window query — without the cache each one re-derives
+    # the whole MinHash-LSH + connected-components DAG upstream of the
+    # anti join (~3x the dedup cost, measured at sf0.1). Recomputable on
+    # executor loss; freed by clear_session_cache.
+    canon = docs.join(non_canonical, "doc_id", "left_anti").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    register_transient_persist(spark, canon)
     sampled = _quota_sample(canon, quota)
     return (
         sampled.select("doc_id", "lang", "rk", _split_expr(val_frac, test_frac).alias("split"))
