@@ -89,16 +89,35 @@ def _closure_repr_at(fn: Callable, depth: int) -> str:
 
 
 _ADDR_RE = re.compile(r" at 0x[0-9a-fA-F]+")
+_DEFAULT_REPR_RE = re.compile(r"^<(.+) object at 0x[0-9a-fA-F]+>$")
 
 
-def _stable_repr(v) -> str:
-    """repr with per-process memory addresses stripped: a captured object
-    with the default ``<Foo object at 0x7f..>`` repr (a handle, a
-    dataclass-less config object) would otherwise change the stage
-    fingerprint EVERY process — cache/resume would never hit again.
-    Coarser identity is safe: two instances of such a type were already
-    indistinguishable by repr within one process."""
-    return _ADDR_RE.sub(" at 0x", repr(v))
+def _stable_repr(v, depth: int = 0) -> str:
+    """repr with per-process memory addresses neutralized: a captured
+    object with the default ``<Foo object at 0x7f..>`` repr would change
+    the stage fingerprint EVERY process — cache/resume would never hit
+    again. But a bare address STRIP would be worse than the instability:
+    two instances with DIFFERENT state (``DbHandle('prod')`` vs
+    ``DbHandle('staging')``) would collide into one fingerprint and a
+    resume could serve the other configuration's cached results — a
+    silent wrong HIT. So a default-repr object is reconstructed from its
+    type + ``__dict__`` (recursively sanitized, depth-capped), keeping
+    distinct state distinct while staying process-stable; addresses
+    nested inside container reprs are stripped as the lossy fallback."""
+    r = repr(v)
+    m = _DEFAULT_REPR_RE.match(r)
+    if m and depth < 4:
+        state = getattr(v, "__dict__", None)
+        inner = (
+            ", ".join(
+                f"{k}={_stable_repr(vv, depth + 1)}"
+                for k, vv in sorted(state.items())
+            )
+            if state
+            else ""
+        )
+        return f"<{m.group(1)}({inner})>"
+    return _ADDR_RE.sub(" at 0x", r)
 
 
 @dataclass(frozen=True)

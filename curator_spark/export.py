@@ -246,7 +246,8 @@ generated_at: {info["generated_at"]}
 # Curated clip dataset (published)
 
 Hub-layout publish of run `{fp}` — kept rows only, leakage-safe
-md5(clip_id) split assignment (test < {test_frac} <= val < {test_frac + val_frac} <= train).
+`md5('split|' || clip_id)` split assignment (first 8 hex chars as a
+fraction of 2^32: test < {test_frac} <= val < {test_frac + val_frac} <= train).
 
 | split | rows |
 |---|---|

@@ -30,21 +30,26 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _read_path(spark: SparkSession, path: str, schema=None) -> DataFrame:
+# this repo's CSV dialect (what export.py writes): RFC-4180 doubled-quote
+# escaping + multiLine, so a transcript containing '\n' or '"' round-trips
+# instead of splitting into garbage rows. Trade-offs a caller can override
+# via csv_options: multiLine makes each file ONE non-splittable task (fine
+# for exported shards, slow for a single multi-GB CSV), and escape='"'
+# mis-parses backslash-escaped CSVs (Spark's own writer default) — pass
+# csv_options={"escape": "\\", "multiLine": False} for those.
+CSV_DIALECT = {"escape": '"', "multiLine": True}
+
+
+def _read_path(spark: SparkSession, path: str, schema=None, csv_options=None) -> DataFrame:
     """Read a data file/dir by extension (module docstring's dispatch)."""
     name = path.rstrip("/").lower()
     if name.endswith((".jsonl", ".json")):
         reader = spark.read.schema(schema) if schema is not None else spark.read
         return reader.json(path)
     if name.endswith(".csv"):
-        # same RFC-4180 options the export side writes with (export.py):
-        # doubled-quote escaping + multiLine, so a transcript containing
-        # '\n' or '"' round-trips instead of splitting into garbage rows
-        reader = (
-            spark.read.option("header", True)
-            .option("escape", '"')
-            .option("multiLine", True)
-        )
+        reader = spark.read.option("header", True)
+        for k, v in {**CSV_DIALECT, **(csv_options or {})}.items():
+            reader = reader.option(k, v)
         if schema is not None:
             reader = reader.schema(schema)
         else:
@@ -55,16 +60,18 @@ def _read_path(spark: SparkSession, path: str, schema=None) -> DataFrame:
 
 
 def to_dataframe(
-    spark: SparkSession, data, column: str = "prompt", schema=None
+    spark: SparkSession, data, column: str = "prompt", schema=None, csv_options=None
 ) -> DataFrame:
-    """Coerce ``data`` into a DataFrame (see module docstring)."""
+    """Coerce ``data`` into a DataFrame (see module docstring).
+    ``csv_options`` overrides the repo CSV dialect for path reads (see
+    ``CSV_DIALECT`` for when to)."""
     if isinstance(data, DataFrame):
         return data
     if isinstance(data, pd.DataFrame):
         return spark.createDataFrame(data)
     if isinstance(data, str):
         if os.path.exists(data):  # a path → read it by extension
-            return _read_path(spark, data, schema)
+            return _read_path(spark, data, schema, csv_options)
         data = [data]
     if isinstance(data, dict):  # one row-shaped mapping → one row
         data = [data]

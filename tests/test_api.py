@@ -411,3 +411,14 @@ def test_fingerprint_stable_for_default_repr_captures():
     assert repr(a.__closure__[0].cell_contents) != repr(b.__closure__[0].cell_contents)
     assert _closure_repr(a) == _closure_repr(b)
     assert fingerprint_fn(a) == fingerprint_fn(b)
+
+    # ...but two captures with DIFFERENT state must NOT collide — that
+    # would be a silent wrong cache HIT (resume serving the other
+    # configuration's results), worse than the instability it fixes
+    class Cfg:
+        def __init__(self, env):
+            self.env = env
+
+    prod, staging = factory(Cfg("prod")), factory(Cfg("staging"))
+    assert _closure_repr(prod) != _closure_repr(staging)
+    assert _closure_repr(prod) == _closure_repr(factory(Cfg("prod")))
