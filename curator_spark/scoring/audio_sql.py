@@ -788,7 +788,12 @@ def _fingerprint_ctes() -> str:
     CASE WHEN e.e / e.c > t.tot THEN 1 ELSE 0 END AS b
   FROM en e JOIN tot t USING (clip_id)
 ), grid AS (
-  SELECT clip_id, unnest([0, 1, 2, 3]) AS band FROM meta WHERE ok
+  -- dur_ms IS NOT NULL: the fingerprint stage computes the rms/silence
+  -- VERIFY features via audio.features(pcm, sr, dur) — int(dur) raises
+  -- inside its quarantine try, so a NULL-duration clip is decode_ok=false
+  -- there even though the fingerprint bits alone never read dur
+  SELECT clip_id, unnest([0, 1, 2, 3]) AS band
+  FROM meta WHERE ok AND dur_ms IS NOT NULL
 ), blk AS (
   SELECT clip_id, CAST(sl // 16 AS INT) AS band,
     CAST(SUM(b * (1 << CAST(sl % 16 AS INT))) AS INT) AS key
@@ -811,11 +816,11 @@ def audio_fingerprints_sql(path: str) -> str:
     return f"""WITH {_samples_cte(path)},
 {_fingerprint_ctes()}
 SELECT m.clip_id,
-  CASE WHEN m.ok THEN f.b0 END AS b0,
-  CASE WHEN m.ok THEN f.b1 END AS b1,
-  CASE WHEN m.ok THEN f.b2 END AS b2,
-  CASE WHEN m.ok THEN f.b3 END AS b3,
-  m.ok AS decode_ok
+  CASE WHEN m.ok AND m.dur_ms IS NOT NULL THEN f.b0 END AS b0,
+  CASE WHEN m.ok AND m.dur_ms IS NOT NULL THEN f.b1 END AS b1,
+  CASE WHEN m.ok AND m.dur_ms IS NOT NULL THEN f.b2 END AS b2,
+  CASE WHEN m.ok AND m.dur_ms IS NOT NULL THEN f.b3 END AS b3,
+  (m.ok AND m.dur_ms IS NOT NULL) AS decode_ok
 FROM meta m LEFT JOIN fp f USING (clip_id)
 ORDER BY m.clip_id
 """
@@ -837,7 +842,7 @@ def _dup_pairs_ctes(max_hamming: int) -> str:
   FROM meta m
   JOIN fp f USING (clip_id)
   LEFT JOIN feat ft USING (clip_id)
-  WHERE m.ok
+  WHERE m.ok AND m.dur_ms IS NOT NULL
 ), cand AS (
   SELECT a.clip_id AS clip_a, b.clip_id AS clip_b
   FROM blocks a JOIN blocks b

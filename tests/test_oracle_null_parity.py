@@ -67,13 +67,25 @@ def _assert_frames_match(spark_pdf, oracle_pdf, keys):
     assert list(spark_pdf.columns) == list(oracle_pdf.columns)
     assert len(spark_pdf) == len(oracle_pdf)
     for col in spark_pdf.columns:
+        # boolean-typed columns have no NaN value — a NULL bool surfaces
+        # as None (Spark object col) or NaN (duckdb float col) depending
+        # on the engine's pandas conversion; normalize BOTH to None. For
+        # float feature columns NaN stays distinct from None (the
+        # features path genuinely emits NaN, the others NULL).
+        is_boolish = any(
+            str(f[col].dtype) in ("object", "bool", "boolean")
+            for f in (spark_pdf, oracle_pdf)
+            if not col.startswith("clip_id")
+        ) and not col.startswith("clip_id")
         for i in range(len(spark_pdf)):
             a = spark_pdf[col][i]
             b = oracle_pdf[col][i]
             a = a.item() if hasattr(a, "item") else a
             b = b.item() if hasattr(b, "item") else b
-            a = None if a is pd.NA or (isinstance(a, float) and pd.isna(a) and col.endswith("ok")) else a
-            b = None if b is pd.NA else b
+            if a is pd.NA or (is_boolish and isinstance(a, float) and pd.isna(a)):
+                a = None
+            if b is pd.NA or (is_boolish and isinstance(b, float) and pd.isna(b)):
+                b = None
             assert _vals_equal(a, b), (col, i, a, b, spark_pdf[col].tolist(), oracle_pdf[col].tolist())
 
 
@@ -276,3 +288,39 @@ def test_video_fingerprint_empty_bands_pack_zero(spark, tmp_path_factory):
     assert (
         int(spark_pairs["hamming"][0]) == int(oracle_pairs["hamming"][0]) == 2
     )
+
+
+AUDIO_OP_ORACLES = [
+    # (op name in ops.multimodal, oracle builder in scoring.audio_sql)
+    ("audio_zcr", "audio_zcr_sql"),
+    ("pitch_estimate", "pitch_estimate_sql"),
+    ("audio_snr_estimate", "audio_snr_sql"),
+    ("trim_silence", "trim_silence_sql"),
+    ("spectral_band_ratios", "spectral_band_ratios_sql"),
+    ("audio_level_stats", "audio_level_stats_sql"),
+    ("cepstral_features", "cepstral_features_sql"),
+    ("audio_resample_stats", "audio_resample_stats_sql"),
+    ("audio_segments", "audio_segments_sql"),
+    ("speech_rate", "speech_rate_sql"),
+    ("audio_fingerprints", "audio_fingerprints_sql"),
+]
+
+
+@pytest.mark.parametrize("op_name,sql_name", AUDIO_OP_ORACLES)
+def test_audio_op_oracle_parity_on_adversarial_rows(
+    spark, adversarial_path, monkeypatch, op_name, sql_name
+):
+    """Run the REAL gate op (its in-query generator monkeypatched to the
+    adversarial table) against the REAL oracle SQL over the same parquet:
+    the decode_ok boundary (NULL sr quarantines everywhere; NULL dur only
+    where the kernel reads it) and the Python zero-sample returns (None
+    vs 0-valued, kernel-specific) must agree engine-for-engine."""
+    adv = spark.read.parquet(adversarial_path)
+    monkeypatch.setattr(clips, "generate_clips", lambda s, n, p=None: adv)
+    got = getattr(multimodal, op_name)(spark, "unused_sf_dir").toPandas()
+    want = duckdb.sql(getattr(audio_sql, sql_name)(adversarial_path)).df()
+    _assert_frames_match(got, want, ["clip_id"])
+    ok = got.set_index("clip_id")["decode_ok"]
+    assert not ok.loc["clip_000000000002"]  # NULL sr quarantines everywhere
+    assert not ok.loc["clip_000000000005"]  # NULL payload
+    assert ok.loc["clip_000000000004"]      # empty payload still decodes
