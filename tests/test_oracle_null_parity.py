@@ -324,3 +324,103 @@ def test_audio_op_oracle_parity_on_adversarial_rows(
     assert not ok.loc["clip_000000000002"]  # NULL sr quarantines everywhere
     assert not ok.loc["clip_000000000005"]  # NULL payload
     assert ok.loc["clip_000000000004"]      # empty payload still decodes
+
+
+@pytest.fixture(scope="module")
+def adversarial_images_path(tmp_path_factory):
+    """Image rows the seeded generator never emits: NULL dims, truncated
+    payload, NULL/empty payload."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from curator_spark.synth import imagegen
+
+    rows = [imagegen.make_image(0), imagegen.make_image(1), imagegen.make_image(2)]
+    rows[2] = {**rows[2], "data": rows[2]["data"][:-1]}       # truncated
+    rows.append({**imagegen.make_image(3), "width": None})    # NULL width
+    rows.append({**imagegen.make_image(4), "height": None})   # NULL height
+    rows.append({**imagegen.make_image(5), "data": None})     # NULL payload
+    rows.append({**imagegen.make_image(6), "data": b""})      # empty payload
+    pdf = pd.DataFrame(rows)
+    pdf["width"] = pdf["width"].astype("Int32")
+    pdf["height"] = pdf["height"].astype("Int32")
+    path = str(tmp_path_factory.mktemp("advimg") / "images.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def adversarial_videos_path(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from curator_spark.synth import videogen
+
+    def mk(i):  # skip external-codec stub ids
+        r = videogen.make_video(i)
+        assert r["fmt"] == "gray8_seq"
+        return r
+
+    rows = [mk(0), mk(1), {**mk(2), "data": mk(2)["data"][:-1]}]  # truncated
+    rows.append({**mk(3), "width": None})
+    rows.append({**mk(4), "n_frames": None})
+    rows.append({**mk(6), "fps": None})   # stages coerce int(fps) in-try
+    rows.append({**mk(7), "data": None})
+    pdf = pd.DataFrame(rows)
+    for c in ("width", "height", "n_frames", "fps"):
+        pdf[c] = pdf[c].astype("Int32")
+    path = str(tmp_path_factory.mktemp("advvid") / "videos.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    return path
+
+
+IMAGE_OP_ORACLES = [
+    ("image_decode_features", "image_decode_features_sql", "generate_images"),
+    ("image_fingerprints", "image_fingerprints_sql", "generate_images_with_near_dups"),
+    ("image_dup_pairs", "image_dup_pairs_sql", "generate_images_with_near_dups"),
+]
+
+VIDEO_OP_ORACLES = [
+    ("video_frame_features", "video_frame_features_sql", "generate_videos"),
+    ("video_fingerprints", "video_fingerprints_sql", "generate_videos_with_near_dups"),
+    ("video_dup_pairs", "video_dup_pairs_sql", "generate_videos_with_near_dups"),
+]
+
+
+@pytest.mark.parametrize("op_name,sql_name,gen_name", IMAGE_OP_ORACLES)
+def test_image_op_oracle_parity_on_adversarial_rows(
+    spark, adversarial_images_path, monkeypatch, op_name, sql_name, gen_name
+):
+    from curator_spark.scoring import image_sql
+
+    adv = spark.read.parquet(adversarial_images_path)
+    monkeypatch.setattr(multimodal, gen_name, lambda s, *a, **k: adv)
+    got = getattr(multimodal, op_name)(spark, "unused").toPandas()
+    want = duckdb.sql(getattr(image_sql, sql_name)(adversarial_images_path)).df()
+    keys = ["img_a", "img_b"] if "pairs" in op_name else ["image_id"]
+    _assert_frames_match(got, want, keys)
+    if "pairs" not in op_name:
+        ok = got.set_index("image_id")["decode_ok"]
+        assert not ok.loc[2] and not ok.loc[3] and not ok.loc[4] and not ok.loc[5]
+        assert ok.loc[0] and ok.loc[1]
+
+
+@pytest.mark.parametrize("op_name,sql_name,gen_name", VIDEO_OP_ORACLES)
+def test_video_op_oracle_parity_on_adversarial_rows(
+    spark, adversarial_videos_path, monkeypatch, op_name, sql_name, gen_name
+):
+    from curator_spark.scoring import video_sql
+
+    adv = spark.read.parquet(adversarial_videos_path)
+    monkeypatch.setattr(multimodal, gen_name, lambda s, *a, **k: adv)
+    got = getattr(multimodal, op_name)(spark, "unused").toPandas()
+    want = duckdb.sql(getattr(video_sql, sql_name)(adversarial_videos_path)).df()
+    keys = ["vid_a", "vid_b"] if "pairs" in op_name else (
+        ["video_id", "frame_idx"] if "frame" in op_name else ["video_id"]
+    )
+    _assert_frames_match(got, want, keys)
+    if "pairs" not in op_name and "frame" not in op_name:
+        ok = got.set_index("video_id")["decode_ok"]
+        for bad in (2, 3, 4, 6, 7):
+            assert not ok.loc[bad], bad
+        assert ok.loc[0] and ok.loc[1]
