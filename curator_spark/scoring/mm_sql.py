@@ -59,7 +59,7 @@ SELECT m.clip_id AS row_id, t.n_chars, t.n_words,
   CASE WHEN im.ok THEN s.contrast END AS contrast,
   m.ok AS audio_ok,
   im.ok AS image_ok
-FROM meta m
+FROM am m
 JOIN txt t USING (clip_id)
 JOIN imeta im USING (clip_id)
 LEFT JOIN afeat a USING (clip_id)
@@ -82,7 +82,7 @@ ruled AS (
     CASE WHEN m.ok AND a.rms_db < -35.0 THEN 'quiet' END,
     CASE WHEN im.ok AND s.contrast < 10.0 THEN 'flat_image' END
   ], x -> x IS NOT NULL) AS rs
-  FROM meta m
+  FROM am m
   JOIN txt t USING (clip_id)
   JOIN imeta im USING (clip_id)
   LEFT JOIN afeat a USING (clip_id)
@@ -100,6 +100,12 @@ def _mm_ctes(path: str) -> str:
     6dp where the Spark side rounds."""
     lum = f"({_chan(1)} * 299 + {_chan(3)} * 587 + {_chan(5)} * 114)"
     return f"""{audio_sql._samples_cte(path)},
+am AS (
+  -- audio ok for the MM stage: it computes features(pcm, sr, dur), so
+  -- int(dur_ms) quarantines a NULL duration inside the try — the shared
+  -- _samples_cte ok alone (payload + sr) would diverge on that row
+  SELECT clip_id, (ok AND dur_ms IS NOT NULL) AS ok FROM meta
+),
 afeat AS (
   SELECT clip_id,
     round(20.0 * log10(GREATEST(sqrt(SUM(x * x) / COUNT(*)), 1e-6)), 6) AS rms_db,

@@ -424,3 +424,61 @@ def test_video_op_oracle_parity_on_adversarial_rows(
         for bad in (2, 3, 4, 6, 7):
             assert not ok.loc[bad], bad
         assert ok.loc[0] and ok.loc[1]
+
+
+@pytest.fixture(scope="module")
+def adversarial_mm_path(tmp_path_factory):
+    """Mixed-modality rows with per-modality poisons: NULL audio metadata
+    with a healthy image (and vice versa), NULL/truncated payloads on one
+    side only — the per-modality quarantine (audio_ok / image_ok
+    independent) must agree engine-for-engine."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from curator_spark.synth import mmrows
+
+    rows = [mmrows.mm_row(i) for i in range(1, 9)]  # skip the i=0 opus stub
+    rows[2] = {**rows[2], "sr_hz": None}          # audio poisoned, image fine
+    rows[3] = {**rows[3], "dur_ms": None}
+    rows[4] = {**rows[4], "bytes": None}
+    rows[5] = {**rows[5], "width": None}          # image poisoned, audio fine
+    rows[6] = {**rows[6], "image": rows[6]["image"][:-1]}
+    rows[7] = {**rows[7], "image": None}
+    pdf = pd.DataFrame(rows)
+    pdf["clip_id"] = pdf["row_id"]  # audio_sql._samples_cte keys on clip_id
+    for c in ("sr_hz", "dur_ms", "width", "height"):
+        pdf[c] = pdf[c].astype("Int32")
+    path = str(tmp_path_factory.mktemp("advmm") / "mm.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    return path
+
+
+@pytest.mark.parametrize(
+    "op_name,sql_name",
+    [
+        ("multimodal_row_features", "multimodal_row_features_sql"),
+        ("mm_quality_filter", "mm_quality_filter_sql"),
+    ],
+)
+def test_mm_op_oracle_parity_on_adversarial_rows(
+    spark, adversarial_mm_path, monkeypatch, op_name, sql_name
+):
+    from curator_spark.scoring import mm_sql
+    from curator_spark.synth import mmrows
+
+    adv = spark.read.parquet(adversarial_mm_path)
+    monkeypatch.setattr(mmrows, "generate_mm_rows", lambda s, *a, **k: adv)
+    got = getattr(multimodal, op_name)(spark, "unused").toPandas()
+    want = duckdb.sql(getattr(mm_sql, sql_name)(adversarial_mm_path)).df()
+    _assert_frames_match(got, want, ["row_id"])
+    if op_name == "multimodal_row_features":
+        by_id = got.set_index("row_id")
+        ids = sorted(by_id.index)
+        # rows 2-4 (0-indexed in fixture): audio poisoned, image fine
+        for i in (2, 3, 4):
+            assert not by_id.loc[ids[i], "audio_ok"], ids[i]
+            assert by_id.loc[ids[i], "image_ok"], ids[i]
+        # rows 5-7: image poisoned, audio fine
+        for i in (5, 6, 7):
+            assert by_id.loc[ids[i], "audio_ok"], ids[i]
+            assert not by_id.loc[ids[i], "image_ok"], ids[i]
