@@ -813,7 +813,14 @@ def clip_windows(
     to the media timeline instead of the row count."""
     from ..synth import clips
 
-    df = clips.generate_clips(spark, 200, 4).select("clip_id", "dur_ms")
+    # NULL dur_ms → dur 0 → ONE zero-length window: same contract as
+    # window_decode_stage's quarantine window. Without the coalesce,
+    # NULL-ignoring greatest/least would fabricate a live 0-500ms window
+    # for a clip whose duration is unknown (identically on both engines,
+    # but semantically wrong and diverging from the decode stage).
+    df = clips.generate_clips(spark, 200, 4).select(
+        "clip_id", F.coalesce("dur_ms", F.lit(0)).alias("dur_ms")
+    )
     k = F.floor(F.col("dur_ms") / F.lit(window_ms))
     tail = F.col("dur_ms") - k * window_ms
     n_win = F.greatest(
@@ -978,7 +985,13 @@ def duration_batches(
 
     from ..synth import clips
 
-    df = clips.generate_clips(spark, 200, 4).select("clip_id", "dur_ms")
+    # NULL dur_ms → 0: Spark windows sort NULLS FIRST while DuckDB's
+    # default is NULLS LAST, and cum_before/batch_id arithmetic over a
+    # NULL would emit a NULL batch — coalescing at the source makes the
+    # packing total order and the sums identical on both engines.
+    df = clips.generate_clips(spark, 200, 4).select(
+        "clip_id", F.coalesce("dur_ms", F.lit(0)).alias("dur_ms")
+    )
     ranged = df.repartitionByRange(n_ranges, "dur_ms", "clip_id").withColumn(
         "pid", F.spark_partition_id()
     )

@@ -222,7 +222,9 @@ def clip_windows_sql(path: str, window_ms: int = 500, min_tail_ms: int = 100) ->
     """Oracle for ``clip_windows``: the identical full-windows + tail
     arithmetic (ops/multimodal.py:clip_windows)."""
     return f"""WITH c AS (
-  SELECT clip_id, dur_ms FROM read_parquet('{path}')
+  -- COALESCE: NULL dur → one zero-length window (the Spark op's contract,
+  -- shared with window_decode_stage)
+  SELECT clip_id, COALESCE(dur_ms, 0) AS dur_ms FROM read_parquet('{path}')
 ), n AS (
   SELECT clip_id, dur_ms,
     GREATEST(1, CAST(dur_ms // {window_ms}
@@ -736,11 +738,15 @@ def duration_batches_sql(path: str, max_batch_ms: int = 4000) -> str:
     """Oracle for ``duration_batches``: single-node window cumsum over the
     same (dur_ms, clip_id) total order — exactly what the distributed
     prefix sum must equal (ops/multimodal.py:duration_batches)."""
-    return f"""WITH c AS (
+    return f"""WITH src AS (
+  -- COALESCE: NULL dur → 0-length clip (Spark sorts NULLS FIRST, DuckDB
+  -- LAST — and NULL arithmetic would emit a NULL batch on the Spark side)
+  SELECT clip_id, COALESCE(dur_ms, 0) AS dur_ms FROM read_parquet('{path}')
+), c AS (
   SELECT clip_id, dur_ms,
     SUM(dur_ms) OVER (ORDER BY dur_ms, clip_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before
-  FROM read_parquet('{path}')
+  FROM src
 ), assigned AS (
   SELECT clip_id, dur_ms,
     CAST(COALESCE(cum_before, 0) // {max_batch_ms} AS INT) AS batch_id

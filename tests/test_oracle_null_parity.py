@@ -303,6 +303,9 @@ AUDIO_OP_ORACLES = [
     ("audio_segments", "audio_segments_sql"),
     ("speech_rate", "speech_rate_sql"),
     ("audio_fingerprints", "audio_fingerprints_sql"),
+    ("clip_windows", "clip_windows_sql"),
+    ("duration_batches", "duration_batches_sql"),
+    ("audio_quality_filter", "audio_quality_filter_sql"),
 ]
 
 
@@ -319,11 +322,16 @@ def test_audio_op_oracle_parity_on_adversarial_rows(
     monkeypatch.setattr(clips, "generate_clips", lambda s, n, p=None: adv)
     got = getattr(multimodal, op_name)(spark, "unused_sf_dir").toPandas()
     want = duckdb.sql(getattr(audio_sql, sql_name)(adversarial_path)).df()
-    _assert_frames_match(got, want, ["clip_id"])
-    ok = got.set_index("clip_id")["decode_ok"]
-    assert not ok.loc["clip_000000000002"]  # NULL sr quarantines everywhere
-    assert not ok.loc["clip_000000000005"]  # NULL payload
-    assert ok.loc["clip_000000000004"]      # empty payload still decodes
+    keys = {
+        "clip_windows": ["clip_id", "win_idx"],
+        "duration_batches": ["batch_id"],
+    }.get(op_name, ["clip_id"])
+    _assert_frames_match(got, want, keys)
+    if "decode_ok" in got.columns and "win_idx" not in got.columns:
+        ok = got.set_index("clip_id")["decode_ok"]
+        assert not ok.loc["clip_000000000002"]  # NULL sr quarantines everywhere
+        assert not ok.loc["clip_000000000005"]  # NULL payload
+        assert ok.loc["clip_000000000004"]      # empty payload still decodes
 
 
 @pytest.fixture(scope="module")
