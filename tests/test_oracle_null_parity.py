@@ -490,3 +490,21 @@ def test_mm_op_oracle_parity_on_adversarial_rows(
         for i in (5, 6, 7):
             assert by_id.loc[ids[i], "audio_ok"], ids[i]
             assert not by_id.loc[ids[i], "image_ok"], ids[i]
+
+
+def test_clip_keep_summary_parity_on_adversarial_rows(
+    spark, adversarial_path, monkeypatch
+):
+    """The FLAGSHIP composed query (decode → langid+ppl → rules → scrub →
+    keep/drop rollup) over the adversarial table: the pipeline oracle's
+    decode_ok must draw the same NULL-sr/NULL-dur boundary as
+    stages.decode_stage, or keep counts and group means diverge."""
+    from curator_spark.scoring import pipeline_sql
+
+    adv = spark.read.parquet(adversarial_path)
+    monkeypatch.setattr(clips, "generate_clips", lambda s, n, p=None: adv)
+    got = multimodal.clip_keep_summary(spark, "unused").toPandas()
+    want = duckdb.sql(pipeline_sql.clip_keep_summary_sql(adversarial_path)).df()
+    _assert_frames_match(got, want, ["lang", "keep"])
+    # the four poisoned rows must all be drops on both engines
+    assert int(got[~got["keep"]]["n"].sum()) >= 4
