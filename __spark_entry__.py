@@ -291,8 +291,10 @@ def oracle_sql() -> dict[str, str]:
     minhash_base = f"""
 WITH harr AS (
   SELECT doc_id,
-    list_transform(range(1, greatest(length(text)-{shk - 1},1)+1),
-                   i -> CAST(('0x' || substring(md5(substring(text, CAST(i AS INT), {shk})), 1, 8)) AS BIGINT)) AS xs
+    -- COALESCE: the Spark kernel shingles NULL text as '' (house
+    -- convention) — md5(NULL) here would emit NULL signatures instead
+    list_transform(range(1, greatest(length(COALESCE(text, ''))-{shk - 1},1)+1),
+                   i -> CAST(('0x' || substring(md5(substring(COALESCE(text, ''), CAST(i AS INT), {shk})), 1, 8)) AS BIGINT)) AS xs
   FROM documents
 ), sig AS (
   SELECT doc_id,
@@ -321,8 +323,8 @@ WITH harr AS (
     )
     fast_base = f"""
 WITH win AS (
-  SELECT doc_id, unnest(list_transform(range(1, greatest(length(text)-{shk - 1},1)+1),
-                 i -> substring(text, CAST(i AS INT), {shk}))) AS w
+  SELECT doc_id, unnest(list_transform(range(1, greatest(length(COALESCE(text, ''))-{shk - 1},1)+1),
+                 i -> substring(COALESCE(text, ''), CAST(i AS INT), {shk}))) AS w
   FROM documents
 ), xraw AS (
   SELECT doc_id,
@@ -864,8 +866,10 @@ FROM events GROUP BY hour, event_type ORDER BY hour, event_type
 """,
         "events_spike_detection": """
 WITH hourly AS (
+  -- ts IS NOT NULL: timeless events are dropped on both engines (NULL
+  -- hour would sort differently through the trailing window)
   SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
-  FROM events GROUP BY hour
+  FROM events WHERE ts IS NOT NULL GROUP BY hour
 ), win AS (
   SELECT hour, n,
     CAST(SUM(n) OVER w AS DOUBLE) AS s1,
@@ -1033,7 +1037,10 @@ ORDER BY e.event_id
         # i·hop) — independent of Spark's native F.window replication
         "events_hopping_window": """
 WITH e AS (
+  -- ts IS NOT NULL: Spark's native window() drops NULL timestamps;
+  -- epoch_us(NULL) here would fabricate a NaT window row
   SELECT epoch_us(ts) AS us, event_type, value FROM events
+  WHERE ts IS NOT NULL
 ), x AS (
   SELECT make_timestamp((us // 900000000) * 900000000 - i.i * 900000000) AS window_start,
          event_type, value
@@ -1098,7 +1105,10 @@ FROM agg ORDER BY cohort_day
 """,
         "retention_cohorts": """
 WITH act AS (
+  -- ts IS NOT NULL: the Spark side's collect_set drops NULL days, so a
+  -- timeless event must not create a NULL activity day here either
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ), first AS (
   SELECT user_id, MIN(d) AS cohort_d FROM act GROUP BY user_id
 ), ret AS (
@@ -1237,7 +1247,8 @@ FROM events ORDER BY row_key
 WITH w AS (
   SELECT doc_id AS row_key,
     CASE doc_id % 3 WHEN 0 THEN 10 WHEN 1 THEN 80 ELSE 40 END AS min_words_eff,
-    CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS INT) AS n_words
+    -- COALESCE: the stage counts words of (text or '') — NULL text is 0
+    CAST(len(list_filter(string_split(COALESCE(text, ''), ' '), x -> x != '')) AS INT) AS n_words
   FROM documents
 )
 SELECT row_key, CAST(min_words_eff AS INT) AS min_words_eff, n_words,
@@ -1388,8 +1399,10 @@ FROM documents ORDER BY doc_id
 """,
         "quality_scores": """
 WITH w AS (
-  SELECT doc_id, text, length(text) AS n_chars,
-    list_filter(string_split(text, ' '), x -> x != '') AS words
+  -- COALESCE: NULL text scores as '' (all-zero features) on both engines
+  SELECT doc_id, COALESCE(text, '') AS text,
+    length(COALESCE(text, '')) AS n_chars,
+    list_filter(string_split(COALESCE(text, ''), ' '), x -> x != '') AS words
   FROM documents
 )
 SELECT doc_id, n_chars, len(words) AS n_words,

@@ -460,18 +460,27 @@ def cross_doc_dup_spans(
     gram_docs = per_doc_gram.groupBy("gram").agg(
         F.count("*").alias("nd")  # distinct docs holding the gram
     )
-    flagged = per_doc_gram.join(gram_docs, "gram").withColumn("cross", F.col("nd") > 1)
+    # totals from per_doc_gram DIRECTLY (not through the gram join): a
+    # NULL-text doc's single span hashes to a NULL gram, which an
+    # equi-join silently drops — the doc would vanish from the output
+    # instead of reporting (n_spans=1, dup_spans=0) as the oracle does.
+    # NULL grams never count as shared on either engine (NULL = NULL is
+    # not a match), so the dup side's inner join is correct as-is.
+    tot = per_doc_gram.groupBy("doc_id").agg(F.sum("cnt").alias("n_spans"))
+    dup = (
+        per_doc_gram.join(gram_docs.filter(F.col("nd") > 1), "gram")
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("dup_spans"))
+    )
     return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_spans"),
-            F.sum(F.when(F.col("cross"), F.col("cnt")).otherwise(0)).alias("dup_spans"),
-        )
+        tot.join(dup, "doc_id", "left")
         .select(
             "doc_id",
             "n_spans",
-            "dup_spans",
-            F.round(F.col("dup_spans") / F.col("n_spans"), 6).alias("dup_span_frac"),
+            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+            F.round(
+                F.coalesce("dup_spans", F.lit(0)) / F.col("n_spans"), 6
+            ).alias("dup_span_frac"),
         )
         .orderBy("doc_id")
     )

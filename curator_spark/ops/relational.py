@@ -212,8 +212,13 @@ def events_spike_detection(
         spark, "events_spike_detection",
         "hour bucketing is only oracle-stable under UTC",
     )
-    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
-        F.count("*").alias("n")
+    # a timeless event cannot be hour-bucketed: dropping it beats letting
+    # a NULL-hour group ride the trailing window (Spark orders NULLS
+    # FIRST, DuckDB LAST — every window near the boundary would shift)
+    hourly = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("n"))
     )
     w = W.orderBy("hour").rowsBetween(-window_hours, -1)
     s1 = F.sum("n").over(w).cast("double")
@@ -759,8 +764,13 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     _require_utc(spark, "retention_cohorts")
+    # an anonymous (NULL user_id) event cannot be cohorted: groupBy would
+    # happily make NULL a cohort here while the oracle's equi-join drops
+    # it — and a "NULL-user cohort" is semantically meaningless anyway.
+    # collect_set already ignores NULL days (timeless events).
     per_user = (
-        ev.select("user_id", F.to_date("ts").alias("d"))
+        ev.filter(F.col("user_id").isNotNull())
+        .select("user_id", F.to_date("ts").alias("d"))
         .groupBy("user_id")
         .agg(F.collect_set("d").alias("days"))
     )

@@ -68,8 +68,13 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality features (Gopher/C4-style public rules): length,
-    mean word length, distinct-word ratio, stopword fraction."""
-    docs = load(spark, sf_dir, "documents")
+    mean word length, distinct-word ratio, stopword fraction. NULL text
+    scores as '' (the transcript convention): all-zero features, so the
+    row is droppable by rules instead of poisoning downstream arithmetic
+    with NULLs."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
     words = _words()
     n_words = F.size(words)
     stop = F.array(*[F.lit(w) for w in STOPWORDS])
