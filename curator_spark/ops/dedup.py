@@ -763,9 +763,23 @@ def _emb_vectors(spark: SparkSession, sf_dir: str, planted: bool) -> DataFrame:
     # loudly rather than truncating a wider table; when planting, fixture
     # ids must also not collide with natural ids (silent id aliasing would
     # fan out the verify joins and corrupt pair rows).
-    top, dim_min, dim_max = emb.agg(
-        F.max("vec_id"), F.min(F.size("emb")), F.max(F.size("emb"))
+    top, dim_min, dim_max, n_null = emb.agg(
+        F.max("vec_id"),
+        F.min(F.size("emb")),
+        F.max(F.size("emb")),
+        # size(NULL) is NULL under ANSI, which min/max IGNORE — a NULL
+        # vector would sail past the dim check and crash deep inside the
+        # SRP kernel as an opaque worker traceback; count it explicitly
+        # so the failure is a clean driver-side contract error
+        F.sum(F.when(F.col("emb").isNull(), 1).otherwise(0)),
     ).head()
+    if n_null:
+        raise ValueError(
+            f"embeddings table has {n_null} NULL vector(s): the SRP family "
+            "fails loudly on malformed vectors — filter or impute them "
+            "upstream (there is no meaningful near-dup semantics for a "
+            "missing embedding)"
+        )
     if top is not None and (dim_min != EMB_DIM or dim_max != EMB_DIM):
         raise ValueError(
             f"embedding dims [{dim_min}, {dim_max}] != EMB_DIM {EMB_DIM}: the SRP "

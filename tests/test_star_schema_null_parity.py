@@ -105,3 +105,20 @@ sys.exit(verify_oracles.main(sf_dir={poisoned_sf!r}, only=only))
     )
     assert proc.returncode == 0, proc.stdout[-4000:] + proc.stderr[-2000:]
     assert proc.stdout.count("OK   ") >= 60
+
+
+def test_null_embedding_fails_loud_at_validation(spark, tmp_path):
+    """The embeddings contract is FAIL-LOUD, not quarantine: a NULL
+    vector raises a clean driver-side ValueError at validation (there is
+    no meaningful near-dup semantics for a missing embedding), never an
+    opaque worker traceback from deep inside the SRP kernel —
+    size(NULL) is NULL under ANSI, which min/max silently ignore."""
+    from curator_spark.ops import dedup
+
+    emb = pq.read_table(f"{SRC_SF}/embeddings.parquet").to_pandas()
+    emb.loc[1, "embedding"] = None
+    dst = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(emb, preserve_index=False),
+                   f"{dst}/embeddings.parquet")
+    with pytest.raises(ValueError, match="NULL vector"):
+        dedup.embedding_near_dups_fixture(spark, dst).count()
