@@ -225,16 +225,24 @@ def _train_from_table(spark: SparkSession, emb: DataFrame, n_cells: int) -> np.n
     ids — non-representative at scale."""
     n = emb.count()
     rate = max(1, int(n) // 2048)
-    sample = np.asarray(
-        [
-            r[1]
-            for r in emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(rate)) == 0)
-            .select("vec_id", "embedding")
-            .orderBy("vec_id")  # stable row order into the seeded k-means init
-            .collect()
-        ],
-        dtype=np.float64,
+    rows = (
+        emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(rate)) == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")  # stable row order into the seeded k-means init
+        .collect()
     )
+    # fail LOUD on malformed vectors at the driver (the bounded sample is
+    # already here — zero extra jobs): a NULL/ragged vector would
+    # otherwise surface as an opaque "inhomogeneous shape" numpy error
+    # from inside np.asarray, hiding which row is at fault
+    bad = [r[0] for r in rows if r[1] is None]
+    if bad:
+        raise ValueError(
+            f"embeddings table has NULL vector(s) (e.g. vec_id {bad[:3]}): "
+            "IVF training has no semantics for a missing embedding — "
+            "filter or impute them upstream"
+        )
+    sample = np.asarray([r[1] for r in rows], dtype=np.float64)
     if sample.size == 0:
         return None
     return _quantize6e(_train_centroids(sample, n_cells))

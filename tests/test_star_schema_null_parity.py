@@ -122,3 +122,18 @@ def test_null_embedding_fails_loud_at_validation(spark, tmp_path):
                    f"{dst}/embeddings.parquet")
     with pytest.raises(ValueError, match="NULL vector"):
         dedup.embedding_near_dups_fixture(spark, dst).count()
+
+
+def test_null_embedding_ivf_training_fails_loud(spark, tmp_path):
+    """IVF training collects a bounded sample driver-side; a NULL vector
+    must raise a clean error NAMING the offending ids, not numpy's
+    opaque 'inhomogeneous shape' from inside np.asarray."""
+    from curator_spark.ops import similarity
+
+    emb = pq.read_table(f"{SRC_SF}/embeddings.parquet").to_pandas()
+    emb.loc[0, "embedding"] = None  # at this scale rate=1: every row sampled
+    dst = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(emb, preserve_index=False),
+                   f"{dst}/embeddings.parquet")
+    with pytest.raises(ValueError, match="NULL vector"):
+        similarity.ivf_topk(spark, dst).count()
