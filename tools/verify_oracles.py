@@ -130,5 +130,19 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: list[str] | None = None) -
 
 
 if __name__ == "__main__":
-    only = sys.argv[1:] or None
-    sys.exit(1 if main(only=only) else 0)
+    # usage: verify_oracles.py [--sf-dir DIR] [query ...]
+    # --sf-dir points both the queries AND the DuckDB views at another
+    # table directory (e.g. the poisoned star schema the NULL-parity
+    # test builds); pair it with SPARK_GRAFT_ORACLE_SF_DIR so oracle
+    # literals that train on the data (IVF centroids, doc LM weights)
+    # train on the same tables.
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    if args and args[0] == "--sf-dir":
+        if len(args) < 2:
+            print("FAIL --sf-dir requires a directory argument")
+            sys.exit(1)
+        sf_dir = args[1]
+        args = args[2:]
+    only = args or None
+    sys.exit(1 if main(sf_dir=sf_dir, only=only) else 0)
