@@ -50,6 +50,21 @@ def poisoned_sf(tmp_path_factory):
         {"doc_id": mx + 4, "text": "normal words here for the adversarial row",
          "lang": None, "source": "adv", "n_chars": 41},
         {"doc_id": mx + 5, "text": "x", "lang": "de", "source": None, "n_chars": 1},
+        # Unicode rows: char-vs-byte drift bait for the shingle/split
+        # kernels' non-ASCII fallback paths (accents, sharp-s, CJK,
+        # emoji, NBSP separators, combining characters) — verified
+        # hash-exact across engines; keep them so a future kernel edit
+        # cannot silently regress the fallback
+        {"doc_id": mx + 6, "text": "café straße naïve ÀÉÎÕÜ the and of to a côté encore",
+         "lang": "fr", "source": "adv", "n_chars": 52},
+        {"doc_id": mx + 7, "text": "数据 处理 管道 在 大规模 下 运行 the and of to a 测试",
+         "lang": "zh", "source": "adv", "n_chars": 33},
+        {"doc_id": mx + 8, "text": "emoji 🙂 row 🚀 with the and of to a symbols ∆ ∑ π",
+         "lang": "en", "source": "adv", "n_chars": 49},
+        {"doc_id": mx + 9, "text": "nbsp separated words the and of to a plus thinspace",
+         "lang": "en", "source": "adv", "n_chars": 52},
+        {"doc_id": mx + 10, "text": "combining é acute and ä umlaut the and of to a",
+         "lang": "en", "source": "adv", "n_chars": 49},
     ])
     pq.write_table(
         pa.Table.from_pandas(pd.concat([docs, poison], ignore_index=True),
