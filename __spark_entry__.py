@@ -533,9 +533,17 @@ FROM vreach GROUP BY src ORDER BY group_id, vec_id
 """
     )
 
-    # lsh_topk: the LSH-bucketed ANN search path — 8x8-bit SRP band keys
+    # lsh_topk: the LSH-bucketed ANN search path — 24x12-bit SRP band keys
     # with the search-family planes inlined as '%.6e' literals, the same
-    # bucket join the Spark side runs, exact cosine + top-k on candidates
+    # bucket join the Spark side runs, exact cosine + top-k on candidates.
+    # MULTI-PROBE (round 5): the probe set is a pure driver-side function
+    # of the query vector, so the generator computes THE SAME (band, bkey)
+    # pairs outside Spark (lsh_oracle_probe_pairs → the shared
+    # lsh_probe_keys kernel) and inlines them as literals — like
+    # ivf_topk's centroids, the probes are a function of the DATA, hence
+    # the oracle-scale table read below (OSError degrades to rows-only
+    # with a warning; any other exception is a real replication bug and
+    # must surface).
     from curator_spark.ops.similarity import (
         ANN_LSH_BANDS, ANN_LSH_BITS, ANN_LSH_DIM, ANN_PLANES,
     )
@@ -544,7 +552,15 @@ FROM vreach GROUP BY src ORDER BY group_id, vec_id
         f"({i}, [{', '.join(f'{v:.6e}' for v in ANN_PLANES[i])}])"
         for i in range(ANN_LSH_BANDS * ANN_LSH_BITS)
     )
-    lsh_topk_sql = f"""
+    lsh_topk_sql = None
+    try:
+        from curator_spark.ops.similarity import lsh_oracle_probe_pairs
+
+        _lsh_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        _probe_rows = ",\n".join(
+            f"({b}, {key})" for b, key in lsh_oracle_probe_pairs(_lsh_dir)
+        )
+        lsh_topk_sql = f"""
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings
 ), aplanes(pid, plane) AS (VALUES
@@ -557,8 +573,8 @@ WITH base AS (
 ), akeys AS (
   SELECT vec_id, band, CAST(SUM(bit * (1 << k)) AS BIGINT) AS bkey
   FROM abits GROUP BY vec_id, band
-), qk AS (
-  SELECT band, bkey FROM akeys WHERE vec_id = 0
+), qk(band, bkey) AS (VALUES
+{_probe_rows}
 ), cand AS (
   SELECT DISTINCT a.vec_id FROM akeys a JOIN qk USING (band, bkey)
 ), qv AS (SELECT emb AS q FROM base WHERE vec_id = 0),
@@ -573,6 +589,14 @@ SELECT vec_id,
   round(CASE WHEN nx > 0 AND ny > 0 THEN dot / (nx * ny) ELSE 0.0 END, 6) AS cos_sim
 FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
+    except OSError as e:
+        import warnings
+
+        warnings.warn(
+            f"lsh_topk oracle generation skipped (table unreadable: {e}); "
+            "driver will record a rows-only check",
+            stacklevel=2,
+        )
 
     # ivf_topk: training is deterministic, so the oracle replicates it
     # OUTSIDE Spark (pyarrow read → xxhash64-parity sample → seeded Lloyd,
@@ -1481,7 +1505,8 @@ SELECT doc_id, rk, term, tf, df FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
     }
     if ivf_sql is not None:
         out["ivf_topk"] = ivf_sql
-    out["lsh_topk"] = lsh_topk_sql
+    if lsh_topk_sql is not None:
+        out["lsh_topk"] = lsh_topk_sql
     out["langid_docs"] = langid_sql
     if ppl_sql is not None:
         out["doc_perplexity"] = ppl_sql

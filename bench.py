@@ -69,6 +69,68 @@ def calibrate() -> float:
     return time.monotonic() - t0
 
 
+def recall_curves(sf_dir: str, k: int = 10) -> tuple[dict, dict]:
+    """Machine-readable evidence behind the ANN probe defaults (round-4
+    VERDICT tasks #1/#8): (a) IVF recall@10 vs n_probe 1..16 and (b)
+    multi-probe LSH recall@10 + candidate fraction vs per-band probe
+    depth, both for query vec_id=0 at this SF. Computed OUTSIDE Spark
+    with the same deterministic kernels the Spark UDFs execute
+    (ivf_oracle_params replicates training bit-exactly; lsh_probe_keys
+    IS the production probe kernel; band keys/cell argmin share the
+    documented ~1e-13 BLAS-order caveat), so the curves cost 20 numpy
+    sweeps instead of 20 extra Spark jobs per bench run. The DEFAULT
+    operating points additionally ship as real Spark-path measurements
+    (ivf_recall_at_10*, lsh_recall_at_10, lsh_candidate_frac)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from curator_spark.ops import similarity as sim
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl["vec_id"].to_numpy()
+    E = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(E, axis=1)
+    qi = int(np.flatnonzero(ids == 0)[0])
+    qv = E[qi]
+    cos = (E @ qv) / np.where(norms > 0, norms * norms[qi], np.inf)
+    top = set(ids[np.lexsort((ids, -cos))[:k]].tolist())
+
+    # IVF: exact replication of training + assignment (shared kernel)
+    cent, _ = sim.ivf_oracle_params(sf_dir)
+    d2 = ((E[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    cell_order = np.argsort(((cent - qv) ** 2).sum(axis=1)).tolist()
+    ivf_curve = {}
+    for n_probe in range(1, len(cent) + 1):
+        cand = np.isin(assign, cell_order[:n_probe])
+        got, cc = ids[cand], cos[cand]
+        sel = set(got[np.lexsort((got, -cc))[:k]].tolist())
+        ivf_curve[str(n_probe)] = round(len(sel & top) / k, 3)
+
+    # LSH: band keys once, then sweep the per-band probe depth
+    dots = E @ sim.ANN_PLANES.T
+    bits = dots > 0
+    keys = np.zeros((len(E), sim.ANN_LSH_BANDS), dtype=np.int64)
+    for b in range(sim.ANN_LSH_BANDS):
+        for j in range(sim.ANN_LSH_BITS):
+            keys[:, b] |= bits[:, b * sim.ANN_LSH_BITS + j].astype(np.int64) << j
+    lsh_curve = {}
+    for depth in (0, 4, 8, 16, 32, sim.ANN_MULTIPROBE, 64):
+        pairs = sim.lsh_probe_keys(qv, n_perturb=depth)
+        cand = np.zeros(len(E), dtype=bool)
+        for b, key in pairs:
+            cand |= keys[:, b] == key
+        got, cc = ids[cand], cos[cand]
+        sel = set(got[np.lexsort((got, -cc))[:k]].tolist())
+        lsh_curve[str(depth)] = {
+            "recall": round(len(sel & top) / k, 3),
+            "cand_frac": round(float(cand.sum()) / len(E), 4),
+        }
+    return ivf_curve, lsh_curve
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
@@ -156,10 +218,15 @@ def main() -> None:
             samples[name].append(time.monotonic() - t0)
     shutil.rmtree(wh, ignore_errors=True)
 
-    # retrieval-quality artifact (round-3 VERDICT task #8): recall@10 of
-    # the IVF path vs exact brute-force cosine at this SF — the oracle
-    # proves the IVF plan exact, this records what the approximation
-    # actually retrieves. One untimed run outside the sample loop.
+    # retrieval-quality artifact (round-3 VERDICT task #8, extended round
+    # 5): recall@10 of the approximate paths vs exact brute-force cosine
+    # at this SF — the oracles prove the plans exact, this records what
+    # the approximations actually retrieve. One untimed run per default
+    # config outside the sample loop; the full recall CURVES (IVF recall
+    # vs n_probe 1-16, LSH recall/candidate-fraction vs probe depth) are
+    # computed by recall_curves() below via the same deterministic
+    # kernels the Spark UDFs run, so the probe defaults are chosen on
+    # recorded evidence rather than guessed.
     exact_ids = [r["vec_id"] for r in similarity.ann_cosine_topk(spark, sf_dir, k=10).collect()]
     recalls = {}
     for n_probe in (4, 8):  # default probe + half the 16 cells
@@ -170,6 +237,9 @@ def main() -> None:
         recalls[n_probe] = len(set(exact_ids) & set(approx)) / max(len(exact_ids), 1)
     lsh_ids = [r["vec_id"] for r in similarity.lsh_topk(spark, sf_dir, k=10).collect()]
     lsh_recall = len(set(exact_ids) & set(lsh_ids)) / max(len(exact_ids), 1)
+    n_emb = similarity.load(spark, sf_dir, "embeddings").count()
+    lsh_cand_frac = similarity.lsh_candidates(spark, sf_dir).count() / max(n_emb, 1)
+    ivf_curve, lsh_curve = recall_curves(sf_dir)
 
     # north-rule gauge (keep/drop F1 >= 0.99 vs reference labels): the
     # engine's labels vs the pure-Python oracle over a fixed 2000-clip
@@ -201,9 +271,16 @@ def main() -> None:
         "common_total_sec": round(sum(timings[n] for n in common_set), 3),
         "ivf_recall_at_10": round(recalls[4], 3),        # n_probe=4 of 16 cells
         "ivf_recall_at_10_probe8": round(recalls[8], 3),  # n_probe=8 of 16 cells
-        # 8x8-bit SRP probe (~3% of table); low on this near-random
-        # table by design — see ops/similarity.lsh_topk docstring
+        # 24x12-bit SRP with per-band multi-probe (Lv et al.); the
+        # candidate fraction is MEASURED on this run, not assumed — this
+        # near-random fixture (true neighbors at cos≈0.3-0.4) is LSH's
+        # worst case, see ops/similarity.lsh_topk docstring
         "lsh_recall_at_10": round(lsh_recall, 3),
+        "lsh_candidate_frac": round(lsh_cand_frac, 4),
+        # evidence curves behind the probe defaults (same deterministic
+        # kernels as the Spark UDFs; see recall_curves())
+        "ivf_recall_curve": ivf_curve,
+        "lsh_recall_curve": lsh_curve,
         # north-rule keep/drop gauge vs the oracle (fixed 2000-clip slice)
         "keep_f1_vs_oracle": round(keep_f1, 4),
         "keep_f1_n": n_f1,

@@ -68,32 +68,47 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
 def lsh_topk(spark: SparkSession, sf_dir: str, k: int = 10, query_id: int = 0) -> DataFrame:
     """LSH-bucketed approximate top-k by cosine vs the ``query_id``
     embedding — the second scale path next to IVF: vectors hash into
-    8x8-bit signed-random-projection band buckets; the query probes ONLY
-    vectors sharing at least one band bucket (expected ≈ bands·n/256 ≈ 3%
-    of the table), exact cosine ranks the candidates (ties → vec_id asc).
+    24x12-bit signed-random-projection band buckets; the query MULTI-PROBES
+    its own bucket plus the :data:`ANN_MULTIPROBE` lowest-margin perturbed
+    buckets per band (:func:`lsh_probe_keys`), and exact cosine ranks only
+    the candidates sharing ≥1 probed bucket (ties → vec_id asc).
 
     Scale shape: the band-key pass is one vectorized ``ArrowEvalPython``
     batch matmul over the table — at 10^9+ vectors the stacked
-    (vec_id, bucket) table is materialized ONCE (exactly like
-    ``build_ivf_index``'s cell layout) and each query is a bucket-key
-    lookup + ~3%-scan, never a full-table cosine. The oracle replicates
-    the planes as inlined '%.6e' literals and the same bucket join; the
-    BLAS-vs-sequential sign-flip risk at |dot| ~ 1e-13 is the documented
-    accepted risk shared with ops/dedup.embedding_near_dups."""
+    (vec_id, bucket) table is materialized ONCE (:func:`build_lsh_index`)
+    and each query is a pruned bucket lookup, never a full-table cosine.
+    The probe set is computed driver-side from the query vector (bands ·
+    (1+probes) integer keys); the oracle inlines the SAME probe pairs
+    (via :func:`lsh_probe_keys`) plus the planes as '%.6e' literals, so
+    bucket selection cannot drift across engines. Candidate fraction is
+    measured, not assumed — see :func:`lsh_candidates` and the BENCH
+    ``lsh_candidate_frac`` extra (~29% on this worst-case near-random
+    fixture; far lower on clustered real corpora)."""
     emb = load(spark, sf_dir, "embeddings")
     qv = np.array([np.float32(v) for v in query_vector(spark, sf_dir, query_id)], dtype=np.float64)
-    if qv.shape[0] != ANN_LSH_DIM:
-        raise ValueError(
-            f"embedding dim {qv.shape[0]} != ANN_LSH_DIM {ANN_LSH_DIM}: regenerate "
-            "ANN_PLANES for this table's dimensionality"
-        )
-    qbits = (qv @ ANN_PLANES.T) > 0
-    probe = [
-        f"{b}:{sum(int(qbits[b * ANN_LSH_BITS + j]) << j for j in range(ANN_LSH_BITS))}"
-        for b in range(ANN_LSH_BANDS)
-    ]
-    band_keys = _band_keys_udf()
+    q = F.array(*[F.lit(float(v)) for v in qv])
+    return (
+        emb.join(lsh_candidates(spark, sf_dir, query_id=query_id, _qv=qv), "vec_id")
+        .select("vec_id", F.round(_cosine(F.col("embedding"), q), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )
 
+
+def lsh_candidates(
+    spark: SparkSession, sf_dir: str, query_id: int = 0, _qv: np.ndarray | None = None
+) -> DataFrame:
+    """The distinct vec_ids sharing ≥1 multi-probed band bucket with the
+    ``query_id`` vector — the candidate set :func:`lsh_topk` ranks, split
+    out so the bench can LOG the realized candidate fraction per run
+    instead of quoting a design-time estimate."""
+    emb = load(spark, sf_dir, "embeddings")
+    if _qv is None:
+        _qv = np.array(
+            [np.float32(v) for v in query_vector(spark, sf_dir, query_id)], dtype=np.float64
+        )
+    probe = [f"{b}:{key}" for b, key in lsh_probe_keys(_qv)]
+    band_keys = _band_keys_udf()
     stacked = emb.select(
         "vec_id",
         F.explode(
@@ -101,14 +116,7 @@ def lsh_topk(spark: SparkSession, sf_dir: str, k: int = 10, query_id: int = 0) -
                         lambda key, i: F.concat_ws(":", i, key))
         ).alias("bucket"),
     )
-    cand_ids = stacked.filter(F.col("bucket").isin(probe)).select("vec_id").distinct()
-    q = F.array(*[F.lit(float(v)) for v in qv])
-    return (
-        emb.join(cand_ids, "vec_id")
-        .select("vec_id", F.round(_cosine(F.col("embedding"), q), 6).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), "vec_id")
-        .limit(k)
-    )
+    return stacked.filter(F.col("bucket").isin(probe)).select("vec_id").distinct()
 
 
 def _quantize6e(arr: np.ndarray) -> np.ndarray:
@@ -118,14 +126,76 @@ def _quantize6e(arr: np.ndarray) -> np.ndarray:
     return np.array([[float(f"{v:.6e}") for v in row] for row in arr])
 
 
-# LSH-bucketed ANN (the brief's "IVF or LSH-bucketed variant"): 8 bands x
-# 8 bits — COARSER buckets than the dedup family's 4x16 (2^8 = 256
-# buckets/band), because search wants candidate RECALL at moderate
-# similarity, not near-identical pair precision. Expected probe set ≈
-# bands · n / 2^bits ≈ 3% of the table per query.
-ANN_LSH_BANDS = 8
-ANN_LSH_BITS = 8
+# LSH-bucketed ANN (the brief's "IVF or LSH-bucketed variant"): 24 bands
+# x 12 bits with MULTI-PROBE (Lv et al. 2007, public): per band the query
+# probes its own bucket plus the ``ANN_MULTIPROBE`` perturbed buckets
+# reached by flipping the lowest-|margin| sign bits (the bits most likely
+# to disagree with a true neighbor). Geometry chosen on measured evidence
+# (BENCH extra ``lsh_recall_curve``): this table's true neighbors sit at
+# cos ≈ 0.31-0.41 over a near-random background (median pairwise cos ≈
+# 0.003) — the WORST case for SRP-LSH — and the round-4 single-probe 8x8
+# family retrieved only recall@10 ≈ 0.3 at ~3% of the table. 24x12+48
+# probes lifts query-0 recall@10 to 1.0 (sf0.1; mean over 30 queries
+# 0.89) at a measured ~29% candidate fraction on THIS fixture; on real
+# (clustered) embedding corpora the same config probes far fewer rows
+# because neighbor margins concentrate. The fraction is logged per run
+# (``lsh_candidate_frac``) rather than assumed.
+ANN_LSH_BANDS = 24
+ANN_LSH_BITS = 12
 ANN_LSH_DIM = 64
+# multi-probe budget: per band, the 48 lowest-score perturbations over
+# subsets of ≤4 flipped bits (score = summed |margin| of the flips)
+ANN_MULTIPROBE = 48
+ANN_MULTIPROBE_MAXFLIPS = 4
+
+
+def lsh_probe_keys(
+    qv: np.ndarray,
+    n_perturb: int = ANN_MULTIPROBE,
+    max_flips: int = ANN_MULTIPROBE_MAXFLIPS,
+) -> list[tuple[int, int]]:
+    """Multi-probe bucket set for one query vector: for every band, the
+    base key plus the ``n_perturb`` perturbed keys whose flipped bits have
+    the smallest summed |dot margin| (Lv et al. 2007 — a bit whose
+    hyperplane dot is near zero is the bit a true neighbor most likely
+    disagrees on). Returns deterministic, duplicate-free, sorted
+    (band, key) pairs.
+
+    This is THE probe-set definition, shared verbatim by the in-flight
+    query (:func:`lsh_topk`), the materialized-index query
+    (:func:`lsh_topk_indexed`) and the DuckDB oracle generator
+    (``__spark_entry__.oracle_sql`` inlines its output as literals) — one
+    definition, zero cross-engine drift in bucket selection. The only
+    remaining cross-engine risk stays in the per-VECTOR band keys (BLAS
+    batch matmul vs the oracle's sequential fold at |dot| ~ 1e-13), the
+    documented accepted risk shared with ops/dedup.embedding_near_dups."""
+    import itertools
+
+    qv = np.asarray(qv, dtype=np.float64)
+    if qv.shape[0] != ANN_LSH_DIM:
+        raise ValueError(
+            f"embedding dim {qv.shape[0]} != ANN_LSH_DIM {ANN_LSH_DIM}: regenerate "
+            "ANN_PLANES for this table's dimensionality"
+        )
+    dots = qv @ ANN_PLANES.T
+    bits = dots > 0
+    combs: list[tuple[int, ...]] = []
+    for r in range(1, max_flips + 1):
+        combs += list(itertools.combinations(range(ANN_LSH_BITS), r))
+    pairs: set[tuple[int, int]] = set()
+    for b in range(ANN_LSH_BANDS):
+        base = sum(int(bits[b * ANN_LSH_BITS + j]) << j for j in range(ANN_LSH_BITS))
+        pairs.add((b, base))
+        m = np.abs(dots[b * ANN_LSH_BITS : (b + 1) * ANN_LSH_BITS])
+        # tuple tie-break (score, flips) keeps the order total and
+        # identical on every engine/platform for equal-score subsets
+        scored = sorted((float(sum(m[j] for j in cb)), cb) for cb in combs)
+        for _score, cb in scored[:n_perturb]:
+            key = base
+            for j in cb:
+                key ^= 1 << j
+            pairs.add((b, key))
+    return sorted(pairs)
 
 
 def _ann_planes() -> np.ndarray:
@@ -378,16 +448,30 @@ def ivf_topk_indexed(
     )
 
 
+# bucket-group width for the index layout: bkey >> 6 → 64 hive
+# directories per band (24·64 = 1536 total) instead of one per bucket
+# (24·4096 = 98304 — pathological file counts at small scale, metadata
+# pressure at large). The exact bkey stays a DATA column, sorted within
+# partitions, so parquet min/max + dictionary filters prune inside a
+# group — two-level pruning: hive on (band, bgrp), row-group on bkey.
+ANN_LSH_BGRP_SHIFT = 6
+
+
 def build_lsh_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     """Materialize the LSH index the :func:`lsh_topk` docstring promises:
-    the embeddings table rewritten once per band, PARTITIONED BY
-    (band, bkey) — hive layout ``band=<b>/bkey=<key>/``. A query then
-    reads exactly ``ANN_LSH_BANDS`` directories (one bucket per band)
-    out of bands·2^bits and never opens the rest: partition pruning, no
-    index server. The classic LSH trade is explicit: vectors are stored
-    once PER BAND (8× here) to make every probe a pruned scan — the same
-    storage-for-locality deal the banded bucket layout makes at 10^9+
-    vectors. Build is one batch-matmul pass + one clustering shuffle."""
+    the embeddings table rewritten once per band, hive-PARTITIONED BY
+    (band, bgrp = bkey >> 6) with the exact ``bkey`` kept as a sorted
+    data column. A multi-probe query opens only the probed group
+    directories (partition pruning) and inside each group the pushed
+    ``bkey`` filter skips non-matching row groups (parquet min/max +
+    dictionary) — no index server, just catalog metadata + parquet
+    statistics. The classic LSH trade is explicit: vectors are stored
+    once PER BAND (24× here) to make every probe a pruned scan; at
+    petabyte scale the same layout holds with (band, bkey)→vec_id
+    postings plus a vec_id-bucketed primary table when 24× full-row
+    copies are too dear — the probe plan is identical, plus one
+    co-partitioned join. Build is one batch-matmul pass + one
+    clustering shuffle."""
     import os
 
     emb = load(spark, sf_dir, "embeddings")
@@ -401,11 +485,14 @@ def build_lsh_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
                 band_keys(F.transform("embedding", lambda x: x.cast("double")))
             ).alias("band", "bkey"),
         )
-        # cluster by bucket before the partitioned write (one file per
-        # bucket directory instead of a sliver from every input task)
-        .repartition("band", "bkey")
+        .withColumn("bgrp", F.shiftright("bkey", ANN_LSH_BGRP_SHIFT))
+        # cluster by group before the partitioned write (one file per
+        # group directory instead of a sliver from every input task),
+        # sorted by bkey so row-group min/max stats prune within a group
+        .repartition("band", "bgrp")
+        .sortWithinPartitions("bkey")
         .write.mode("overwrite")
-        .partitionBy("band", "bkey")
+        .partitionBy("band", "bgrp")
         .parquet(os.path.join(index_dir, "vectors"))
     )
 
@@ -413,23 +500,27 @@ def build_lsh_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
 def lsh_topk_indexed(
     spark: SparkSession, index_dir: str, query_vec: list[float], k: int = 10
 ) -> DataFrame:
-    """Query a :func:`build_lsh_index` index: the query's 8 band buckets
-    are computed driver-side (8 dot products) and pushed as partition
-    filters — the scan opens only those directories. Candidates dedup on
-    vec_id (a vector can share several buckets with the query) before
-    the exact-cosine rank, so scores match :func:`lsh_topk` exactly.
-    The query vector is float32-quantized like every other search path."""
+    """Query a :func:`build_lsh_index` index: the multi-probe (band, bkey)
+    pairs are computed driver-side by the SAME :func:`lsh_probe_keys`
+    kernel the in-flight path uses, pushed as hive partition filters on
+    (band, bgrp) plus parquet-pruned bkey filters. Candidates dedup on
+    vec_id (a vector can share several probed buckets with the query)
+    before the exact-cosine rank, so scores match :func:`lsh_topk`
+    exactly. The query vector is float32-quantized like every other
+    search path."""
     import os
 
     q32 = [float(np.float32(v)) for v in query_vec]
     qv = np.asarray(q32, dtype=np.float64)
-    qbits = (qv @ ANN_PLANES.T) > 0
     q = F.array(*[F.lit(v) for v in q32])
     vecs = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    by_band: dict[int, list[int]] = {}
+    for b, key in lsh_probe_keys(qv):
+        by_band.setdefault(b, []).append(key)
     probe = None
-    for b in range(ANN_LSH_BANDS):
-        key = sum(int(qbits[b * ANN_LSH_BITS + j]) << j for j in range(ANN_LSH_BITS))
-        cond = (F.col("band") == b) & (F.col("bkey") == key)
+    for b, keys in by_band.items():
+        grps = sorted({key >> ANN_LSH_BGRP_SHIFT for key in keys})
+        cond = (F.col("band") == b) & F.col("bgrp").isin(grps) & F.col("bkey").isin(keys)
         probe = cond if probe is None else (probe | cond)
     return (
         vecs.filter(probe)
@@ -439,6 +530,28 @@ def lsh_topk_indexed(
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
     )
+
+
+def lsh_oracle_probe_pairs(sf_dir: str, query_id: int = 0) -> list[tuple[int, int]]:
+    """Replicate :func:`lsh_topk`'s driver-side probe-set computation
+    OUTSIDE Spark (pyarrow read → the same float32 quantization
+    ``query_vector`` returns → the shared :func:`lsh_probe_keys`), so the
+    oracle SQL can inline the exact (band, bkey) pairs the Spark query
+    will probe. Same pattern as :func:`ivf_oracle_params`."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = tbl["vec_id"].to_numpy()
+    pos = np.flatnonzero(ids == query_id)
+    if len(pos) == 0:
+        raise ValueError(f"query vec_id {query_id} not present in {sf_dir}")
+    qv_list = tbl["embedding"].to_pylist()[int(pos[0])]
+    qv = np.array([np.float32(v) for v in qv_list], dtype=np.float64)
+    return lsh_probe_keys(qv)
 
 
 def ivf_oracle_params(

@@ -603,27 +603,61 @@ def test_curation_final_selection_composition(spark):
 
 
 def test_lsh_topk_candidates_and_recall(spark):
-    """LSH-bucketed ANN: the query always retrieves itself (identical
+    """Multi-probe LSH ANN: the query always retrieves itself (identical
     band keys), results are a subset of the table ranked by exact cosine,
-    and recall@10 vs brute force is nonzero. On this near-random
-    embedding table weak neighbors (cos ~0.5) legitimately fall outside
-    the probed buckets — high recall here would indicate the probe set
-    degenerated to a full scan, not a better index."""
+    recall@10 vs brute force clears 0.5 on this worst-case near-random
+    table (measured 0.6 at sf0.001; the round-4 single-probe family sat
+    at 0.2-0.3), and the probe stays a genuine subset — the candidate
+    set must NOT degenerate to a full scan."""
     from curator_spark.ops import similarity
 
     exact = [r["vec_id"] for r in similarity.ann_cosine_topk(spark, SF_DIR, k=10).collect()]
     lsh = similarity.lsh_topk(spark, SF_DIR, k=10).collect()
     ids = [r["vec_id"] for r in lsh]
     assert ids[0] == exact[0] == 0  # the query vector itself
-    assert len(set(exact) & set(ids)) >= 1
+    assert len(set(exact) & set(ids)) >= 5
     sims = [r["cos_sim"] for r in lsh]
     assert sims == sorted(sims, reverse=True)
+    n_cand = similarity.lsh_candidates(spark, SF_DIR).count()
+    n_total = similarity.load(spark, SF_DIR, "embeddings").count()
+    assert 10 <= n_cand < 0.6 * n_total  # pruned, not a full scan
+
+
+def test_lsh_probe_keys_deterministic_and_bounded(spark):
+    """The shared probe kernel (Spark path == oracle path by
+    construction) emits the base bucket of every band, stays within the
+    per-band budget, and is deterministic across calls."""
+    import numpy as np
+
+    from curator_spark.ops import similarity
+
+    qv = np.array(
+        [np.float32(v) for v in similarity.query_vector(spark, SF_DIR, 0)],
+        dtype=np.float64,
+    )
+    pairs = similarity.lsh_probe_keys(qv)
+    assert pairs == similarity.lsh_probe_keys(qv)  # deterministic
+    by_band = {}
+    for b, key in pairs:
+        assert 0 <= key < (1 << similarity.ANN_LSH_BITS)
+        by_band.setdefault(b, set()).add(key)
+    assert set(by_band) == set(range(similarity.ANN_LSH_BANDS))
+    bits = (qv @ similarity.ANN_PLANES.T) > 0
+    for b, keys in by_band.items():
+        base = sum(
+            int(bits[b * similarity.ANN_LSH_BITS + j]) << j
+            for j in range(similarity.ANN_LSH_BITS)
+        )
+        assert base in keys  # the unperturbed bucket is always probed
+        assert len(keys) <= 1 + similarity.ANN_MULTIPROBE
 
 
 def test_lsh_index_partition_pruning(spark, workdir):
     """The materialized LSH index must (a) return exactly the same top-k
-    as the in-flight lsh_topk and (b) physically open ONLY the probed
-    (band, bkey) directories — one per band."""
+    as the in-flight lsh_topk and (b) physically open ONLY hive
+    directories whose (band, bgrp) appears in the multi-probe set — the
+    exact-bkey residue is pruned inside a group by parquet row-group
+    statistics, asserted via PushedFilters in the formatted plan."""
     import os
     import re
 
@@ -642,25 +676,31 @@ def test_lsh_index_partition_pruning(spark, workdir):
         (r["vec_id"], r["cos_sim"]) for r in want
     ]
 
-    q32 = np.asarray([float(np.float32(v)) for v in qv])
-    qbits = (q32 @ similarity.ANN_PLANES.T) > 0
-    expect = {
-        (b, sum(int(qbits[b * similarity.ANN_LSH_BITS + j]) << j
-                for j in range(similarity.ANN_LSH_BITS)))
-        for b in range(similarity.ANN_LSH_BANDS)
-    }
+    pairs = similarity.lsh_probe_keys(
+        np.array([np.float32(v) for v in qv], dtype=np.float64)
+    )
+    expect_grps = {(b, key >> similarity.ANN_LSH_BGRP_SHIFT) for b, key in pairs}
     vecs = spark.read.parquet(os.path.join(idx, "vectors"))
+    by_band = {}
+    for b, key in pairs:
+        by_band.setdefault(b, []).append(key)
     probe = None
-    for b, key in expect:
-        cond = (F.col("band") == b) & (F.col("bkey") == key)
+    for b, keys in by_band.items():
+        grps = sorted({k >> similarity.ANN_LSH_BGRP_SHIFT for k in keys})
+        cond = (F.col("band") == b) & F.col("bgrp").isin(grps) & F.col("bkey").isin(keys)
         probe = cond if probe is None else (probe | cond)
+    filtered = vecs.filter(probe)
     touched = {
-        tuple(int(x) for x in re.search(r"band=(\d+)/bkey=(\d+)", f).groups())
-        for (f,) in vecs.filter(probe).select(F.input_file_name()).distinct().collect()
+        tuple(int(x) for x in re.search(r"band=(\d+)/bgrp=(\d+)", f).groups())
+        for (f,) in filtered.select(F.input_file_name()).distinct().collect()
     }
-    n_dirs = vecs.select("band", "bkey").distinct().count()
-    # only the 8 probed bucket directories were physically opened
-    assert touched <= expect and len(touched) <= similarity.ANN_LSH_BANDS < n_dirs
+    n_dirs = vecs.select("band", "bgrp").distinct().count()
+    # only probed (band, bgrp) directories were physically opened, and
+    # the probe is a strict subset of the index layout
+    assert touched <= expect_grps and len(touched) < n_dirs
+    # the exact-bkey residue reaches the parquet scan (row-group pruning)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "bkey" in plan.split("PushedFilters", 1)[1][:400]
 
 
 def test_events_spike_detection_semantics(spark):
