@@ -173,6 +173,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_exec_rows": usermap.code_exec_rows,
         # terminal composed decision (round-4): keep-list ∘ quota ∘ split
         "curation_final_selection": text.curation_final_selection,
+        # round-5: the same decision served from the MATERIALIZED dedup
+        # keep-list index (ensure_dedup_index) — same oracle by design
+        "curation_from_index": text.curation_from_index,
         # similarity search — lsh_topk is NEW this round, so it stays in
         # the driver's 50-entry window with the other unrecorded queries
         "lsh_topk": similarity.lsh_topk,
@@ -1013,6 +1016,9 @@ ORDER BY w.doc_id
         "dup_groups": dup_groups_sql,
         "dedup_keep_list": keep_list_sql,
         "curation_final_selection": curation_sql,
+        # served from the materialized keep-list index; result (and thus
+        # oracle) is identical to the in-flight composition by design
+        "curation_from_index": curation_sql,
         "events_sessionize": """
 WITH s AS (
   SELECT user_id, ts, event_id, value,

@@ -188,6 +188,10 @@ def main() -> None:
         # round-4 addition: the terminal composed curation decision
         # (LSH dedup keep-list ∘ per-language quota ∘ hash split)
         "curation_final_selection": text.curation_final_selection,
+        # round-5: the same decision served from the MATERIALIZED dedup
+        # keep-list index — the one-time build runs untimed below, so
+        # this row records what every post-index consumer pays
+        "curation_from_index": text.curation_from_index,
         # round-4 additions: the event-warehouse quartet's two heaviest
         # shapes — single-pass HOF funnel and collect_set+window retention
         "events_funnel": relational.events_funnel,
@@ -202,6 +206,11 @@ def main() -> None:
         "running_window", "dedup_exact", "minhash_dup_pairs",
         "simhash_fingerprints", "ann_cosine_topk", "token_count",
     )
+
+    # one-time index build (untimed): curation_from_index then measures
+    # the steady-state consumer cost, which is the number that matters —
+    # at scale the index is built once per corpus snapshot
+    dedup.ensure_dedup_index(spark, sf_dir)
 
     samples: dict[str, list[float]] = {n: [] for n in ["clip_pipeline", *bench_queries]}
     calib: list[float] = []

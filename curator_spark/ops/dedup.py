@@ -652,6 +652,18 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str, max_hamming: int = 3) -
     return _simhash_pair_edges(spark, sf_dir, max_hamming).orderBy("doc_a", "doc_b")
 
 
+def _keep_list(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFrame:
+    """Unordered (doc_id, group_id, is_canonical) keep-list — the internal
+    form shared by the gate query and the index builder."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    groups = _dup_group_labels(spark, sf_dir, max_iters)
+    return docs.join(groups, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("group_id", F.col("doc_id")).alias("group_id"),
+        (F.coalesce("group_id", F.col("doc_id")) == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
 def dedup_keep_list(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFrame:
     """The composed curation DECISION of the text-dedup DAG: every
     document joined against its MinHash-LSH connected component →
@@ -660,17 +672,63 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> Da
     ``WHERE is_canonical`` — the reference's keep/drop idiom (F4) applied
     to the dedup family's output, the way a production pipeline actually
     consumes LSH → verify → components."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
-    groups = _dup_group_labels(spark, sf_dir, max_iters)
-    return (
-        docs.join(groups, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("group_id", F.col("doc_id")).alias("group_id"),
-            (F.coalesce("group_id", F.col("doc_id")) == F.col("doc_id")).alias("is_canonical"),
-        )
-        .orderBy("doc_id")
+    return _keep_list(spark, sf_dir, max_iters).orderBy("doc_id")
+
+
+DEDUP_INDEX_BUCKETS = 32
+
+
+def build_dedup_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    max_iters: int = 20,
+    n_buckets: int = DEDUP_INDEX_BUCKETS,
+) -> None:
+    """Materialize the MinHash-LSH keep-list ONCE — the ``build_ivf_index``
+    pattern applied to dedup (round-4 VERDICT task #3): (doc_id, group_id,
+    is_canonical) written hive-partitioned by ``bucket =
+    pmod(xxhash64(doc_id), n_buckets)``. At 100 TB the component labels
+    are derived once per corpus snapshot, never re-derived per downstream
+    consumer: every curation/filter query after this is a pruned scan (or
+    a co-partitioned join on the same bucketing), not a full
+    LSH + label-propagation DAG. The bucket column also gives a balanced
+    unit of incremental maintenance — a re-crawled shard re-resolves only
+    the buckets its doc_ids hash into plus their group neighbors."""
+    (
+        _keep_list(spark, sf_dir, max_iters)
+        .withColumn("bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
+        # cluster rows by bucket before the partitioned write (one file
+        # per bucket directory instead of a sliver from every input task)
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(index_dir, "keep_list"))
     )
+
+
+def ensure_dedup_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-missing cache of :func:`build_dedup_index` for the gate /
+    bench surfaces, keyed by the source table's path and mtime (a changed
+    documents.parquet invalidates the cached labels). Returns the
+    ``keep_list`` parquet root. Mirrors bench.ensure_clips' marker-file
+    protocol: the marker is written only after a complete build, so a
+    killed build re-runs instead of serving a torn index."""
+    import hashlib
+    import shutil
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.blake2b(
+        f"{os.path.abspath(src)}|{os.path.getmtime(src)}".encode(), digest_size=8
+    ).hexdigest()
+    root = os.path.join("/tmp/curator_bench", f"dedup_idx_{tag}")
+    marker = os.path.join(root, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        build_dedup_index(spark, sf_dir, root)
+        with open(marker, "w") as fh:
+            fh.write(sf_dir)
+    return os.path.join(root, "keep_list")
 
 
 def simhash_dup_groups(

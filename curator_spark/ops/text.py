@@ -557,11 +557,49 @@ def curation_final_selection(
         StorageLevel.MEMORY_AND_DISK
     )
     register_transient_persist(spark, canon)
+    return _selection_tail(canon, quota, val_frac, test_frac)
+
+
+def _selection_tail(
+    canon: DataFrame, quota: int, val_frac: float, test_frac: float
+) -> DataFrame:
+    """Quota sample + hash split over a deduped (doc_id, lang) survivor
+    frame — the shared tail of :func:`curation_final_selection` and
+    :func:`curation_from_index`."""
     sampled = _quota_sample(canon, quota)
     return (
         sampled.select("doc_id", "lang", "rk", _split_expr(val_frac, test_frac).alias("split"))
         .orderBy("lang", "rk")
     )
+
+
+def curation_from_index(
+    spark: SparkSession,
+    sf_dir: str,
+    quota: int = 40,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+) -> DataFrame:
+    """:func:`curation_final_selection` served from the MATERIALIZED
+    dedup keep-list index (round-4 VERDICT task #3): the component labels
+    are read from :func:`curator_spark.ops.dedup.ensure_dedup_index`'s
+    bucket-partitioned parquet instead of re-deriving MinHash-LSH +
+    label propagation inside the query. At 100 TB a corpus has MANY
+    selection consumers (per-language mixes, re-splits, ablation
+    subsets); re-running the full dedup DAG per consumer is the single
+    largest avoidable cost in the composed pipeline — the index turns
+    each into a pruned scan + anti-join. Result is EXACTLY
+    curation_final_selection's (same oracle SQL): the index stores the
+    same deterministic labels the in-flight DAG derives."""
+    from . import dedup
+
+    idx = dedup.ensure_dedup_index(spark, sf_dir)
+    non_canonical = (
+        spark.read.parquet(idx).filter(~F.col("is_canonical")).select("doc_id")
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    canon = docs.join(non_canonical, "doc_id", "left_anti")
+    return _selection_tail(canon, quota, val_frac, test_frac)
 
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:

@@ -602,6 +602,34 @@ def test_curation_final_selection_composition(spark):
     assert all(split_map[d] == s for d, s in zip(sel.doc_id, sel.split))
 
 
+def test_curation_from_index_matches_inflight(spark):
+    """The materialized keep-list index must serve EXACTLY the in-flight
+    composition's selection, and the index-served plan must not contain
+    the MinHash UDF stage (the whole point is not re-deriving the dedup
+    DAG per consumer)."""
+    import os
+    import shutil
+
+    from curator_spark.ops import dedup, text
+
+    # force a fresh build so the marker-file protocol is exercised
+    idx = dedup.ensure_dedup_index(spark, SF_DIR)
+    shutil.rmtree(os.path.dirname(idx))
+    idx = dedup.ensure_dedup_index(spark, SF_DIR)
+    assert os.path.exists(os.path.join(os.path.dirname(idx), "_BUILT"))
+
+    want = text.curation_final_selection(spark, SF_DIR).toPandas()
+    got = text.curation_from_index(spark, SF_DIR).toPandas()
+    assert got.equals(want)
+    # second call reuses the cached index (marker mtime unchanged)
+    m = os.path.getmtime(os.path.join(os.path.dirname(idx), "_BUILT"))
+    text.curation_from_index(spark, SF_DIR).count()
+    assert os.path.getmtime(os.path.join(os.path.dirname(idx), "_BUILT")) == m
+    # the index-served plan never runs the Python minhash/banding stage
+    plan = text.curation_from_index(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
 def test_lsh_topk_candidates_and_recall(spark):
     """Multi-probe LSH ANN: the query always retrieves itself (identical
     band keys), results are a subset of the table ranked by exact cosine,
