@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_pairs": dedup.minhash_dup_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "cross_doc_dup_spans": dedup.cross_doc_dup_spans,
+        # round-5: the excision twin (keep-first-occurrence span removal)
+        "remove_dup_spans": dedup.remove_dup_spans,
         "simhash_fingerprints": dedup.simhash_fingerprints,
         "simhash_near_pairs": dedup.simhash_near_pairs,
         "simhash_dup_groups": dedup.simhash_dup_groups,
@@ -987,6 +989,50 @@ SELECT t.doc_id, t.n_spans, COALESCE(d.dup_spans, 0) AS dup_spans,
   ROUND(CAST(COALESCE(d.dup_spans, 0) AS DOUBLE) / t.n_spans, 6) AS dup_span_frac
 FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
 ORDER BY t.doc_id
+""",
+        # remove_dup_spans: the excision twin of cross_doc_dup_spans —
+        # same strided-gram CTE plus keep-first-occurrence removal; the
+        # oracle rebuilds the cleaned text CHARACTER-wise (kept chars
+        # string_agg'd in position order), an intentionally different
+        # construction from the Spark side's interval-merge + segment
+        # concat, so the two engines cross-check the excision itself
+        "remove_dup_spans": """
+WITH spans AS (
+  SELECT doc_id, CAST(p.i * 10 + 1 AS INT) AS pos,
+         md5(substring(text, CAST(p.i * 10 + 1 AS INT), 50)) AS gram
+  FROM documents,
+  UNNEST(range(0, CAST(CASE WHEN length(text) >= 50
+                 THEN floor((length(text) - 50) / 10.0) + 1 ELSE 1 END AS BIGINT))) AS p(i)
+), gs AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS first_doc
+  FROM spans GROUP BY gram
+), rem AS (
+  SELECT s.doc_id, s.pos
+  FROM spans s JOIN gs ON s.gram = gs.gram
+  WHERE gs.nd > 1 AND s.doc_id <> gs.first_doc
+), nrem AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed_spans FROM rem GROUP BY doc_id
+), chars AS (
+  SELECT d.doc_id, CAST(c.i AS INT) AS i, substring(d.text, CAST(c.i AS INT), 1) AS ch
+  FROM documents d, UNNEST(range(1, length(d.text) + 1)) AS c(i)
+), kept AS (
+  SELECT c.doc_id, string_agg(c.ch, '' ORDER BY c.i) AS cleaned
+  FROM chars c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM rem r
+    WHERE r.doc_id = c.doc_id AND c.i >= r.pos AND c.i < r.pos + 50
+  )
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+  COALESCE(n.n_removed_spans, 0) AS n_removed_spans,
+  CASE WHEN d.text IS NULL THEN NULL
+       ELSE CAST(length(COALESCE(k.cleaned, '')) AS INT) END AS cleaned_len,
+  CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(k.cleaned, '') END AS cleaned_text
+FROM documents d
+LEFT JOIN nrem n ON d.doc_id = n.doc_id
+LEFT JOIN kept k ON d.doc_id = k.doc_id
+ORDER BY d.doc_id
 """,
         # decontaminate_ngrams: same word-split + md5-gram vocabulary as the
         # Spark side; eval slice is the deterministic doc_id % 97 == 0 set

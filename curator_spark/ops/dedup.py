@@ -486,6 +486,133 @@ def cross_doc_dup_spans(
     )
 
 
+def remove_dup_spans(
+    spark: SparkSession, sf_dir: str, k: int = SPAN_K, stride: int = SPAN_STRIDE
+) -> DataFrame:
+    """Cross-document duplicate-span REMOVAL — the actual output of the
+    Lee et al. 2022 construction that :func:`cross_doc_dup_spans` only
+    measures: every strided ``k``-char span occurring verbatim in more
+    than one document is excised from every holder EXCEPT the first
+    (keep-first-occurrence = the minimum doc_id holding the span; that
+    doc keeps all its occurrences). Emits (doc_id, n_removed_spans,
+    cleaned_len, cleaned_text) with overlapping/adjacent removed ranges
+    merged before excision.
+
+    Scale shape (100 TB): the gram pass is the SAME one-scan shape as
+    cross_doc_dup_spans (narrow explode, digests-only shuffle, AQE-split
+    hot grams); the removal list groups back to its doc as a bounded
+    array (≤ len/stride positions per doc), and the excision itself is
+    pure JVM higher-order aggregates — interval merge then segment
+    rebuild — with no Python in the row path and text never shuffled
+    (the rebuild happens where the doc row lives; only (doc_id, pos)
+    ints move). Within-doc-only repetitions are NOT removed (that is
+    dup_ngram_fraction's within-doc territory).
+
+    NULL contract (tests/test_star_schema_null_parity.py): a NULL text
+    yields a NULL gram which never joins (NULL = NULL is no match on
+    either engine), so NULL docs pass through with n_removed_spans = 0
+    and NULL cleaned_text; empty texts share the md5('') span gram, so
+    of ≥2 empty docs only the min doc_id is "kept" — both engines agree
+    because the oracle replicates the gram definition exactly.
+
+    Reference analog: content identity (llm/llm.py:139-164) lifted from
+    whole-row drop to sub-document excision."""
+    docs = load(spark, sf_dir, "documents")
+    npos = F.when(
+        F.length("text") >= k, F.floor((F.length("text") - k) / stride) + 1
+    ).otherwise(F.lit(1)).cast("int")
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(0), npos - 1), lambda i: (i * stride + 1).cast("int"))
+        ).alias("pos"),
+        "text",
+    ).select(
+        "doc_id", "pos", F.md5(F.substring(F.col("text"), F.col("pos"), F.lit(k))).alias("gram")
+    )
+    gram_stats = spans.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("nd"), F.min("doc_id").alias("first_doc")
+    )
+    rem = (
+        spans.join(gram_stats, "gram")
+        .filter((F.col("nd") > 1) & (F.col("doc_id") != F.col("first_doc")))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("starts"),
+            F.count("*").alias("n_removed"),
+        )
+    )
+
+    # interval merge over the sorted removal starts (each covers
+    # [p, p+k) 1-based): adjacent/overlapping ranges coalesce, so the
+    # rebuild below never double-cuts. Pure codegen HOF — no UDF.
+    seg_t = "array<struct<s:int,e:int>>"
+    starts = F.coalesce(F.col("starts"), F.expr("array()").cast("array<int>"))
+    acc0 = F.struct(
+        F.expr("array()").cast(seg_t).alias("segs"),
+        F.lit(-1).cast("int").alias("cs"),
+        F.lit(-1).cast("int").alias("ce"),
+    )
+
+    def _merge(acc, p):
+        closed = F.concat(
+            acc.segs, F.array(F.struct(acc.cs.alias("s"), acc.ce.alias("e")))
+        )
+        return (
+            F.when(
+                acc.cs < 0,
+                F.struct(acc.segs.alias("segs"), p.alias("cs"), (p + k).cast("int").alias("ce")),
+            )
+            .when(
+                p <= acc.ce,
+                F.struct(
+                    acc.segs.alias("segs"),
+                    acc.cs.alias("cs"),
+                    F.greatest(acc.ce, (p + k).cast("int")).alias("ce"),
+                ),
+            )
+            .otherwise(
+                F.struct(closed.alias("segs"), p.alias("cs"), (p + k).cast("int").alias("ce"))
+            )
+        )
+
+    merged = F.aggregate(
+        starts,
+        acc0,
+        _merge,
+        lambda acc: F.when(acc.cs < 0, acc.segs).otherwise(
+            F.concat(acc.segs, F.array(F.struct(acc.cs.alias("s"), acc.ce.alias("e"))))
+        ),
+    )
+    # segment rebuild: concatenate the kept slices between merged cuts
+    text = F.col("text")
+    racc0 = F.struct(F.lit(1).cast("int").alias("nxt"), F.lit("").alias("txt"))
+    cleaned = F.aggregate(
+        merged,
+        racc0,
+        lambda acc, seg: F.struct(
+            seg.e.alias("nxt"),
+            F.concat(
+                acc.txt, F.substring(text, acc.nxt, F.greatest(seg.s - acc.nxt, F.lit(0)))
+            ).alias("txt"),
+        ),
+        lambda acc: F.concat(
+            acc.txt,
+            F.substring(text, acc.nxt, F.greatest(F.length(text) - acc.nxt + 1, F.lit(0))),
+        ),
+    )
+    return (
+        docs.join(rem, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed_spans"),
+            F.length(cleaned).alias("cleaned_len"),
+            cleaned.alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 DECON_EVAL_MOD = 97   # deterministic eval-set stand-in: doc_id % 97 == 0
 DECON_NGRAM = 8       # word n-gram width (public decontamination practice)
 
@@ -864,12 +991,10 @@ def _emb_vectors(spark: SparkSession, sf_dir: str, planted: bool) -> DataFrame:
     return allv
 
 
-def _emb_near_dup_edges(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.9, planted: bool = False
-) -> DataFrame:
-    """UNORDERED embedding near-dup pairs — internal edge set (the
-    components consumer re-shuffles immediately; see _dup_pair_edges)."""
-    allv = _emb_vectors(spark, sf_dir, planted)
+def _emb_band_keys_udf():
+    """The dedup-family SRP band-key kernel (4x16 bits), shared by
+    :func:`_emb_near_dup_edges` and :func:`semantic_dedup_groups` — one
+    definition so the two families can never pack bits differently."""
     planes = EMB_PLANES  # 32 KB — ships in the UDF closure
 
     @F.pandas_udf("array<int>")
@@ -889,6 +1014,17 @@ def _emb_near_dup_edges(
             for k in range(EMB_BAND_BITS):
                 keys[:, b] |= bits[:, b * EMB_BAND_BITS + k].astype(np.int64) << k
         return pd.Series([row for row in keys.astype(np.int32)])
+
+    return band_keys
+
+
+def _emb_near_dup_edges(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.9, planted: bool = False
+) -> DataFrame:
+    """UNORDERED embedding near-dup pairs — internal edge set (the
+    components consumer re-shuffles immediately; see _dup_pair_edges)."""
+    allv = _emb_vectors(spark, sf_dir, planted)
+    band_keys = _emb_band_keys_udf()
 
     stacked = allv.select(
         "vec_id",

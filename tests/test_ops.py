@@ -602,7 +602,41 @@ def test_curation_final_selection_composition(spark):
     assert all(split_map[d] == s for d, s in zip(sel.doc_id, sel.split))
 
 
-def test_curation_from_index_matches_inflight(spark):
+def test_remove_dup_spans_semantics(spark, workdir):
+    """Keep-first-occurrence excision on a constructed corpus: the min
+    doc_id holder keeps its text verbatim; a later holder with the same
+    66-char body behind a stride-aligned 10-char prefix loses every
+    shared window (merged into ONE cut) and keeps exactly the prefix;
+    within-doc-only repetition is never removed."""
+    import os
+
+    import pandas as pd
+
+    from curator_spark.ops import dedup
+
+    body = "the quick brown fox jumps over the lazy dog again and again today"  # 65
+    within = ("z" * 50 + "y" * 10) * 2  # within-doc repeat only, 120 chars
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [body, "PREFIX10__" + body, within],
+        }
+    )
+    sf = os.path.join(workdir, "rds_sf")
+    os.makedirs(sf, exist_ok=True)
+    df.to_parquet(os.path.join(sf, "documents.parquet"))
+
+    out = {r["doc_id"]: r for r in dedup.remove_dup_spans(spark, sf).collect()}
+    assert out[1]["n_removed_spans"] == 0 and out[1]["cleaned_text"] == body
+    # doc 2: windows at 11/21 share doc 1's grams at 1/11 → one merged
+    # cut [11, 71) over chars 11..70; the prefix and the 5-char tail
+    # beyond the last 50-wide window survive (pos 1's gram —
+    # prefix+body[:40] — is unique to doc 2)
+    assert out[2]["n_removed_spans"] == 2
+    assert out[2]["cleaned_text"] == "PREFIX10__" + body[60:]
+    assert out[2]["cleaned_len"] == 15
+    # within-doc repetition alone is out of scope (cross-doc op)
+    assert out[3]["n_removed_spans"] == 0 and out[3]["cleaned_text"] == within
     """The materialized keep-list index must serve EXACTLY the in-flight
     composition's selection, and the index-served plan must not contain
     the MinHash UDF stage (the whole point is not re-deriving the dedup

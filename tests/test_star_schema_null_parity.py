@@ -65,6 +65,19 @@ def poisoned_sf(tmp_path_factory):
          "lang": "en", "source": "adv", "n_chars": 52},
         {"doc_id": mx + 10, "text": "combining é acute and ä umlaut the and of to a",
          "lang": "en", "source": "adv", "n_chars": 49},
+        # round-5 excision bait for remove_dup_spans: a SECOND empty doc
+        # (the md5('') span gram is now held by two docs - the later one
+        # must be excised to ''), and an aligned shared-span pair: mx+13
+        # carries mx+12's 65-char text behind a 10-char prefix (stride-
+        # aligned), so its shared windows merge to one cut and only the
+        # prefix and the post-window tail survive
+        {"doc_id": mx + 11, "text": "", "lang": "de", "source": "adv", "n_chars": 0},
+        {"doc_id": mx + 12,
+         "text": "the quick brown fox jumps over the lazy dog again and again today",
+         "lang": "en", "source": "adv", "n_chars": 65},
+        {"doc_id": mx + 13,
+         "text": "PREFIX10__the quick brown fox jumps over the lazy dog again and again today",
+         "lang": "en", "source": "adv", "n_chars": 75},
     ])
     pq.write_table(
         pa.Table.from_pandas(pd.concat([docs, poison], ignore_index=True),
