@@ -233,6 +233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic fixture (the oracle plants identically in SQL)
         "embedding_near_dups": dedup.embedding_near_dups_fixture,
         "embedding_dup_groups": dedup.embedding_dup_groups_fixture,
+        # round-5: SemDeDup — kmeans cell ∘ within-cell SRP near-dup ∘
+        # components (fixture-gated like the other embedding entries)
+        "semantic_dedup_groups": dedup.semantic_dedup_groups_fixture,
         "dup_groups": dedup.dup_groups,
         "dedup_keep_list": dedup.dedup_keep_list,
         "ann_cosine_topk": similarity.ann_cosine_topk,
@@ -535,6 +538,55 @@ ORDER BY vec_a, vec_b
 )
 SELECT CAST(MIN(dst) AS BIGINT) AS group_id, src AS vec_id
 FROM vreach GROUP BY src ORDER BY group_id, vec_id
+"""
+    )
+
+    # semantic_dedup_groups: SemDeDup — the SAME planted SRP core, but
+    # candidates are additionally gated on sharing a coarse k-means cell
+    # (the kmeans_assign quantizer replayed over allv, planted copies
+    # included), then verified + transitively closed within cells only
+    _dist_terms = ",\n      ".join(
+        "list_sum(list_transform(range(1, 65), "
+        f"i -> (v.emb[CAST(i AS INT)] - CAST(c{j}[CAST(i AS INT)] AS DOUBLE)) ^ 2))"
+        for j in range(4)
+    )
+    sem_groups_sql = (
+        emb_core
+        + f""", cpiv AS (
+  SELECT
+    (SELECT embedding FROM embeddings WHERE vec_id = 0) AS c0,
+    (SELECT embedding FROM embeddings WHERE vec_id = 7) AS c1,
+    (SELECT embedding FROM embeddings WHERE vec_id = 19) AS c2,
+    (SELECT embedding FROM embeddings WHERE vec_id = 42) AS c3
+), cdists AS (
+  SELECT v.vec_id, list_value(
+      {_dist_terms}
+  ) AS darr
+  FROM allv v CROSS JOIN cpiv
+), cells AS (
+  SELECT vec_id, CAST(list_position(darr, list_min(darr)) - 1 AS INT) AS cell
+  FROM cdists
+), scand AS (
+  SELECT DISTINCT c.vec_a, c.vec_b FROM cand c
+  JOIN cells ca ON ca.vec_id = c.vec_a
+  JOIN cells cb ON cb.vec_id = c.vec_b AND cb.cell = ca.cell
+), sscored AS (
+  SELECT s.vec_a, s.vec_b, s.cs FROM scored s JOIN scand USING (vec_a, vec_b)
+), svedges AS (
+  SELECT vec_a AS a, vec_b AS b FROM sscored WHERE cs >= 0.9
+  UNION ALL SELECT vec_b, vec_a FROM sscored WHERE cs >= 0.9
+), svnodes AS (
+  SELECT DISTINCT a AS vec_id FROM svedges
+), svreach AS (
+  SELECT vec_id AS src, vec_id AS dst FROM svnodes
+  UNION
+  SELECT r.src, e.b FROM svreach r JOIN svedges e ON r.dst = e.a
+), scomp AS (
+  SELECT src AS vec_id, MIN(dst) AS group_id FROM svreach GROUP BY src
+)
+SELECT CAST(s.group_id AS BIGINT) AS group_id, s.vec_id, ce.cell
+FROM scomp s JOIN cells ce USING (vec_id)
+ORDER BY group_id, vec_id
 """
     )
 
@@ -1059,6 +1111,7 @@ ORDER BY w.doc_id
 """,
         "embedding_near_dups": emb_near_sql,
         "embedding_dup_groups": emb_groups_sql,
+        "semantic_dedup_groups": sem_groups_sql,
         "dup_groups": dup_groups_sql,
         "dedup_keep_list": keep_list_sql,
         "curation_final_selection": curation_sql,

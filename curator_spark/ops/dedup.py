@@ -1156,6 +1156,93 @@ def embedding_dup_groups(
     ).orderBy("group_id", "vec_id")
 
 
+def semantic_dedup_groups(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.9,
+    max_iters: int = 20,
+    planted: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public): assign
+    every vector to its nearest coarse cluster cell, then near-dup ONLY
+    within a cell — SRP-LSH candidates are keyed by (cell, band, bkey),
+    so two vectors can never pair across cells. Exact-cosine verify ≥
+    ``threshold``, connected components → (group_id, vec_id, cell).
+
+    Scale shape (10^9+ vectors): the cell gate is what keeps the
+    construction bounded as clusters of near-identical content grow —
+    every LSH bucket is subdivided by cell, the within-bucket self-join
+    only ever sees one cell's worth of a hot bucket, and at cluster
+    scale the cell becomes a partition column (the build_ivf_index
+    layout) so the whole dedup fans out as independent per-cell jobs.
+    The cells here are the fixed CENTROID_IDS quantizer of
+    :func:`curator_spark.ops.similarity.kmeans_assign` — sequential-fold
+    double math, exactly replicated (with the within-cell bucket join
+    and the recursive closure) by the DuckDB oracle. A true near-dup
+    pair straddling a cell boundary is intentionally out of scope —
+    that is SemDeDup's documented trade for boundedness.
+
+    Reference analog: content-identity dedup (llm/llm.py:139-164)
+    lifted to vectors, composed the way the public SemDeDup pipeline
+    composes k-means ∘ within-cluster cosine."""
+    from .similarity import CENTROID_IDS, query_vectors
+
+    allv = _emb_vectors(spark, sf_dir, planted)
+    cvecs = query_vectors(spark, sf_dir, CENTROID_IDS)
+    cents = [
+        F.array(*[F.lit(float(np.float32(v))) for v in cvecs[cid]]) for cid in CENTROID_IDS
+    ]
+
+    def dist2(x, c):
+        return F.aggregate(
+            F.zip_with(x, c, lambda p, q: (p.cast("double") - q.cast("double")) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    darr = F.array(*[dist2(F.col("emb"), c) for c in cents])
+    cells = allv.withColumn(
+        "cell", (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+    )
+    band_keys = _emb_band_keys_udf()
+    stacked = cells.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                band_keys("emb"), lambda k, i: F.concat_ws(":", F.col("cell"), i, k)
+            )
+        ).alias("bucket"),
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    x, y = allv.alias("x"), allv.alias("y")
+    edges = (
+        cand.join(x, cand.vec_a == F.col("x.vec_id"))
+        .join(y, cand.vec_b == F.col("y.vec_id"))
+        .select("vec_a", "vec_b", _cos_sim(F.col("x.emb"), F.col("y.emb")).alias("cs"))
+        .filter(F.col("cs") >= threshold)
+        .select("vec_a", "vec_b")
+    )
+    groups = _min_label_components(
+        edges, "vec_a", "vec_b", "vec_id", max_iters, "semantic_dedup_groups"
+    )
+    return (
+        groups.join(cells.select("vec_id", "cell"), "vec_id")
+        .select("group_id", "vec_id", "cell")
+        .orderBy("group_id", "vec_id")
+    )
+
+
+def semantic_dedup_groups_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture-gated twin of :func:`semantic_dedup_groups` (the driver
+    table has no natural near-dups; see embedding_near_dups_fixture)."""
+    return semantic_dedup_groups(spark, sf_dir, planted=True)
+
+
 def embedding_near_dups_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver/bench gate query: the PURE :func:`embedding_near_dups` run
     over the embeddings table augmented with the deterministic planted

@@ -602,6 +602,24 @@ def test_curation_final_selection_composition(spark):
     assert all(split_map[d] == s for d, s in zip(sel.doc_id, sel.split))
 
 
+def test_semantic_dedup_cell_locality(spark):
+    """SemDeDup invariants: every group lives entirely inside ONE
+    k-means cell; the grouping refines the cell-blind embedding dedup
+    (each semantic group sits inside one global group); and it is pure
+    over the natural table (no fixture ids without planting)."""
+    from curator_spark.ops import dedup
+
+    sem = dedup.semantic_dedup_groups_fixture(spark, SF_DIR).toPandas()
+    assert len(sem) > 0
+    assert (sem.groupby("group_id")["cell"].nunique() == 1).all()
+    glob = dedup.embedding_dup_groups_fixture(spark, SF_DIR).toPandas()
+    gmap = dict(zip(glob.vec_id, glob.group_id))
+    # refinement: all members of a semantic group share a global group
+    for _, grp in sem.groupby("group_id"):
+        assert len({gmap.get(v) for v in grp.vec_id}) == 1
+    assert dedup.semantic_dedup_groups(spark, SF_DIR).count() == 0  # pure
+
+
 def test_remove_dup_spans_semantics(spark, workdir):
     """Keep-first-occurrence excision on a constructed corpus: the min
     doc_id holder keeps its text verbatim; a later holder with the same
