@@ -412,54 +412,80 @@ def lang_quota_sample(spark: SparkSession, sf_dir: str, quota: int = 40) -> Data
 
 def _quota_sample(docs: DataFrame, quota: int) -> DataFrame:
     """Core of :func:`lang_quota_sample` over any (doc_id, lang) frame —
-    split out so the hash-tail shortfall path is unit-testable."""
+    split out so the hash-tail shortfall path is unit-testable.
+
+    Round-5 hardening (VERDICT r4 task #7): the per-language cutoffs are
+    carried as a JOINED (lang, cut) frame instead of a driver-built
+    OR-chain predicate, removing both the Catalyst expression-tree
+    ceiling at high language cardinality (~10k+ langs made the plan
+    itself the bottleneck) and the two driver collects the old shape
+    needed (per-language counts, shortfall probe) — the whole sample is
+    now one distributed DAG. The cutoff arithmetic is bit-identical to
+    the old Python floats (double divide/multiply + truncation), so
+    results are unchanged. No broadcast hint on the cuts joins: the
+    cuts frame is one row per language, so AQE broadcasts it when the
+    runtime size is small and degrades to a shuffled join (hot lang
+    keys skew-splittable) on pathological inventories."""
     from pyspark.sql import Window
 
     docs = docs.withColumn("sample_key", F.md5(F.col("doc_id").cast("string")))
-    counts = {
-        r["lang"]: r["cnt"]
-        for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
-    }
-    if not counts:  # empty input: typed empty result, not filter(None)
-        return docs.select(
-            "doc_id", "lang", "sample_key", F.lit(0).cast("long").alias("rk")
-        ).limit(0)
-    cut_expr = None
-    for lang, cnt in counts.items():
-        frac = min(1.0, 8.0 * quota / max(cnt, 1))
-        cut = f"{min(0xFFFFFFFF, int(frac * 0x100000000)):08x}"
-        # eqNullSafe: a NULL lang is a legitimate group key here — a
-        # plain == comparison is NULL under three-valued logic, which
-        # would silently drop every NULL-lang row at the cut
-        cond = F.col("lang").eqNullSafe(F.lit(lang).cast("string")) & (
-            (F.substring("sample_key", 1, 8) < F.lit(cut)) | F.lit(frac >= 1.0)
+    # per-language cutoff frame: frac = min(1, 8*quota/cnt); the hex cut
+    # reproduces f"{int(frac * 2**32):08x}" exactly (floor == int-trunc
+    # for non-negative doubles; hex() uppercases, md5 is lowercase)
+    frac = F.least(F.lit(1.0), F.lit(8.0 * quota) / F.greatest("cnt", F.lit(1)))
+    cut = F.lpad(
+        F.lower(
+            F.hex(
+                F.least(
+                    F.lit(0xFFFFFFFF).cast("long"),
+                    F.floor(frac * F.lit(float(0x100000000))).cast("long"),
+                )
+            )
+        ),
+        8,
+        "0",
+    )
+    cuts = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("lang").alias("c_lang"),
+            "cnt",
+            cut.alias("cut"),
+            (frac >= 1.0).alias("keep_all"),
         )
-        cut_expr = cond if cut_expr is None else (cut_expr | cond)
-    survivors = docs.filter(cut_expr)
-    scnt = {
-        r["lang"]: r["cnt"]
-        for r in survivors.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
-    }
-    short = [
-        lang for lang, cnt in counts.items() if scnt.get(lang, 0) < min(quota, cnt)
-    ]
-    if short:  # hash-tail shortfall: exact fallback for just those languages
-        # the short language's cut-survivors are ALSO in the unfiltered
-        # fallback slice — drop them from the cut side or they'd appear
-        # twice and double-count against the quota. The membership test
-        # must be null-proof twice over: isin with a NULL in the LIST
-        # returns NULL for every non-member (which would erase ALL other
-        # languages through ~NULL), and a NULL lang ROW needs isNull()
-        # to reach its fallback slice.
-        short_nn = [s for s in short if s is not None]
-        in_short = F.col("lang").isin(short_nn) if short_nn else F.lit(False)
-        if any(s is None for s in short):
-            in_short = in_short | F.col("lang").isNull()
-        in_short = F.coalesce(in_short, F.lit(False))
-        survivors = survivors.filter(~in_short).union(docs.filter(in_short))
+    )
+    # eqNullSafe: a NULL lang is a legitimate group key here — a plain
+    # == join would silently drop every NULL-lang row at the cut
+    joined = docs.join(cuts, F.col("lang").eqNullSafe(F.col("c_lang")))
+    survivors = joined.filter(
+        F.col("keep_all") | (F.substring("sample_key", 1, 8) < F.col("cut"))
+    ).select("doc_id", "lang", "sample_key")
+    # hash-tail shortfall: languages whose cut-survivors cannot fill
+    # min(quota, cnt) fall back to their unfiltered slice — EXACTLY the
+    # global definition the oracle states. The cut-survivors of a short
+    # language are dropped from the cut side (they are also in the
+    # fallback slice; keeping both would double-count against the quota).
+    scnt = survivors.groupBy(F.col("lang").alias("s_lang")).agg(
+        F.count("*").alias("scnt")
+    )
+    short = (
+        cuts.join(scnt, F.col("c_lang").eqNullSafe(F.col("s_lang")), "left")
+        .filter(
+            F.coalesce("scnt", F.lit(0)) < F.least(F.lit(quota).cast("long"), "cnt")
+        )
+        .select(F.col("c_lang").alias("short_lang"))
+    )
+    pool = survivors.join(
+        short, F.col("lang").eqNullSafe(F.col("short_lang")), "left_anti"
+    ).unionByName(
+        docs.join(
+            short, F.col("lang").eqNullSafe(F.col("short_lang")), "left_semi"
+        ).select("doc_id", "lang", "sample_key")
+    )
     w = Window.partitionBy("lang").orderBy("sample_key", "doc_id")
     return (
-        survivors.withColumn("rk", F.row_number().over(w).cast("long"))
+        pool.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= quota)
         .select("doc_id", "lang", "sample_key", "rk")
         .orderBy("lang", "rk")

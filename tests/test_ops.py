@@ -434,6 +434,40 @@ def test_quota_sample_shortfall_no_duplicates(spark):
         assert sorted(r["doc_id"] for r in per_lang[lang]) == sorted(want)
 
 
+def test_quota_sample_high_lang_cardinality(spark):
+    """The joined-cutoff rewrite must stay bounded at ~5k distinct
+    languages (the old driver-built OR-chain made the Catalyst tree
+    itself the bottleneck) and still satisfy the exact global
+    definition: the quota smallest md5 keys per language."""
+    import hashlib
+    import time
+
+    import pandas as pd
+
+    from curator_spark.ops.text import _quota_sample
+
+    n_langs, per_lang, quota = 5000, 4, 2
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n_langs * per_lang),
+            "lang": [f"l{i % n_langs:04d}" for i in range(n_langs * per_lang)],
+        }
+    )
+    t0 = time.monotonic()
+    df = _quota_sample(spark.createDataFrame(pdf), quota)
+    df.queryExecution if False else df._jdf.queryExecution().executedPlan()  # force planning
+    planned = time.monotonic() - t0
+    out = df.toPandas()
+    assert planned < 60, f"planning took {planned:.1f}s"
+    assert (out.groupby("lang").size() == quota).all()
+    assert len(out) == n_langs * quota
+    # spot-check the exact definition on a handful of languages
+    for lang in ("l0000", "l2500", "l4999"):
+        pool = pdf.loc[pdf.lang == lang, "doc_id"]
+        want = sorted(pool, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))[:quota]
+        assert sorted(out.loc[out.lang == lang, "doc_id"]) == sorted(want)
+
+
 def test_bigram_self_ppl_invariants(spark):
     """ppl must be 2^h_bits row-by-row, h positive and bounded by
     log2(V + max unigram count) (Laplace floor), and byte-identical docs
