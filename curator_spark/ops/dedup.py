@@ -405,6 +405,7 @@ SPAN_K = 50      # Lee et al. 2022-style span width ("Deduplicating
 SPAN_STRIDE = 10  # Training Data Makes Language Models Better", public):
 # exact duplicated SPANS across documents, approximated by hashed strided
 # windows instead of a suffix array — the standard scalable relaxation.
+_SPAN_PERSIST = False  # A/B'd OFF round 5 — see cross_doc_dup_spans body
 
 
 def cross_doc_dup_spans(
@@ -417,19 +418,21 @@ def cross_doc_dup_spans(
     identity (llm/llm.py:139-164) lifted from whole rows to spans;
     ``dup_ngram_fraction`` is the WITHIN-doc twin.
 
-    Scale shape (100 TB): ONE scan. explode is narrow; then (gram,
-    doc_id) hash-agg with map-side combine (a corpus-universal span —
-    boilerplate headers, license text — arrives at its reducer
-    pre-combined and is PERSISTED so both consumers reuse it), a
+    Scale shape (100 TB): per-doc totals are computed straight from
+    ``length(text)`` (zero explode), so the gram machinery runs for the
+    dup side only — explode is narrow; then (gram, doc_id) hash-agg with
+    map-side combine (a corpus-universal span — boilerplate headers,
+    license text — arrives at its reducer pre-combined), a
     map-side-combinable per-gram doc count joined back on gram (the one
     skew-prone key, handled by AQE skew-join splitting — a count WINDOW
     over the gram partitioning would funnel every holder of a universal
     gram into one un-splittable sort task), and a final per-doc rollup.
     No text ever shuffles — only 32-hex digests with small counts. This
     is the standard scalable relaxation of the suffix-array construction
-    in the public Lee et al. 2022 dedup paper. (A naive three-branch
-    formulation re-derives the scan+explode per branch: 3 scans in the
-    explain vs this plan's 1.)"""
+    in the public Lee et al. 2022 dedup paper. The (gram, doc_id) agg is
+    re-derived per consumer rather than persisted — measured cheaper at
+    sf0.1 AND the right call at 100 TB, where the frame is a multiple of
+    the corpus size (see the body comment for the A/B numbers)."""
     docs = load(spark, sf_dir, "documents")
     npos = F.when(
         F.length("text") >= k, F.floor((F.length("text") - k) / stride) + 1
@@ -449,24 +452,36 @@ def cross_doc_dup_spans(
     # license text) would put one row per holding document into a single
     # un-splittable window task — the same skew shape bigram_self_ppl's
     # docstring rejects. The groupBy is map-side combinable and the
-    # join's hot key is AQE-skew-splittable. per_doc_gram persists so the
-    # second consumer does not re-derive the scan+explode.
+    # join's hot key is AQE-skew-splittable.
+    #
+    # per_doc_gram is NOT persisted by default (round-5 A/B, VERDICT r4
+    # task #4): at sf0.1 the MEMORY_AND_DISK write cost more than the
+    # re-derivation it saved (median 1.20 s persisted vs 0.71 s
+    # re-derived, interleaved ×5), and at 100 TB the ledger is worse —
+    # per_doc_gram is ~(corpus_bytes/stride) rows × ~40 B, i.e. a
+    # multiple of the corpus itself, so materializing it dwarfs the
+    # extra columnar scans (which prune to (doc_id, text) and re-run
+    # only cheap explode+md5 CPU). The knob stays for callers whose
+    # storage/CPU ratio differs.
     from pyspark.storagelevel import StorageLevel
 
     from . import register_transient_persist
 
-    per_doc_gram = per_doc_gram.persist(StorageLevel.MEMORY_AND_DISK)
-    register_transient_persist(spark, per_doc_gram)
+    if _SPAN_PERSIST:
+        per_doc_gram = per_doc_gram.persist(StorageLevel.MEMORY_AND_DISK)
+        register_transient_persist(spark, per_doc_gram)
     gram_docs = per_doc_gram.groupBy("gram").agg(
         F.count("*").alias("nd")  # distinct docs holding the gram
     )
-    # totals from per_doc_gram DIRECTLY (not through the gram join): a
-    # NULL-text doc's single span hashes to a NULL gram, which an
-    # equi-join silently drops — the doc would vanish from the output
-    # instead of reporting (n_spans=1, dup_spans=0) as the oracle does.
-    # NULL grams never count as shared on either engine (NULL = NULL is
-    # not a match), so the dup side's inner join is correct as-is.
-    tot = per_doc_gram.groupBy("doc_id").agg(F.sum("cnt").alias("n_spans"))
+    # totals DIRECTLY from npos — the span count per doc is a pure
+    # length() function of the text, so the total needs neither the
+    # explode nor the gram join (round 5: this removes a whole consumer
+    # branch / one of three scans). Bonus: the NULL-text doc keeps its
+    # (n_spans=1, dup_spans=0) oracle row with no gram-join NULL hazard
+    # (its single span hashes to a NULL gram, which never equi-joins —
+    # NULL = NULL is not a match on either engine — so the dup side's
+    # inner join is correct as-is).
+    tot = docs.select("doc_id", npos.cast("long").alias("n_spans"))
     dup = (
         per_doc_gram.join(gram_docs.filter(F.col("nd") > 1), "gram")
         .groupBy("doc_id")
