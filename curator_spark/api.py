@@ -53,6 +53,15 @@ def fingerprint_fn(*fns: Callable) -> str:
         try:
             h.update(inspect.getsource(fn).encode())
         except (OSError, TypeError):  # builtins / lambdas from REPL
+            # a source-less function's stripped repr is just its qualname
+            # — two different REPL lambdas named '<lambda>' would collide
+            # into one fingerprint (silent wrong cache HIT). Its compiled
+            # body is still available: mix in the bytecode + consts +
+            # names, which differ whenever behavior differs.
+            code = getattr(fn, "__code__", None)
+            if code is not None:
+                h.update(code.co_code)
+                h.update(repr((code.co_consts, code.co_names)).encode())
             h.update(_stable_repr(fn).encode())
     return h.hexdigest()
 
@@ -107,7 +116,18 @@ def _stable_repr(v, depth: int = 0) -> str:
     r = repr(v)
     m = _DEFAULT_REPR_RE.match(r)
     if m and depth < 4:
-        state = getattr(v, "__dict__", None)
+        # harvest state from __dict__ AND __slots__ (a __slots__ class
+        # has no __dict__, so its instances would otherwise all collapse
+        # to a state-less repr — two differently-configured captures
+        # colliding into one fingerprint, the silent wrong HIT above)
+        state = dict(getattr(v, "__dict__", None) or {})
+        for klass in type(v).__mro__:
+            for slot in getattr(klass, "__slots__", ()) or ():
+                if slot not in ("__dict__", "__weakref__") and slot not in state:
+                    try:
+                        state[slot] = getattr(v, slot)
+                    except AttributeError:  # declared but never assigned
+                        pass
         inner = (
             ", ".join(
                 f"{k}={_stable_repr(vv, depth + 1)}"

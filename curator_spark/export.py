@@ -170,7 +170,7 @@ def publish_dataset(
     import hashlib
     import shutil
 
-    from .ops.text import _split_expr
+    from .ops.text import SPLIT_SCHEME, _split_expr
 
     labeled = pipe.output(fingerprint)
     kept = labeled.filter(F.col("keep")).withColumn(
@@ -230,6 +230,10 @@ def publish_dataset(
         "n_shards": len(shards),
         "val_frac": val_frac,
         "test_frac": test_frac,
+        # scheme tag (round-5 ADVICE): the r4 salt reassigned membership
+        # vs bare-md5 publishes — mixing publishes across schemes
+        # cross-contaminates splits; consumers compare THIS field
+        "split_scheme": SPLIT_SCHEME,
         "config_json": pipe.cfg.canonical_json(),
     }
     with open(os.path.join(repo_dir, "dataset_info.json"), "w") as fh:
@@ -240,6 +244,7 @@ def publish_dataset(
             f"""---
 run_fingerprint: {fp}
 splits: {json.dumps(split_rows)}
+split_scheme: {SPLIT_SCHEME}
 generated_at: {info["generated_at"]}
 ---
 
@@ -248,6 +253,10 @@ generated_at: {info["generated_at"]}
 Hub-layout publish of run `{fp}` — kept rows only, leakage-safe
 `md5('split|' || clip_id)` split assignment (first 8 hex chars as a
 fraction of 2^32: test < {test_frac} <= val < {test_frac + val_frac} <= train).
+
+Split scheme: `{SPLIT_SCHEME}`. Do **not** mix shards from publishes with
+a different `split_scheme` — membership was reassigned between schemes,
+so mixed publishes cross-contaminate train/val/test.
 
 | split | rows |
 |---|---|

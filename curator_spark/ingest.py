@@ -23,6 +23,7 @@ big inputs arrive as paths or DataFrames.
 
 from __future__ import annotations
 
+import logging
 import os
 from collections.abc import Iterable
 
@@ -48,6 +49,18 @@ def _read_path(spark: SparkSession, path: str, schema=None, csv_options=None) ->
         return reader.json(path)
     if name.endswith(".csv"):
         reader = spark.read.option("header", True)
+        if not csv_options:
+            # the repo dialect silently changes two parse behaviors vs
+            # Spark's reader defaults (escape='"' mis-parses
+            # backslash-escaped files; multiLine makes each file one
+            # task) — say so once per process so a mis-parse is
+            # traceable to the dialect, not the data (round-5 ADVICE)
+            logging.getLogger(__name__).info(
+                "reading %s with the repo CSV dialect %s — pass "
+                "csv_options to override (see ingest.CSV_DIALECT)",
+                path,
+                CSV_DIALECT,
+            )
         for k, v in {**CSV_DIALECT, **(csv_options or {})}.items():
             reader = reader.option(k, v)
         if schema is not None:

@@ -511,6 +511,14 @@ def dataset_split(
     return docs.select("doc_id", "lang", split.alias("split")).orderBy("doc_id")
 
 
+# Split-scheme identifier, recorded by the publisher (round-5 ADVICE):
+# the round-4 salt ('split|' || id, v2) reassigned membership relative to
+# every v1 (bare-md5) publish, so datasets published under different
+# schemes must NOT be mixed — consumers detect that from this tag in
+# dataset_info.json / the card front-matter rather than by diffing rows.
+SPLIT_SCHEME = "md5(split|id) v2"
+
+
 def _split_expr(val_frac: float, test_frac: float, id_col: str = "doc_id"):
     """The pure-codegen split assignment column (md5 prefix of ``id_col``
     as a uniform dyadic fraction — exact IEEE double on both engines).

@@ -422,3 +422,58 @@ def test_fingerprint_stable_for_default_repr_captures():
     prod, staging = factory(Cfg("prod")), factory(Cfg("staging"))
     assert _closure_repr(prod) != _closure_repr(staging)
     assert _closure_repr(prod) == _closure_repr(factory(Cfg("prod")))
+
+
+def test_fingerprint_slots_and_sourceless_callables():
+    """Round-5 ADVICE: (a) a captured __slots__ instance has no __dict__,
+    so its state must be harvested from the slot declarations (walking
+    the MRO) — otherwise two differently-configured captures collapse
+    into one fingerprint, the silent wrong cache HIT; (b) a source-less
+    callable (eval/exec-compiled, REPL lambda) must fingerprint by its
+    compiled body, not its qualname — two different lambdas both named
+    '<lambda>' must not collide."""
+    from curator_spark.api import _closure_repr, _stable_repr, fingerprint_fn
+
+    class SlotBase:
+        __slots__ = ("base_env",)
+
+    class SlotCfg(SlotBase):  # slots split across the MRO
+        __slots__ = ("rate",)
+
+        def __init__(self, base_env, rate):
+            self.base_env = base_env
+            self.rate = rate
+
+    def factory(h):
+        def fn(pdf):
+            return (h, pdf)
+
+        return fn
+
+    prod, staging = factory(SlotCfg("prod", 1)), factory(SlotCfg("staging", 2))
+    assert _closure_repr(prod) != _closure_repr(staging)
+    assert _closure_repr(prod) == _closure_repr(factory(SlotCfg("prod", 1)))
+    # address-stability still holds: same state, different instances
+    assert "0x" not in _stable_repr(SlotCfg("prod", 1)) or " at 0x" not in (
+        _stable_repr(SlotCfg("prod", 1))
+    )
+
+    # a declared-but-never-assigned slot must not blow up the repr
+    class Lazy:
+        __slots__ = ("maybe",)
+
+    assert "Lazy" in _stable_repr(Lazy())
+
+    f1 = eval("lambda x: x + 1")
+    f2 = eval("lambda x: x - 1")
+    f1b = eval("lambda x: x + 1")
+    for f in (f1, f2):
+        try:
+            import inspect
+
+            inspect.getsource(f)
+            raise AssertionError("expected source-less callable")
+        except OSError:
+            pass
+    assert fingerprint_fn(f1) != fingerprint_fn(f2)
+    assert fingerprint_fn(f1) == fingerprint_fn(f1b)
