@@ -109,6 +109,12 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from curator_spark.cost import estimate_stage_costs
+
+    return estimate_stage_costs(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from curator_spark.ops import dedup, multimodal, relational, similarity, text, usermap
 
@@ -176,6 +182,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5: the same decision served from the MATERIALIZED dedup
         # keep-list index (ensure_dedup_index) — same oracle by design
         "curation_from_index": text.curation_from_index,
+        # round-5: per-stage cost-model hook (SURVEY §2.5 A1 completion —
+        # reference cost.py per-model USD map); the deterministic budget
+        # face gates here, the measured face is pytest-reconciled
+        "stage_cost_estimate": _cost_estimate,
         # similarity search — lsh_topk is NEW this round, so it stays in
         # the driver's 50-entry window with the other unrecorded queries
         "lsh_topk": similarity.lsh_topk,
@@ -1669,4 +1679,9 @@ SELECT doc_id, rk, term, tf, df FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
     from curator_spark.scoring import bpe_sql
 
     out["token_count_bpe"] = bpe_sql.token_count_bpe_sql()
+    # stage_cost_estimate (round-5): the SQL twin is generated from the
+    # SAME pinned rate card the Spark estimator prices with
+    from curator_spark.cost import estimate_stage_costs_sql
+
+    out["stage_cost_estimate"] = estimate_stage_costs_sql()
     return out

@@ -653,3 +653,17 @@ class Pipeline:
     def kept(self) -> DataFrame:
         """The curated view — predicate pushed to the parquet/Iceberg scan."""
         return self.output().filter(F.col("keep"))
+
+    def cost_report(self, rates=None, fingerprint: str | None = None) -> DataFrame:
+        """Per-stage USD rollup of one run (default: the last ``run()``),
+        priced from the audit table's measured rows + wall time — the
+        reference's running cost tracker (``cost.py:16-143`` per-model
+        USD map folded into the status tracker), re-expressed as a
+        post-run audit consumer (SURVEY §2.5 A1)."""
+        from .cost import DEFAULT_RATES, measured_stage_costs
+
+        fp = fingerprint or self.last_fingerprint
+        audit = self.catalog.read(AUDIT_TABLE)
+        if fp is not None:
+            audit = audit.filter(F.col("run_fingerprint") == fp)
+        return measured_stage_costs(audit, rates or DEFAULT_RATES)

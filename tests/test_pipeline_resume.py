@@ -650,3 +650,41 @@ def test_src_file_spelling_matches_manifest_reader(spark, workdir):
     # relative input path: the manifest side must still record absolute
     rel = os.path.relpath(inp)
     assert set(manifest.list_parquet_files(rel)) == man_files
+
+
+def test_cost_report_reconciles_with_audit(env):
+    """The measured cost face (round-5, SURVEY §2.5 A1 completion) must
+    price exactly what the audit table records: per stage, usd =
+    rows_in/1e6·row_rate + (sum of wall_ms)/n_stages/3.6e6·cpu_rate —
+    recomputed here with plain Python over the collected audit rows."""
+    from curator_spark.cost import STAGES, RateCard
+
+    spark, inp, cfg, cat = env
+    pipe = Pipeline(spark, cat, cfg)
+    pipe.run(inp)
+    rates = RateCard(
+        usd_per_1m_rows=(("decode", 2.0), ("score", 0.5)),
+        usd_per_cpu_hour=3.6,  # 0.001 usd/sec — easy mental arithmetic
+    )
+    got = {r["stage"]: r for r in pipe.cost_report(rates).collect()}
+    assert set(got) == set(STAGES)
+    aud = cat.read("audit").filter(
+        F.col("run_fingerprint") == pipe.last_fingerprint
+    ).collect()
+    for stage in STAGES:
+        rows_in = sum(r["rows_in"] for r in aud if r["stage"] == stage)
+        wall_share = sum(
+            r["wall_ms"] / len(STAGES) for r in aud if r["stage"] == stage
+        )
+        want = rows_in / 1e6 * dict(rates.usd_per_1m_rows).get(stage, 0.0) + (
+            wall_share / 3_600_000.0 * rates.usd_per_cpu_hour
+        )
+        assert got[stage]["rows_in"] == rows_in
+        assert abs(got[stage]["usd"] - round(want, 8)) < 1e-9, stage
+    # the budget face prices the same stages from pure content counts
+    # and stays strictly positive on a non-empty table
+    from curator_spark.cost import estimate_stage_costs
+
+    est = {r["stage"]: r["est_usd"] for r in
+           estimate_stage_costs(spark, "/root/testdata/sf0.001").collect()}
+    assert set(est) == set(STAGES) and all(v > 0 for v in est.values())
