@@ -90,20 +90,24 @@ def estimate_stage_costs(
         F.count("*").alias("n_rows"),
         F.coalesce(F.sum(tok), F.lit(0)).alias("n_tokens"),
     )
-    stage_rows = None
-    for s in STAGES:
-        est = (
-            F.col("n_rows") / F.lit(1e6) * F.lit(rates.rows_rate(s))
-            + F.col("n_tokens") / F.lit(1e6) * F.lit(rates.tokens_rate(s))
-        )
-        row = tot.select(
-            F.lit(s).alias("stage"),
-            "n_rows",
-            "n_tokens",
-            F.round(est, 8).alias("est_usd"),
-        )
-        stage_rows = row if stage_rows is None else stage_rows.unionByName(row)
-    return stage_rows.orderBy("stage")
+    # cross join against a 4-row literal rate frame, NOT a 4-way union of
+    # `tot` selects: each union branch would re-derive the corpus scan +
+    # agg (Catalyst does not ReuseExchange differently-projected
+    # branches), turning a one-scan estimate into four. The cross join is
+    # a broadcast nested loop of 1 × 4 rows.
+    card = spark.createDataFrame(
+        [(s, rates.rows_rate(s), rates.tokens_rate(s)) for s in STAGES],
+        "stage string, r_rows double, r_tok double",
+    )
+    est = (
+        F.col("n_rows") / F.lit(1e6) * F.col("r_rows")
+        + F.col("n_tokens") / F.lit(1e6) * F.col("r_tok")
+    )
+    return (
+        tot.crossJoin(card)
+        .select("stage", "n_rows", "n_tokens", F.round(est, 8).alias("est_usd"))
+        .orderBy("stage")
+    )
 
 
 def estimate_stage_costs_sql(rates: RateCard = DEFAULT_RATES) -> str:
