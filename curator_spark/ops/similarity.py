@@ -136,10 +136,14 @@ def _quantize6e(arr: np.ndarray) -> np.ndarray:
 # 0.003) — the WORST case for SRP-LSH — and the round-4 single-probe 8x8
 # family retrieved only recall@10 ≈ 0.3 at ~3% of the table. 24x12+48
 # probes lifts query-0 recall@10 to 1.0 (sf0.1; mean over 30 queries
-# 0.89) at a measured ~29% candidate fraction on THIS fixture; on real
-# (clustered) embedding corpora the same config probes far fewer rows
-# because neighbor margins concentrate. The fraction is logged per run
-# (``lsh_candidate_frac``) rather than assumed.
+# 0.89) at a measured ~29% candidate fraction. The fraction is a
+# function of the probe BUDGET (depth 48 costs ~29% on clustered
+# geometry too — measured, bench.lsh_clustered_evidence); what geometry
+# changes is the recall a given depth buys: on a clustered corpus depth
+# 4-8 already reaches 0.79-0.89 recall at a 5-8% fraction, so real
+# deployments dial ANN_MULTIPROBE down against the per-run logged curve
+# (``lsh_recall_curve``/``lsh_candidate_frac``) instead of assuming a
+# fraction.
 ANN_LSH_BANDS = 24
 ANN_LSH_BITS = 12
 ANN_LSH_DIM = 64
