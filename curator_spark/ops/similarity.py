@@ -17,6 +17,8 @@ brute-force results hash-match the DuckDB oracle exactly.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -82,8 +84,10 @@ def lsh_topk(spark: SparkSession, sf_dir: str, k: int = 10, query_id: int = 0) -
     (via :func:`lsh_probe_keys`) plus the planes as '%.6e' literals, so
     bucket selection cannot drift across engines. Candidate fraction is
     measured, not assumed — see :func:`lsh_candidates` and the BENCH
-    ``lsh_candidate_frac`` extra (~29% on this worst-case near-random
-    fixture; far lower on clustered real corpora)."""
+    ``lsh_candidate_frac`` / ``lsh_clustered`` extras (~29% at the
+    default depth on either geometry; clustered corpora reach their
+    recall target at much smaller depths, so deployments dial
+    ``ANN_MULTIPROBE`` down against the logged curve)."""
     emb = load(spark, sf_dir, "embeddings")
     qv = np.array([np.float32(v) for v in query_vector(spark, sf_dir, query_id)], dtype=np.float64)
     q = F.array(*[F.lit(float(v)) for v in qv])
@@ -285,6 +289,35 @@ def _train_centroids(vecs: np.ndarray, n_cells: int, iters: int = 5) -> np.ndarr
     return cent
 
 
+#: process-level memo of trained centroids keyed by (application, table
+#: path, table mtime, n_cells) — see _trained_centroids
+_CENT_CACHE: dict[tuple, np.ndarray | None] = {}
+
+
+def _trained_centroids(
+    spark: SparkSession, sf_dir: str, n_cells: int
+) -> np.ndarray | None:
+    """:func:`_train_from_table` memoized per (application, embeddings
+    path, file mtime, n_cells). Training runs a count + a bounded
+    collect — two real Spark jobs at DataFrame-CONSTRUCTION time, which
+    plan-only consumers and repeat callers (bench runs each query ×3)
+    would otherwise pay per call. Determinism makes the memo safe: the
+    output is a pure function of the table contents, and the mtime key
+    invalidates on rewrite (same protocol as ensure_dedup_index)."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(src),
+        os.path.getmtime(src) if os.path.exists(src) else None,
+        n_cells,
+    )
+    if key not in _CENT_CACHE:
+        _CENT_CACHE[key] = _train_from_table(
+            spark, load(spark, sf_dir, "embeddings"), n_cells
+        )
+    return _CENT_CACHE[key]
+
+
 def _train_from_table(spark: SparkSession, emb: DataFrame, n_cells: int) -> np.ndarray | None:
     """THE deterministic IVF training path, shared by :func:`ivf_topk`,
     :func:`build_ivf_index`, and (re-expressed outside Spark)
@@ -363,7 +396,7 @@ def ivf_topk(
     ~1e-13 of equidistant from a vector, negligible for continuous data
     (same accepted risk as the SRP band keys, ops/dedup.py)."""
     emb = load(spark, sf_dir, "embeddings")
-    cent = _train_from_table(spark, emb, n_cells)
+    cent = _trained_centroids(spark, sf_dir, n_cells)
     if cent is None:  # empty table: nothing to probe, empty result
         return emb.select("vec_id", F.lit(0.0).alias("cos_sim")).limit(0)
     cell_of = _cell_assigner(spark, cent)
@@ -396,7 +429,7 @@ def build_ivf_index(
     import os
 
     emb = load(spark, sf_dir, "embeddings")
-    cent = _train_from_table(spark, emb, n_cells)
+    cent = _trained_centroids(spark, sf_dir, n_cells)
     if cent is None:
         raise ValueError(f"cannot build an IVF index over an empty table ({sf_dir})")
     cell_of = _cell_assigner(spark, cent)
