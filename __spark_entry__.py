@@ -122,14 +122,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict entries. Round 3 registered 70 with the multimodal family at the
     # tail, so its 20 newest queries (all 16 multimodal + doc_perplexity +
     # the usermap trio) never got a driver-recorded row (VERDICT r3, top
-    # task). Round-5 rotation: the FIVE new/changed-this-round entries
+    # task). Round-5 rotation: the SIX new/changed-this-round entries
     # lead (stage_cost_estimate, curation_from_index, remove_dup_spans,
-    # semantic_dedup_groups, and lsh_topk — whose top-k VALUES changed
-    # with multi-probe), followed by 45 of the 50 r4-recorded entries;
-    # four r4-green value-unchanged event-warehouse queries
-    # (retention_cohorts, daily_type_pivot, heavy_hitters_sample,
-    # events_cube) rotate to the tail with the other proven entries, all
-    # still covered by tools/verify_oracles.py.
+    # semantic_dedup_groups, lang_alpha_sample, and lsh_topk — whose
+    # top-k VALUES changed with multi-probe), followed by 44 of the 50
+    # r4-recorded entries; five r4-green value-unchanged event-warehouse
+    # queries (events_funnel, retention_cohorts, daily_type_pivot,
+    # heavy_hitters_sample, events_cube) rotate to the tail with the
+    # other proven entries, all still covered by tools/verify_oracles.py.
     qs = {
         # ---- round-5 new/changed (must be driver-recorded this round) --
         # per-stage cost-model hook (SURVEY §2.5 A1 completion — reference
@@ -149,7 +149,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi-probe LSH ANN: the probe expansion CHANGED the top-k
         # values vs the r4 recording, so it must be re-attested
         "lsh_topk": similarity.lsh_topk,
-        # ---- r4-recorded entries (45 of 50 stay in the window) ---------
+        # XLM-R/mT5-style alpha-sampling budgets (quota ∝ cnt^0.5,
+        # integer-exact allocation) over the shared quota machinery
+        "lang_alpha_sample": text.lang_alpha_sample,
+        # ---- r4-recorded entries (44 of 50 stay in the window) ---------
         # multimodal (binary column + batched decode UDF) — all full
         # value-hash oracles: the SQL side decodes the media payloads
         # itself (scoring/audio_sql.py, image_sql.py, pipeline_sql.py)
@@ -227,16 +230,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_self_ppl": text.bigram_self_ppl,
         "tfidf_top_terms": text.tfidf_top_terms,
         "dataset_split": text.dataset_split,
-        # round-4: single-pass HOF funnel — index 49, the LAST slot of
-        # the driver window (r4-green, value-unchanged; harmless to
-        # re-record)
-        "events_funnel": relational.events_funnel,
-        # the 50-entry window is now exactly full: 5 round-5-new/changed
-        # + 45 r4-recorded entries. Everything below is r01–r04-proven
+        # the 50-entry window is now exactly full: 6 round-5-new/changed
+        # + 44 r4-recorded entries. Everything below is r01–r04-proven
         # and intentionally outside the window (still covered by
-        # tools/verify_oracles.py). Four r4-green event-warehouse queries
-        # rotated out this round to make room — the retention oracle
-        # remains independent multi-pass SQL:
+        # tools/verify_oracles.py). Five r4-green event-warehouse queries
+        # rotated out this round to make room — the funnel/retention
+        # oracles remain independent multi-pass SQL:
+        "events_funnel": relational.events_funnel,
         "retention_cohorts": relational.retention_cohorts,
         "daily_type_pivot": relational.daily_type_pivot,
         "heavy_hitters_sample": relational.heavy_hitters_sample,
@@ -1589,6 +1589,35 @@ SELECT doc_id, lang, sample_key, rk FROM (
       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
   FROM documents
 ) WHERE rk <= 40 ORDER BY lang, rk
+""",
+        # lang_alpha_sample: quota ∝ cnt^0.5 (sqrt is IEEE-correctly-
+        # rounded, so the double product below is bit-identical across
+        # engines; libm pow would not be); the allocation is then pure
+        # integer math — w = floor(sqrt(cnt)·1e6), quota =
+        # max(1, target·w // W) — so no float-sum order can drift.
+        # DuckDB's // and Spark's DIV agree on non-negative longs.
+        "lang_alpha_sample": """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang
+), wt AS (
+  SELECT lang, cnt,
+         CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+  FROM counts
+), tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM wt),
+q AS (
+  SELECT lang, greatest(CAST(1 AS BIGINT), (120 * w) // w_total) AS lang_quota
+  FROM wt CROSS JOIN tot
+), ranked AS (
+  SELECT doc_id, lang,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.lang, r.rk, q.lang_quota
+FROM ranked r JOIN q ON r.lang IS NOT DISTINCT FROM q.lang
+WHERE r.rk <= q.lang_quota
+ORDER BY r.lang, r.rk
 """,
         # dataset_split: md5-prefix fraction (exact: x/2^32 is a dyadic
         # division, identical in IEEE double on both engines); the hash is

@@ -410,9 +410,18 @@ def lang_quota_sample(spark: SparkSession, sf_dir: str, quota: int = 40) -> Data
     return _quota_sample(docs, quota)
 
 
-def _quota_sample(docs: DataFrame, quota: int) -> DataFrame:
+def _quota_sample(
+    docs: DataFrame, quota: int, quotas: DataFrame | None = None
+) -> DataFrame:
     """Core of :func:`lang_quota_sample` over any (doc_id, lang) frame —
     split out so the hash-tail shortfall path is unit-testable.
+
+    ``quotas`` (optional): a per-language budget frame ``(q_lang, q)``
+    overriding the scalar ``quota`` — the generalization
+    :func:`lang_alpha_sample` needs. A language absent from the frame
+    gets quota 0 (dropped). All arithmetic below is shared: with a
+    scalar quota the q column is a literal, so the scalar path's values
+    are bit-identical to the pre-generalization form.
 
     Round-5 hardening (VERDICT r4 task #7): the per-language cutoffs are
     carried as a JOINED (lang, cut) frame instead of a driver-built
@@ -429,10 +438,23 @@ def _quota_sample(docs: DataFrame, quota: int) -> DataFrame:
     from pyspark.sql import Window
 
     docs = docs.withColumn("sample_key", F.md5(F.col("doc_id").cast("string")))
-    # per-language cutoff frame: frac = min(1, 8*quota/cnt); the hex cut
+    counts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    if quotas is None:
+        counts = counts.withColumn("q", F.lit(int(quota)).cast("long"))
+    else:
+        counts = counts.join(
+            quotas, F.col("lang").eqNullSafe(F.col("q_lang")), "left"
+        ).select(
+            "lang", "cnt", F.coalesce(F.col("q").cast("long"), F.lit(0)).alias("q")
+        )
+    # per-language cutoff frame: frac = min(1, 8*q/cnt); the hex cut
     # reproduces f"{int(frac * 2**32):08x}" exactly (floor == int-trunc
-    # for non-negative doubles; hex() uppercases, md5 is lowercase)
-    frac = F.least(F.lit(1.0), F.lit(8.0 * quota) / F.greatest("cnt", F.lit(1)))
+    # for non-negative doubles; hex() uppercases, md5 is lowercase).
+    # 8.0*q is exact in double for any sane budget, so the scalar path
+    # computes the same bits as the old lit(8.0*quota) form
+    frac = F.least(
+        F.lit(1.0), (F.lit(8.0) * F.col("q")) / F.greatest("cnt", F.lit(1))
+    )
     cut = F.lpad(
         F.lower(
             F.hex(
@@ -445,15 +467,12 @@ def _quota_sample(docs: DataFrame, quota: int) -> DataFrame:
         8,
         "0",
     )
-    cuts = (
-        docs.groupBy("lang")
-        .agg(F.count("*").alias("cnt"))
-        .select(
-            F.col("lang").alias("c_lang"),
-            "cnt",
-            cut.alias("cut"),
-            (frac >= 1.0).alias("keep_all"),
-        )
+    cuts = counts.select(
+        F.col("lang").alias("c_lang"),
+        "cnt",
+        "q",
+        cut.alias("cut"),
+        (frac >= 1.0).alias("keep_all"),
     )
     # eqNullSafe: a NULL lang is a legitimate group key here — a plain
     # == join would silently drop every NULL-lang row at the cut
@@ -471,9 +490,7 @@ def _quota_sample(docs: DataFrame, quota: int) -> DataFrame:
     )
     short = (
         cuts.join(scnt, F.col("c_lang").eqNullSafe(F.col("s_lang")), "left")
-        .filter(
-            F.coalesce("scnt", F.lit(0)) < F.least(F.lit(quota).cast("long"), "cnt")
-        )
+        .filter(F.coalesce("scnt", F.lit(0)) < F.least(F.col("q"), F.col("cnt")))
         .select(F.col("c_lang").alias("short_lang"))
     )
     pool = survivors.join(
@@ -486,8 +503,60 @@ def _quota_sample(docs: DataFrame, quota: int) -> DataFrame:
     w = Window.partitionBy("lang").orderBy("sample_key", "doc_id")
     return (
         pool.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= quota)
+        .join(
+            cuts.select("c_lang", "q"),
+            F.col("lang").eqNullSafe(F.col("c_lang")),
+        )
+        .filter(F.col("rk") <= F.col("q"))
         .select("doc_id", "lang", "sample_key", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+def lang_alpha_sample(
+    spark: SparkSession, sf_dir: str, target_total: int = 120
+) -> DataFrame:
+    """Alpha-sampling per-language budgets (the multilingual corpus-mixing
+    rule XLM-R / mT5 popularized, public): language budgets proportional
+    to ``count^alpha`` with alpha < 1, boosting low-resource languages
+    relative to their raw share, then the same deterministic md5-rank
+    selection as :func:`lang_quota_sample`. Output carries the computed
+    ``lang_quota`` so the mixing decision is auditable per row.
+
+    The GATE face pins alpha = 0.5 because sqrt is correctly rounded
+    under IEEE 754 and therefore bit-identical across engines, while
+    libm ``pow`` is not (a 1-ulp cross-engine difference could flip a
+    floor()). The weight arithmetic is then integer-exact end-to-end:
+    w = floor(sqrt(cnt)·1e6) as BIGINT (the double product is computed
+    identically on both engines), W = Σw exact, quota =
+    max(1, (target·w) DIV W) in pure integer math — no float sums whose
+    partition order could drift. Bounds: target·w overflows int64 only
+    past ~10^12-per-language corpora at million-scale targets; documented
+    rather than guarded (DECIMAL would cover it at a cast cost).
+
+    Scale shape: one count agg (one row per language), a 1-row cross
+    join for W, and the shared :func:`_quota_sample` machinery (hash-cut
+    pre-filter + shortfall fallback, window over ~8·quota survivors per
+    language — never over the language itself).
+
+    Reference analog: SURVEY.md §2.6 O2 deterministic subset selection,
+    lifted to per-group budgets with a data-dependent allocation rule."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    w_int = F.floor(F.sqrt(F.col("cnt").cast("double")) * F.lit(1e6)).cast("long")
+    weights = counts.select("lang", "cnt", w_int.alias("w"))
+    tot = weights.agg(F.sum("w").alias("w_total"))
+    quotas = weights.crossJoin(tot).select(
+        F.col("lang").alias("q_lang"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"CAST({int(target_total)} AS BIGINT) * w DIV w_total"),
+        ).alias("q"),
+    )
+    sampled = _quota_sample(docs, 0, quotas=quotas)
+    return (
+        sampled.join(quotas, F.col("lang").eqNullSafe(F.col("q_lang")))
+        .select("doc_id", "lang", "rk", F.col("q").alias("lang_quota"))
         .orderBy("lang", "rk")
     )
 

@@ -1059,3 +1059,39 @@ def test_curation_split_independent_of_selection(spark):
     counts = sel["split"].value_counts()
     assert counts.get("train", 0) > 0.5 * len(sel)
     assert set(counts.index) <= {"train", "val", "test"}
+
+
+def test_lang_alpha_sample_allocation(spark):
+    """Alpha-sampling invariants: integer-exact quota ∝ sqrt(cnt) with a
+    floor of 1 (recomputed here in plain Python), per-language row count
+    = min(quota, cnt), selection = the quota smallest md5 keys, and the
+    boost property — a low-resource language's share of the sample
+    strictly exceeds its share of the corpus (that is alpha<1's point)."""
+    import hashlib
+    import math
+
+    from curator_spark.ops.text import lang_alpha_sample
+
+    sf = "/root/testdata/sf0.001"
+    out = lang_alpha_sample(spark, sf, target_total=120).toPandas()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "lang").toPandas()
+    cnts = docs.groupby("lang", dropna=False).size().to_dict()
+    w = {l: math.floor(math.sqrt(c) * 1e6) for l, c in cnts.items()}
+    W = sum(w.values())
+    want_q = {l: max(1, (120 * wv) // W) for l, wv in w.items()}
+    got_q = dict(out.drop_duplicates("lang")[["lang", "lang_quota"]].values)
+    assert {k: int(v) for k, v in got_q.items()} == {
+        k: v for k, v in want_q.items() if k in got_q
+    }
+    for lang, grp in out.groupby("lang", dropna=False):
+        assert len(grp) == min(want_q[lang], cnts[lang])
+        pool = docs.loc[docs.lang == lang, "doc_id"]
+        want = sorted(
+            pool, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+        )[: want_q[lang]]
+        assert sorted(grp["doc_id"]) == sorted(want)
+    # boost: smallest language overrepresented vs its corpus share
+    smallest = min(cnts, key=cnts.get)
+    corpus_share = cnts[smallest] / len(docs)
+    sample_share = (out.lang == smallest).mean()
+    assert sample_share > corpus_share
