@@ -58,6 +58,13 @@ def main(argv: list[str] | None = None) -> int:
         help="pay CPU-ramp/codegen/worker cold-start before the timed run "
         "(benchmark mode; see curator_spark/warmup.py)",
     )
+    p.add_argument(
+        "--cost-report",
+        action="store_true",
+        help="after the run, print the per-stage USD rollup priced from "
+        "the audit table at the default rate card (curator_spark/cost.py; "
+        "the reference's per-model cost map analog)",
+    )
     args = p.parse_args(argv)
 
     from curator_spark.catalog import ParquetCatalog
@@ -96,6 +103,16 @@ def main(argv: list[str] | None = None) -> int:
         from curator_spark.export import publish_dataset
 
         published = publish_dataset(pipe, args.publish)["splits"]
+    cost_rows = None
+    if args.cost_report:
+        cost_rows = [
+            {
+                "stage": r["stage"],
+                "rows_in": r["rows_in"],
+                "usd": r["usd"],
+            }
+            for r in pipe.cost_report().collect()
+        ]
     # clips/sec is only meaningful when this invocation did ALL the work —
     # a cached or partially-resumed run divides total rows by partial wall
     full_run = not res.cached and res.partitions_skipped == 0
@@ -111,6 +128,7 @@ def main(argv: list[str] | None = None) -> int:
                 "clips_per_sec": round(n_rows / wall, 1) if wall > 0 and full_run else None,
                 "exported_rows": exported,
                 "published_splits": published,
+                "stage_costs_usd": cost_rows,
             }
         )
     )
