@@ -90,22 +90,29 @@ def estimate_stage_costs(
         F.count("*").alias("n_rows"),
         F.coalesce(F.sum(tok), F.lit(0)).alias("n_tokens"),
     )
-    # cross join against a 4-row literal rate frame, NOT a 4-way union of
-    # `tot` selects: each union branch would re-derive the corpus scan +
-    # agg (Catalyst does not ReuseExchange differently-projected
-    # branches), turning a one-scan estimate into four. The cross join is
-    # a broadcast nested loop of 1 × 4 rows.
-    card = spark.createDataFrame(
-        [(s, rates.rows_rate(s), rates.tokens_rate(s)) for s in STAGES],
-        "stage string, r_rows double, r_tok double",
+    # the 4-stage fan-out is an EXPLODE of a literal rate array over the
+    # 1-row aggregate — no join node at all (a 4-way union of `tot`
+    # selects would re-derive the corpus scan per branch since Catalyst
+    # does not ReuseExchange differently-projected branches, and a cross
+    # join against a rate frame compiles to BroadcastNestedLoopJoin,
+    # which the fleet-wide plan-hygiene test rightly forbids)
+    card = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("stage"),
+                F.lit(rates.rows_rate(s)).alias("r_rows"),
+                F.lit(rates.tokens_rate(s)).alias("r_tok"),
+            )
+            for s in STAGES
+        ]
     )
     est = (
-        F.col("n_rows") / F.lit(1e6) * F.col("r_rows")
-        + F.col("n_tokens") / F.lit(1e6) * F.col("r_tok")
+        F.col("n_rows") / F.lit(1e6) * F.col("c.r_rows")
+        + F.col("n_tokens") / F.lit(1e6) * F.col("c.r_tok")
     )
     return (
-        tot.crossJoin(card)
-        .select("stage", "n_rows", "n_tokens", F.round(est, 8).alias("est_usd"))
+        tot.select(F.explode(card).alias("c"), "n_rows", "n_tokens")
+        .select(F.col("c.stage").alias("stage"), "n_rows", "n_tokens", F.round(est, 8).alias("est_usd"))
         .orderBy("stage")
     )
 

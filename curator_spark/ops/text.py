@@ -545,8 +545,17 @@ def lang_alpha_sample(
     counts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
     w_int = F.floor(F.sqrt(F.col("cnt").cast("double")) * F.lit(1e6)).cast("long")
     weights = counts.select("lang", "cnt", w_int.alias("w"))
-    tot = weights.agg(F.sum("w").alias("w_total"))
-    quotas = weights.crossJoin(tot).select(
+    # the corpus-total weight folds back via an UNPARTITIONED window sum
+    # over the per-language frame — legitimate here because the frame is
+    # bounded at one row per language (a join against the 1-row agg
+    # compiles to BroadcastNestedLoopJoin — constant equi-keys get
+    # constant-folded — which the fleet-wide plan-hygiene test forbids)
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    quotas = weights.withColumn("w_total", F.sum("w").over(w_all)).select(
         F.col("lang").alias("q_lang"),
         F.greatest(
             F.lit(1).cast("long"),
