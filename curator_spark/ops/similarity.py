@@ -656,3 +656,59 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("mean_dist", F.round("mean_dist", 6))
         .orderBy("cluster")
     )
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Build-if-missing cache of :func:`build_ivf_index` /
+    :func:`build_lsh_index` for the gate/bench surfaces, keyed by the
+    embeddings table's path and mtime — the same marker-file protocol as
+    ``dedup.ensure_dedup_index`` (marker written only after a complete
+    build, so a killed build re-runs instead of serving a torn index).
+    At scale the build runs once per corpus snapshot as its own job;
+    this wrapper exists so (spark, sf_dir)-shaped consumers can reach
+    the materialized path without orchestrating that job by hand."""
+    import hashlib
+    import shutil
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.blake2b(
+        f"{kind}|{os.path.abspath(src)}|{os.path.getmtime(src)}".encode(),
+        digest_size=8,
+    ).hexdigest()
+    root = os.path.join("/tmp/curator_bench", f"{kind}_idx_{tag}")
+    marker = os.path.join(root, "_BUILT")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        if kind == "ivf":
+            build_ivf_index(spark, sf_dir, root)
+        else:
+            build_lsh_index(spark, sf_dir, root)
+        with open(marker, "w") as fh:
+            fh.write(sf_dir)
+    return root
+
+
+def ivf_topk_from_index(
+    spark: SparkSession, sf_dir: str, k: int = 10, n_probe: int = 4
+) -> DataFrame:
+    """:func:`ivf_topk` served from the MATERIALIZED partition-pruned
+    index (build cached per table snapshot): identical results by
+    construction — same deterministic training (shared
+    :func:`_trained_centroids`), same probe-cell selection, same
+    float32-quantized query — so it shares ivf_topk's oracle, and a
+    driver-green row attests the 100 TB form of the query, not just the
+    in-flight one."""
+    idx = _ensure_index(spark, sf_dir, "ivf")
+    return ivf_topk_indexed(
+        spark, idx, query_vector(spark, sf_dir, 0), k=k, n_probe=n_probe
+    )
+
+
+def lsh_topk_from_index(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """:func:`lsh_topk` served from the MATERIALIZED two-level-pruned
+    index — same shared probe kernel (:func:`lsh_probe_keys`), same
+    candidate set, same exact-cosine rank, so it shares lsh_topk's
+    oracle. See :func:`ivf_topk_from_index` for why this gates
+    separately from the in-flight path."""
+    idx = _ensure_index(spark, sf_dir, "lsh")
+    return lsh_topk_indexed(spark, idx, query_vector(spark, sf_dir, 0), k=k)

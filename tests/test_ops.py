@@ -1095,3 +1095,18 @@ def test_lang_alpha_sample_allocation(spark):
     corpus_share = cnts[smallest] / len(docs)
     sample_share = (out.lang == smallest).mean()
     assert sample_share > corpus_share
+
+
+def test_indexed_ann_twins_equal_inflight(spark):
+    """The gate-facing ensure-wrapper paths (ivf/lsh_topk_from_index)
+    must return row-identical results to the in-flight queries — that
+    identity is why they share oracles in __spark_entry__."""
+    from curator_spark.ops import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    assert sim.ivf_topk_from_index(spark, sf).collect() == sim.ivf_topk(
+        spark, sf
+    ).collect()
+    assert sim.lsh_topk_from_index(spark, sf).collect() == sim.lsh_topk(
+        spark, sf
+    ).collect()
